@@ -1,0 +1,17 @@
+"""TPU scoring ops: fused matmul + top-k over corpus embedding shards."""
+
+from ragroute_tpu.ops.topk import (
+    exact_topk,
+    chunked_topk,
+    shard_topk,
+    merge_topk,
+)
+from ragroute_tpu.ops.pallas_topk import pallas_topk
+
+__all__ = [
+    "exact_topk",
+    "chunked_topk",
+    "shard_topk",
+    "merge_topk",
+    "pallas_topk",
+]

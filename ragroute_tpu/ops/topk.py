@@ -1,0 +1,227 @@
+"""Brute-force top-k document scoring.
+
+This is the TPU-native replacement for the per-process FAISS searches in the
+reference system (``ragroute/data_source.py:158,186,203`` — ``index.search``
+on ``faiss-cpu`` flat indexes). Corpus embedding shards are dense arrays
+resident in HBM; scoring is a matmul on the MXU; top-k selection happens
+on-device so only ``k`` (score, index) pairs per query ever leave the chip.
+
+Three implementations, all exact (no ANN approximation, matching the
+reference's flat indexes):
+
+* :func:`exact_topk` — materializes the full ``[B, N]`` score matrix, then
+  ``jax.lax.top_k``. Ground truth for tests; O(B*N) memory.
+* :func:`chunked_topk` — ``lax.scan`` over document chunks with a running
+  top-k carry. Memory-bounded XLA baseline; never materializes more than
+  ``[B, chunk]`` scores.
+* :func:`ragroute_tpu.ops.pallas_topk.pallas_topk` — fused Pallas kernel
+  (matmul + streaming top-k in VMEM, tile-skip when a tile cannot beat the
+  running k-th best). The production path.
+
+Score semantics (reference parity):
+
+* ``dot``  — inner product, higher is better (MedRAG MedCPT indexes;
+  FeB4RAG models with dot score, ``model_zoo.py:25-32``).
+* ``cos``  — cosine similarity; callers must pass L2-normalized docs (done at
+  shard build time) and we normalize queries here.
+* ``l2``   — squared L2 distance, LOWER is better (wikipedia world:
+  L2-normalized FAISS index searched with normalized queries,
+  ``data_source.py:196-205``; merged ascending, ``rerank.py:28-34``).
+
+All implementations share one internal convention: scores are transformed so
+that HIGHER is always better ("gain" form), selected, then mapped back to the
+natural form. For ``l2``: gain = 2*q·d − |d|², and squared-L2 =
+|q|² − gain.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")  # plain float: safe to close over inside kernels
+
+
+def _validate(mode: str) -> None:
+    if mode not in ("dot", "cos", "l2"):
+        raise ValueError(f"Unknown score mode {mode!r}")
+
+
+def _prepare_queries(queries: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Transform queries into gain-form: q' such that gain = q'·d + bias_d."""
+    q = queries.astype(jnp.float32)
+    if mode == "cos":
+        norms = jnp.linalg.norm(q, axis=-1, keepdims=True)
+        q = q / jnp.maximum(norms, 1e-12)
+    elif mode == "l2":
+        # gain = 2*q·d - |d|^2  (drop the per-query constant |q|^2)
+        q = 2.0 * q
+    return q
+
+
+def doc_bias(docs: jnp.ndarray, mode: str) -> Optional[jnp.ndarray]:
+    """Per-document additive bias in gain form (``-|d|^2`` for l2)."""
+    if mode == "l2":
+        d = docs.astype(jnp.float32)
+        return -jnp.sum(d * d, axis=-1)
+    return None
+
+
+def gain_to_natural(
+    gains: jnp.ndarray, queries: jnp.ndarray, mode: str
+) -> jnp.ndarray:
+    """Map internal gain scores back to the natural (FAISS-parity) scale."""
+    if mode == "l2":
+        q = queries.astype(jnp.float32)
+        qsq = jnp.sum(q * q, axis=-1, keepdims=True)
+        return qsq - gains
+    return gains
+
+
+def exact_topk(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    mode: str = "dot",
+    valid_docs: Optional[int] = None,
+    bias: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-materialization exact top-k (test oracle).
+
+    Returns ``(scores [B, k], indices [B, k])`` with scores in natural form,
+    sorted best-first (descending for dot/cos, ascending for l2).
+    """
+    _validate(mode)
+    n = docs.shape[0]
+    q = _prepare_queries(queries, mode)
+    gains = jnp.dot(q, docs.T.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    b = doc_bias(docs, mode) if bias is None else bias
+    if b is not None:
+        gains = gains + b[None, :]
+    if valid_docs is not None and valid_docs < n:
+        col = jnp.arange(n)
+        gains = jnp.where(col[None, :] < valid_docs, gains, NEG_INF)
+    top_gain, top_idx = jax.lax.top_k(gains, k)
+    return gain_to_natural(top_gain, queries, mode), top_idx
+
+
+def merge_topk(
+    gains_a: jnp.ndarray,
+    idx_a: jnp.ndarray,
+    gains_b: jnp.ndarray,
+    idx_b: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two gain-form top-k lists into one (higher gain wins)."""
+    gains = jnp.concatenate([gains_a, gains_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    top_gain, pos = jax.lax.top_k(gains, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=-1)
+    return top_gain, top_idx
+
+
+def chunked_topk(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    mode: str = "dot",
+    valid_docs: Optional[int] = None,
+    chunk: int = 16384,
+    bias: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Memory-bounded exact top-k via ``lax.scan`` over document chunks.
+
+    The carry is the running top-k (gain, index) per query; each step scores
+    one ``[chunk, d]`` slab on the MXU and merges. HBM footprint is
+    ``O(B * chunk)`` instead of ``O(B * N)``.
+    """
+    _validate(mode)
+    bsz = queries.shape[0]
+    n, d = docs.shape
+    valid = n if valid_docs is None else valid_docs
+    chunk = max(min(chunk, n), k)
+
+    q = _prepare_queries(queries, mode)
+    b = doc_bias(docs, mode) if bias is None else bias
+
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    docs_p = jnp.pad(docs, ((0, n_pad - n), (0, 0)))
+    bias_p = None if b is None else jnp.pad(b, (0, n_pad - n))
+    docs_c = docs_p.reshape(n_chunks, chunk, d)
+    bias_c = None if bias_p is None else bias_p.reshape(n_chunks, chunk)
+
+    col = jnp.arange(chunk, dtype=jnp.int32)
+
+    def step(carry, xs):
+        run_g, run_i = carry
+        if bias_c is None:
+            slab, offset = xs
+            bvec = None
+        else:
+            slab, bvec, offset = xs
+        gains = jnp.dot(q, slab.T.astype(q.dtype),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+        if bvec is not None:
+            gains = gains + bvec[None, :]
+        gidx = offset + col
+        gains = jnp.where(gidx[None, :] < valid, gains, NEG_INF)
+        c_g, c_pos = jax.lax.top_k(gains, k)
+        c_i = gidx[c_pos]
+        return merge_topk(run_g, run_i, c_g, c_i, k), None
+
+    init = (
+        jnp.full((bsz, k), NEG_INF, dtype=jnp.float32),
+        jnp.zeros((bsz, k), dtype=jnp.int32),
+    )
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    xs = (docs_c, offsets) if bias_c is None else (docs_c, bias_c, offsets)
+    (top_gain, top_idx), _ = jax.lax.scan(step, init, xs)
+    return gain_to_natural(top_gain, queries, mode), top_idx
+
+
+def shard_topk(
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    k: int,
+    *,
+    mode: str = "dot",
+    valid_docs: Optional[int] = None,
+    bias: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+    chunk: int = 16384,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch to the best exact top-k implementation.
+
+    ``impl``: "auto" | "exact" | "chunked" | "pallas". "auto" picks the
+    Pallas kernel on TPU backends and the chunked scan elsewhere (e.g. the
+    CPU test mesh), falling back to "exact" for tiny shards.
+    """
+    if impl == "auto":
+        n = docs.shape[0]
+        if n <= 4096:
+            impl = "exact"
+        elif jax.default_backend() in ("tpu", "axon"):
+            impl = "pallas"
+        else:
+            impl = "chunked"
+    if impl == "exact":
+        return exact_topk(queries, docs, k, mode=mode,
+                          valid_docs=valid_docs, bias=bias)
+    if impl == "chunked":
+        return chunked_topk(queries, docs, k, mode=mode,
+                            valid_docs=valid_docs, chunk=chunk, bias=bias)
+    if impl == "pallas":
+        from ragroute_tpu.ops.pallas_topk import pallas_topk
+
+        return pallas_topk(queries, docs, k, mode=mode,
+                           valid_docs=valid_docs, bias=bias)
+    raise ValueError(f"Unknown impl {impl!r}")

@@ -1,0 +1,149 @@
+"""Exactness tests for the top-k scoring ops against a numpy oracle.
+
+These are the recall-parity gate (SURVEY.md §7 step 2): every implementation
+must reproduce a brute-force FAISS-flat-style search exactly.
+
+Index-exact comparisons use integer-valued embeddings so the f32 matmul is
+bit-exact in any accumulation order; float tests check score-equivalence
+(the returned set achieves the oracle's top-k scores within tolerance),
+since XLA and numpy legitimately differ in near-tie ordering.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ragroute_tpu.ops import chunked_topk, exact_topk, pallas_topk, shard_topk
+
+
+def numpy_oracle(q, docs, k, mode, valid=None):
+    """Reference brute-force search identical to a FAISS flat index."""
+    q = np.asarray(q, np.float32)
+    docs = np.asarray(docs, np.float32)
+    n = docs.shape[0]
+    valid = n if valid is None else valid
+    if mode == "dot":
+        scores = q @ docs.T
+        order_desc = True
+    elif mode == "cos":
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        scores = qn @ docs.T  # docs pre-normalized by caller
+        order_desc = True
+    elif mode == "l2":
+        scores = (
+            (q * q).sum(1, keepdims=True)
+            + (docs * docs).sum(1)[None, :]
+            - 2.0 * q @ docs.T
+        )
+        order_desc = False
+    if valid < n:
+        scores[:, valid:] = -np.inf if order_desc else np.inf
+    key = -scores if order_desc else scores
+    # stable sort → ties broken by lower doc index, like FAISS flat.
+    idx = np.argsort(key, axis=1, kind="stable")[:, :k]
+    out_scores = np.take_along_axis(scores, idx, axis=1)
+    return out_scores, idx
+
+
+def int_data(rng, b, n, d):
+    """Small-integer embeddings: f32 dot products are exact."""
+    q = rng.integers(-4, 5, size=(b, d)).astype(np.float32)
+    docs = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+    return q, docs
+
+
+IMPLS = ["exact", "chunked", "pallas"]
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_topk_index_exact(rng, impl, mode):
+    b, n, d, k = 16, 3000, 64, 32
+    q, docs = int_data(rng, b, n, d)
+
+    want_s, want_i = numpy_oracle(q, docs, k, mode)
+    got_s, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode=mode, impl=impl,
+        chunk=512,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+    np.testing.assert_allclose(np.asarray(got_s), want_s, rtol=1e-5)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_topk_cos_score_equivalent(rng, impl):
+    """Float data: the returned set must achieve the oracle's top-k scores."""
+    b, n, d, k = 8, 2500, 48, 10
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    docs = docs / np.linalg.norm(docs, axis=1, keepdims=True)
+
+    want_s, _ = numpy_oracle(q, docs, k, "cos")
+    got_s, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode="cos", impl=impl,
+        chunk=512,
+    )
+    got_s, got_i = np.asarray(got_s), np.asarray(got_i)
+    # scores sorted descending and matching oracle values
+    assert (np.diff(got_s, axis=1) <= 1e-6).all()
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-4, atol=1e-5)
+    # returned indices really do score what was reported
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    true = np.take_along_axis(qn @ docs.T, got_i, axis=1)
+    np.testing.assert_allclose(got_s, true, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_topk_padding_mask(rng, impl):
+    """Padded (invalid) documents must never appear in results."""
+    b, n, d, k, valid = 4, 1024, 32, 10, 700
+    q, docs = int_data(rng, b, n, d)
+    # make the padding region maximally attractive
+    docs[valid:] = 100.0
+
+    got_s, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode="dot",
+        valid_docs=valid, impl=impl, chunk=256,
+    )
+    assert np.asarray(got_i).max() < valid
+    _, want_i = numpy_oracle(q, docs, k, "dot", valid=valid)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_topk_ties_break_low_index(impl):
+    """Duplicate documents: ties resolve to the lower index (FAISS parity)."""
+    d, k = 8, 4
+    base = np.eye(1, d, dtype=np.float32)  # [1, d]
+    docs = np.zeros((512, d), np.float32)
+    # identical best docs at indices 7, 100, 300
+    for i in (7, 100, 300):
+        docs[i] = base
+    q = base.copy()
+    _, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode="dot", impl=impl,
+        chunk=128,
+    )
+    got = np.asarray(got_i)[0]
+    assert list(got[:3]) == [7, 100, 300]
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_topk_k_exceeds_tile_boundaries(rng, mode):
+    """Results spread across many chunks/tiles still come back exact."""
+    b, n, d, k = 3, 5000, 16, 64
+    q, docs = int_data(rng, b, n, d)
+    _, want_i = numpy_oracle(q, docs, k, mode)
+    _, got_i = chunked_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode=mode, chunk=500)
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+def test_topk_batch_not_tile_multiple(rng):
+    """Odd batch sizes (device padding) behave identically."""
+    b, n, d, k = 5, 2048, 32, 8
+    q, docs = int_data(rng, b, n, d)
+    _, want_i = numpy_oracle(q, docs, k, "dot")
+    _, got_i = pallas_topk(jnp.asarray(q), jnp.asarray(docs), k, mode="dot")
+    np.testing.assert_array_equal(np.asarray(got_i), want_i)
