@@ -1,0 +1,287 @@
+"""Federated search engine: the jitted route→score→merge device step.
+
+This replaces the reference's whole multi-process hot path
+(``http_server.py:105-341`` → ZMQ → ``router.py:305-333`` → ZMQ×S →
+``data_source.py:98-134`` → ZMQ → ``rerank.py``): for a batch of queries,
+ONE XLA program
+
+1. builds router features and runs the gating MLP (batched, MXU),
+2. converts the routing strategy into a boolean mask ``[B, N_sources]``,
+3. scores every shard with the fused matmul+top-k kernel (a shard whose
+   column of the mask is entirely off is skipped at runtime via
+   ``lax.cond`` — the TPU analogue of "don't query unselected sources"),
+4. gates per-shard results by the mask and merges them into the global
+   top-k (the reference's ``rerank_medrag``/``rerank_wikipedia`` score
+   merges, ``rerank.py:3-9,28-34``).
+
+Only ``[B, k]`` winner (shard, local_index, score) triples plus the mask
+and router probabilities leave the device. Doc-id/text resolution and the
+qrels-oracle feb4rag rerank (``rerank.py:12-25`` — label lookups on
+strings) stay host-side in :mod:`ragroute_tpu.engine.rerank`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.index.shard import ShardSet
+from ragroute_tpu.ops.topk import NEG_INF, shard_topk
+from ragroute_tpu.router.features import RouterBank, build_features
+from ragroute_tpu.router.mlp import CorpusRouterParams, router_forward
+from ragroute_tpu.router.strategies import routing_mask
+
+
+@dataclasses.dataclass
+class SearchOutput:
+    """Host-side result of one engine step (numpy arrays)."""
+
+    probs: np.ndarray           # [B, N] router probabilities
+    mask: np.ndarray            # [B, N] routing decisions
+    shard_scores: np.ndarray    # [B, N, k] natural per-shard scores
+    shard_ids: np.ndarray       # [B, N, k] local doc indices
+    merged_score: np.ndarray    # [B, k] natural merged scores
+    merged_shard: np.ndarray    # [B, k] winning shard index (-1 = invalid)
+    merged_local: np.ndarray    # [B, k] local doc index within shard
+    merged_valid: np.ndarray    # [B] number of valid merged entries
+    selection_time: float = 0.0   # router stage (s), staged mode only
+    doc_select_time: float = 0.0  # scoring+merge stage (s)
+
+
+def _route_fn(world: WorldConfig, strategy: str, params, bank, query_embs, rng):
+    feats = build_features(world, bank, query_embs)
+    logits = router_forward(params, feats)
+    probs = jax.nn.sigmoid(logits)
+    mask = routing_mask(world, strategy, probs, rng)
+    return probs, mask
+
+
+def _score_fn(
+    world: WorldConfig,
+    k: int,
+    impl: str,
+    n_docs: Tuple[int, ...],
+    shard_arrays,
+    query_embs,
+    mask,
+):
+    """Score all shards (runtime-skipping fully unrouted ones) and merge."""
+    some_enc = world.sources[0].encoder
+    bsz = query_embs[some_enc].shape[0]
+
+    per_scores: List[jnp.ndarray] = []
+    per_ids: List[jnp.ndarray] = []
+    for i, src in enumerate(world.sources):
+        docs, bias = shard_arrays[i]
+        q = query_embs[src.encoder]
+
+        def scored(q=q, docs=docs, bias=bias, src=src, n=n_docs[i]):
+            return shard_topk(
+                q, docs, k, mode=src.score_mode, valid_docs=n,
+                bias=bias, impl=impl)
+
+        def skipped(src=src):
+            worst = jnp.inf if src.score_mode == "l2" else -jnp.inf
+            return (
+                jnp.full((bsz, k), worst, dtype=jnp.float32),
+                jnp.zeros((bsz, k), dtype=jnp.int32),
+            )
+
+        s, idx = jax.lax.cond(jnp.any(mask[:, i]), scored, skipped)
+        per_scores.append(s)
+        per_ids.append(idx)
+
+    shard_scores = jnp.stack(per_scores, axis=1)        # [B, N, k]
+    shard_ids = jnp.stack(per_ids, axis=1)              # [B, N, k]
+
+    # Merge in gain form (uniform max semantics within a world).
+    l2 = world.sources[0].score_mode == "l2"
+    key = -shard_scores if l2 else shard_scores
+    gated = jnp.where(mask[:, :, None], key, NEG_INF)
+    flat = gated.reshape(bsz, -1)                       # [B, N*k]
+    top_key, pos = jax.lax.top_k(flat, k)
+    merged_shard = (pos // k).astype(jnp.int32)
+    merged_local = jnp.take_along_axis(
+        shard_ids.reshape(bsz, -1), pos, axis=1)
+    valid = top_key > NEG_INF
+    merged_score = jnp.where(valid, -top_key if l2 else top_key, jnp.nan)
+    merged_shard = jnp.where(valid, merged_shard, -1)
+    merged_valid = valid.sum(axis=1).astype(jnp.int32)
+    return shard_scores, shard_ids, merged_score, merged_shard, merged_local, merged_valid
+
+
+class FederatedSearchEngine:
+    """Holds device state (shards, router) and compiled search steps.
+
+    Args:
+      shard_set: HBM-resident corpus shards for one world.
+      router_params: gating MLP parameters (imported or trained); may be
+        ``None`` if only all/random/none strategies are used.
+      bank: router feature bank (centroids, one-hots, scaler).
+      impl: top-k implementation ("auto" → Pallas on TPU).
+    """
+
+    def __init__(
+        self,
+        shard_set: ShardSet,
+        router_params: Optional[CorpusRouterParams],
+        bank: Optional[RouterBank],
+        *,
+        impl: str = "auto",
+        seed: int = 0,
+    ):
+        self.world: WorldConfig = shard_set.world
+        self.shard_set = shard_set
+        self.params = router_params
+        self.bank = bank
+        self.impl = impl
+        self._key = jax.random.key(seed)
+        n_docs = tuple(s.n_docs for s in shard_set.shards)
+
+        world = self.world
+        k = world.k
+        impl_ = impl
+
+        @functools.partial(jax.jit, static_argnames=("strategy",))
+        def route_step(params, bank, query_embs, rng, *, strategy: str):
+            return _route_fn(world, strategy, params, bank, query_embs, rng)
+
+        @jax.jit
+        def score_step(shard_arrays, query_embs, mask):
+            return _score_fn(
+                world, k, impl_, n_docs, shard_arrays, query_embs, mask)
+
+        @functools.partial(jax.jit, static_argnames=("strategy",))
+        def full_step(params, bank, shard_arrays, query_embs, rng,
+                      *, strategy: str):
+            probs, mask = _route_fn(
+                world, strategy, params, bank, query_embs, rng)
+            scored = _score_fn(
+                world, k, impl_, n_docs, shard_arrays, query_embs, mask)
+            return (probs, mask) + scored
+
+        self._route_step = route_step
+        self._score_step = score_step
+        self._full_step = full_step
+        self._arrays = shard_set.arrays()
+
+    # ------------------------------------------------------------------
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _device_embs(self, query_embs: Dict[str, np.ndarray]):
+        out = {}
+        for enc in self.world.encoders:
+            if enc not in query_embs:
+                raise KeyError(f"missing query embeddings for encoder {enc!r}")
+            out[enc] = jnp.asarray(query_embs[enc], dtype=jnp.float32)
+        return out
+
+    def _router_inputs(self):
+        if self.params is None or self.bank is None:
+            raise ValueError(
+                "routing strategy 'ragroute' needs router params + bank")
+        return self.params, self.bank
+
+    def _dummy_router(self, input_dim: int):
+        # all/random/none never read the MLP output, but the jitted step has
+        # a fixed signature; reuse params if present else zeros-like tree.
+        if self.params is not None and self.bank is not None:
+            return self.params, self.bank
+        from ragroute_tpu.router.mlp import init_router_params
+
+        if not hasattr(self, "_zero_params"):
+            self._zero_params = init_router_params(
+                jax.random.key(0), input_dim)
+            self._zero_bank = RouterBank.create(
+                self.world,
+                {s.name: np.zeros(s.embed_dim, np.float32)
+                 for s in self.world.sources},
+            )
+        return self._zero_params, self._zero_bank
+
+    def search(
+        self,
+        query_embs: Dict[str, np.ndarray],
+        *,
+        strategy: str = "ragroute",
+        staged: bool = True,
+    ) -> SearchOutput:
+        """Run one batched federated search.
+
+        ``staged=True`` runs routing and scoring as two device calls and
+        reports true per-stage wall times (reference ``selection_time`` /
+        ``doc_select_time`` metadata, ``router.py:313-315`` /
+        ``http_server.py:195-196,256``); ``staged=False`` fuses them into
+        one dispatch (fastest; stage times are reported as one).
+        """
+        embs = self._device_embs(query_embs)
+        rng = self._next_key()
+        if strategy == "ragroute":
+            params, bank = self._router_inputs()
+        else:
+            params, bank = self._dummy_router(self.world.router_input_dim)
+
+        if staged:
+            t0 = time.perf_counter()
+            probs, mask = self._route_step(
+                params, bank, embs, rng, strategy=strategy)
+            mask.block_until_ready()
+            sel_t = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scored = self._score_step(self._arrays, embs, mask)
+            scored[2].block_until_ready()
+            doc_t = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            out = self._full_step(
+                params, bank, self._arrays, embs, rng, strategy=strategy)
+            out[4].block_until_ready()
+            doc_t = time.perf_counter() - t0
+            sel_t = 0.0
+            probs, mask, scored = out[0], out[1], out[2:]
+
+        (shard_scores, shard_ids, merged_score, merged_shard,
+         merged_local, merged_valid) = scored
+        return SearchOutput(
+            probs=np.asarray(probs),
+            mask=np.asarray(mask),
+            shard_scores=np.asarray(shard_scores),
+            shard_ids=np.asarray(shard_ids),
+            merged_score=np.asarray(merged_score),
+            merged_shard=np.asarray(merged_shard),
+            merged_local=np.asarray(merged_local),
+            merged_valid=np.asarray(merged_valid),
+            selection_time=sel_t,
+            doc_select_time=doc_t,
+        )
+
+    # ------------------------------------------------------------------
+
+    def resolve_doc_ids(
+        self, out: SearchOutput, row: int
+    ) -> List[Tuple[str, object]]:
+        """Map one query's merged (shard, local) pairs to host doc ids.
+
+        Returns ``[(source_name, doc_id_payload), ...]`` for valid entries.
+        """
+        res = []
+        for j in range(out.merged_shard.shape[1]):
+            si = int(out.merged_shard[row, j])
+            if si < 0:
+                continue
+            src = self.world.sources[si]
+            ids = self.shard_set.doc_ids.get(src.name)
+            local = int(out.merged_local[row, j])
+            payload = ids[local] if ids else local
+            res.append((src.name, payload))
+        return res
