@@ -1,0 +1,66 @@
+"""CLI entry point: start the TPU-native federated search system.
+
+Flag parity with the reference (``main.py:12-30``): ``--dataset``,
+``--routing``, ``--disable-llm``, ``--simulate``, ``--model``; plus
+framework flags for the relocatable data root, port, index dtype and
+kernel implementation.
+
+Example:
+    python scripts/make_synthetic_data.py --dataset medrag
+    python main.py --dataset medrag --routing ragroute --disable-llm
+"""
+
+import argparse
+import asyncio
+import logging
+
+from ragroute_tpu.config import ROUTING_STRATEGIES, SUPPORTED_MODELS, WORLDS
+from ragroute_tpu.system import ServingSystem
+
+logging.basicConfig(level=logging.INFO)
+logger = logging.getLogger("main")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="ragroute-tpu")
+    parser.add_argument("--dataset", type=str, default="wikipedia",
+                        choices=sorted(WORLDS),
+                        help="The dataset being evaluated "
+                             "(influences the data sources)")
+    parser.add_argument("--routing", type=str, default="ragroute",
+                        choices=list(ROUTING_STRATEGIES),
+                        help="The routing method to use - for random, we "
+                             "randomly pick a fixed-size subset of sources")
+    parser.add_argument("--disable-llm", action="store_true",
+                        help="Disable the LLM for testing purposes")
+    parser.add_argument("--simulate", action="store_true",
+                        help="Simulate the system (for testing purposes)")
+    parser.add_argument("--model", type=str, default=SUPPORTED_MODELS[0],
+                        choices=list(SUPPORTED_MODELS),
+                        help="The model to use for the LLM")
+    parser.add_argument("--data-root", type=str, default=None,
+                        help="Data root (default: $RAGROUTE_DATA)")
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="On-device index dtype")
+    parser.add_argument("--impl", type=str, default="auto",
+                        choices=["auto", "pallas", "chunked", "exact"],
+                        help="Top-k kernel implementation")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    system = ServingSystem(args)
+    try:
+        asyncio.run(system.run_forever())
+    except KeyboardInterrupt:
+        pass
+    except Exception as e:
+        logger.error("Error in main process: %s", e)
+    logger.info("Exiting application")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Micro-batching dispatcher: many concurrent HTTP queries → one device step.
+
+The reference threads every query one-at-a-time through an asyncio queue in
+the router process (``router.py:207-218``, 0.1 s idle poll) and scatters it
+over ZMQ. On TPU the win comes from batching: the dispatcher collects
+concurrent queries for at most ``window_ms`` (or until the largest batch
+bucket fills), pads the batch to a fixed bucket size so XLA never
+recompiles, runs ONE engine step, and demultiplexes per-query futures —
+the device-side replacement for the reference's per-query future registry
+(``http_server.py:136-146``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ragroute_tpu.config import BATCH_BUCKETS, BATCH_WINDOW_MS, MAX_QUEUE_SIZE
+from ragroute_tpu.engine.engine import FederatedSearchEngine, SearchOutput
+
+
+@dataclasses.dataclass
+class QueryResult:
+    """One query's slice of a batched SearchOutput."""
+
+    probs: np.ndarray          # [N]
+    mask: np.ndarray           # [N]
+    shard_scores: np.ndarray   # [N, k]
+    shard_ids: np.ndarray      # [N, k]
+    merged_score: np.ndarray   # [k]
+    merged_shard: np.ndarray   # [k]
+    merged_local: np.ndarray   # [k]
+    merged_valid: int
+    selection_time: float      # per-batch stage times (shared)
+    doc_select_time: float
+    batch_size: int
+
+
+class QueryBatcher:
+    """Collects queries into padded device batches.
+
+    The routing strategy is fixed per batcher instance, matching the
+    reference where ``--routing`` is a server-level argument
+    (``main.py:15``).
+    """
+
+    def __init__(
+        self,
+        engine: FederatedSearchEngine,
+        *,
+        strategy: str = "ragroute",
+        window_ms: float = BATCH_WINDOW_MS,
+        buckets: Sequence[int] = BATCH_BUCKETS,
+        max_queue: int = MAX_QUEUE_SIZE,
+        staged: bool = True,
+    ):
+        self.engine = engine
+        self.strategy = strategy
+        self.window_s = window_ms / 1e3
+        self.buckets = tuple(sorted(buckets))
+        self.staged = staged
+        self.queue: asyncio.Queue = asyncio.Queue(maxsize=max_queue)
+        self._task: Optional[asyncio.Task] = None
+        self._running = False
+
+    # -- lifecycle -------------------------------------------------------
+
+    async def start(self) -> None:
+        self._running = True
+        self._task = asyncio.create_task(self._worker())
+
+    async def stop(self) -> None:
+        self._running = False
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    # -- submission ------------------------------------------------------
+
+    async def submit(self, query_embs: Dict[str, np.ndarray]) -> QueryResult:
+        """Submit one query's per-encoder embeddings; await its result."""
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self.queue.put((query_embs, fut))
+        return await fut
+
+    # -- worker ----------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    async def _collect(self) -> List[Tuple[dict, asyncio.Future]]:
+        first = await self.queue.get()
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        max_bucket = self.buckets[-1]
+        while len(batch) < max_bucket:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = await asyncio.wait_for(
+                    self.queue.get(), timeout=remaining)
+                batch.append(item)
+            except asyncio.TimeoutError:
+                break
+        return batch
+
+    def _run_batch(self, batch) -> Tuple[SearchOutput, int]:
+        world = self.engine.world
+        n = len(batch)
+        padded = self._bucket(n)
+        embs: Dict[str, np.ndarray] = {}
+        for enc in world.encoders:
+            dim = next(
+                s.embed_dim for s in world.sources if s.encoder == enc)
+            arr = np.zeros((padded, dim), dtype=np.float32)
+            for i, (qe, _) in enumerate(batch):
+                arr[i] = qe[enc]
+            embs[enc] = arr
+        out = self.engine.search(
+            embs, strategy=self.strategy, staged=self.staged)
+        return out, n
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while self._running:
+            batch = await self._collect()
+            try:
+                # engine.search blocks on the device; keep the event loop live
+                out, n = await loop.run_in_executor(
+                    None, self._run_batch, batch)
+            except Exception as e:  # deliver failures to every waiter
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            for i, (_, fut) in enumerate(batch):
+                if fut.done():
+                    continue
+                fut.set_result(QueryResult(
+                    probs=out.probs[i],
+                    mask=out.mask[i],
+                    shard_scores=out.shard_scores[i],
+                    shard_ids=out.shard_ids[i],
+                    merged_score=out.merged_score[i],
+                    merged_shard=out.merged_shard[i],
+                    merged_local=out.merged_local[i],
+                    merged_valid=int(out.merged_valid[i]),
+                    selection_time=out.selection_time,
+                    doc_select_time=out.doc_select_time,
+                    batch_size=n,
+                ))

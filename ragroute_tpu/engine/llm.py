@@ -1,0 +1,104 @@
+"""LLM generation shim.
+
+The reference calls an external Ollama daemon
+(``http_server.py:309-327``: ``AsyncClient().chat`` with ``num_predict``
+and a 240 s timeout returning ``generate_time=-1`` on expiry). Generation
+stays an external-service concern here too — the measured configuration is
+retrieval-only (``--disable-llm``) — but the shim keeps full behavioral
+parity and pluggable backends:
+
+* ``ollama``  — the reference backend (requires the ``ollama`` package and
+  a running daemon).
+* ``openai``  — any OpenAI-compatible HTTP endpoint (aiohttp).
+* ``echo``    — deterministic canned answers for simulation/testing
+  (answers "A" in the reference answer formats, optional delay matching
+  ``LLM_DELAY``).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+from typing import Dict, List, Optional
+
+from ragroute_tpu.config import LLM_MODELS, LLM_TIMEOUT_S
+
+logger = logging.getLogger("llm")
+
+
+@dataclasses.dataclass
+class LLMResult:
+    answer: str
+    generate_time: float  # -1.0 on timeout (reference http_server.py:326)
+    ok: bool
+
+
+class LLMClient:
+    """Async LLM client with reference timeout semantics."""
+
+    def __init__(
+        self,
+        backend: str = "echo",
+        *,
+        delay_s: float = 0.0,
+        endpoint: Optional[str] = None,
+        timeout_s: float = LLM_TIMEOUT_S,
+    ):
+        if backend not in ("ollama", "openai", "echo"):
+            raise ValueError(f"unknown LLM backend {backend!r}")
+        self.backend = backend
+        self.delay_s = delay_s
+        self.endpoint = endpoint
+        self.timeout_s = timeout_s
+
+    async def chat(
+        self, model: str, messages: List[Dict[str, str]]
+    ) -> LLMResult:
+        import time
+
+        start = time.time()
+        try:
+            content = await asyncio.wait_for(
+                self._dispatch(model, messages), timeout=self.timeout_s)
+            return LLMResult(content, time.time() - start, True)
+        except asyncio.TimeoutError:
+            logger.warning("LLM generation timed out")
+            return LLMResult("Error generation timed out.", -1.0, False)
+        except Exception as e:  # reference wraps all errors into the answer
+            logger.error("Error generating LLM message: %s", e)
+            return LLMResult(
+                f"Error generating response: {e}", time.time() - start, False)
+
+    async def _dispatch(self, model: str, messages) -> str:
+        if self.backend == "echo":
+            if self.delay_s:
+                await asyncio.sleep(self.delay_s)
+            # Canned answer that parses under both answer checkers
+            # (benchmark.py:39-97): MIRAGE json answer_choice and MMLU
+            # "The best answer is X".
+            return (
+                '{"step_by_step_thinking": "synthetic", '
+                '"answer_choice": "A"}\nThe best answer is A'
+            )
+        model_info = LLM_MODELS[model]
+        if self.backend == "ollama":
+            from ollama import AsyncClient
+
+            resp = await AsyncClient().chat(
+                model=model_info["ollama_name"],
+                messages=messages,
+                options={"num_predict": model_info["max_tokens"]},
+            )
+            return resp["message"]["content"]
+        # openai-compatible endpoint
+        import aiohttp
+
+        async with aiohttp.ClientSession() as session:
+            async with session.post(
+                f"{self.endpoint}/v1/chat/completions",
+                json={"model": model_info["hf_name"], "messages": messages,
+                      "max_tokens": model_info["max_tokens"]},
+            ) as r:
+                data = await r.json()
+                return data["choices"][0]["message"]["content"]

@@ -1,0 +1,318 @@
+"""HTTP federation server: the reference protocol over the TPU engine.
+
+Keeps the reference's external contract exactly (``http_server.py:105-166``):
+``GET/POST /query`` with ``q`` (query text), ``choices`` (URL-encoded JSON),
+``qid``; JSON response ``{query_id, query, answer, metadata}`` with the
+same metadata schema (data_sources, embedding/selection/doc_select/
+generate/e2e times, docs_tokens, llm, top_docs, data_sources_stats with
+per-source duration and message_size) so the reference's benchmark clients
+and R plots work unchanged.
+
+What changed underneath: instead of ZMQ scatter/gather across a router
+process and N data-source processes, queries are micro-batched onto one
+jitted device step (:mod:`ragroute_tpu.engine.batcher`); per-source
+durations are the (amortized) device scoring time, and message sizes are
+the serialized size of the equivalent per-source response.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import time
+import uuid
+from typing import Dict, List, Optional
+
+import numpy as np
+from aiohttp import web
+
+from ragroute_tpu.config import (
+    HTTP_HOST,
+    HTTP_PORT,
+    LLM_DELAY,
+    QUERY_TIMEOUT_S,
+    WorldConfig,
+)
+from ragroute_tpu.engine.batcher import QueryBatcher, QueryResult
+from ragroute_tpu.engine.engine import FederatedSearchEngine
+from ragroute_tpu.engine.llm import LLMClient
+from ragroute_tpu.engine.prompts import (
+    generate_llm_message,
+    generate_llm_message_wikipedia,
+)
+from ragroute_tpu.engine.rerank import rerank_feb4rag
+
+logger = logging.getLogger("server")
+
+
+class FederationServer:
+    """aiohttp front-end over the batched TPU engine."""
+
+    def __init__(
+        self,
+        engine: FederatedSearchEngine,
+        *,
+        strategy: str = "ragroute",
+        embedding_provider=None,
+        doc_store=None,
+        llm: Optional[LLMClient] = None,
+        model: str = "llama3.1-8B-instruct",
+        disable_llm: bool = False,
+        simulate: bool = False,
+        relevance_data: Optional[Dict] = None,
+        batcher: Optional[QueryBatcher] = None,
+        host: str = HTTP_HOST,
+        port: int = HTTP_PORT,
+        warmup: bool = True,
+    ):
+        self.engine = engine
+        self.world: WorldConfig = engine.world
+        self.strategy = strategy
+        self.provider = embedding_provider
+        self.doc_store = doc_store
+        self.llm = llm or LLMClient("echo", delay_s=LLM_DELAY if simulate else 0.0)
+        self.model = model
+        self.disable_llm = disable_llm
+        self.simulate = simulate
+        self.relevance_data = relevance_data or {}
+        self.batcher = batcher or QueryBatcher(engine, strategy=strategy)
+        self.host = host
+        self.port = port
+        self.app = web.Application()
+        self.app.add_routes([
+            web.get("/query", self.handle_query),
+            web.post("/query", self.handle_query),
+            web.get("/healthz", self.handle_health),
+            web.get("/stats", self.handle_stats),
+        ])
+        self.warmup = warmup
+        self._runner: Optional[web.AppRunner] = None
+        self._site: Optional[web.TCPSite] = None
+        self._num_queries = 0
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def _warmup(self) -> None:
+        """Compile the engine for every batch bucket before serving (the
+        reference warms its router with a dummy forward, router.py:172-175;
+        here a cold bucket would otherwise pay XLA compile inside a live
+        query's timeout budget)."""
+        dims = {s.encoder: s.embed_dim for s in self.world.sources}
+        for b in self.batcher.buckets:
+            embs = {
+                enc: np.zeros((b, d), dtype=np.float32)
+                for enc, d in dims.items()
+            }
+            self.engine.search(embs, strategy=self.strategy)
+        logger.info("engine warmed for buckets %s", self.batcher.buckets)
+
+    async def start(self) -> None:
+        if self.warmup:
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, self._warmup)
+        await self.batcher.start()
+        self._runner = web.AppRunner(self.app)
+        await self._runner.setup()
+        self._site = web.TCPSite(self._runner, self.host, self.port)
+        await self._site.start()
+        logger.info("HTTP server started on http://%s:%s", self.host, self.port)
+
+    @property
+    def bound_port(self) -> int:
+        """Actual bound port (useful with port=0 in tests)."""
+        if self._site and self._site._server and self._site._server.sockets:
+            return self._site._server.sockets[0].getsockname()[1]
+        return self.port
+
+    async def stop(self) -> None:
+        await self.batcher.stop()
+        if self._runner:
+            await self._runner.cleanup()
+            self._runner = None
+        logger.info("Server stopped")
+
+    # -- handlers ----------------------------------------------------------
+
+    async def handle_health(self, request):
+        return web.json_response({
+            "status": "ok",
+            "world": self.world.name,
+            "strategy": self.strategy,
+            "total_docs": self.engine.shard_set.total_docs,
+            "index_bytes": self.engine.shard_set.index_bytes,
+        })
+
+    async def handle_stats(self, request):
+        return web.json_response({"num_queries": self._num_queries})
+
+    async def handle_query(self, request):
+        if request.method == "GET":
+            query = request.query.get("q", "")
+            choices = request.query.get("choices", "")
+            question_id = request.query.get("qid", "")
+        else:
+            data = await request.post()
+            query = data.get("q", "")
+            choices = data.get("choices", "")
+            question_id = data.get("qid", "")
+
+        # validation parity (http_server.py:117-130)
+        if not query:
+            return web.Response(text="Please provide a query", status=400)
+        if not choices:
+            return web.Response(text="Please provide choices", status=400)
+        if self.world.name == "feb4rag" and not question_id:
+            return web.Response(
+                text="For FeB4RAG, please provide a question ID (qid)",
+                status=400)
+        try:
+            choices = json.loads(choices)
+        except json.JSONDecodeError:
+            return web.Response(text="Invalid choices format", status=400)
+
+        try:
+            result = await asyncio.wait_for(
+                self._process(query, choices, question_id),
+                timeout=QUERY_TIMEOUT_S)
+            return web.json_response(result)
+        except asyncio.TimeoutError:
+            logger.error("Query timed out")
+            return web.Response(text="Search timed out", status=504)
+
+    # -- core pipeline -------------------------------------------------------
+
+    async def _process(self, query: str, choices, question_id: str) -> dict:
+        query_id = str(uuid.uuid4())
+        start = time.time()
+        self._num_queries += 1
+
+        # wikipedia formats query+choices for encoding (http_server.py:147-150)
+        if self.world.name == "wikipedia":
+            formatted_query = "\n".join([query, " | ".join(choices)])
+        else:
+            formatted_query = query
+
+        t0 = time.time()
+        embs = self.provider.embed(formatted_query, question_id)
+        embedding_time = time.time() - t0
+
+        res: QueryResult = await self.batcher.submit(embs)
+
+        selected = [
+            self.world.sources[i].name
+            for i in range(self.world.num_sources) if res.mask[i]
+        ]
+
+        # per-source stats with serialized-response message sizes
+        ds_stats = {}
+        per_source_docs: Dict[str, List] = {}
+        per_source_ids: Dict[str, List] = {}
+        for si, src in enumerate(self.world.sources):
+            if not res.mask[si]:
+                continue
+            ids, docs, scores = self._resolve_source(res, si)
+            per_source_ids[src.name] = ids
+            per_source_docs[src.name] = docs
+            payload = {
+                "query_id": query_id, "client_id": si, "name": src.name,
+                "indices": ids, "docs": docs, "scores": scores,
+                "duration": res.doc_select_time,
+            }
+            ds_stats[src.name] = {
+                "duration": res.doc_select_time,
+                "message_size": len(json.dumps(payload, default=str)),
+            }
+
+        top_docs = self._merge_top_docs(
+            res, question_id, per_source_ids, per_source_docs)
+
+        response = {
+            "query_id": query_id,
+            "query": query,
+            "answer": "dummy",
+        }
+
+        docs_tokens = 0
+        generate_time = 0.0
+        if self.disable_llm:
+            response["answer"] = ""
+            if self.simulate:
+                await asyncio.sleep(LLM_DELAY)
+        else:
+            t0 = time.time()
+            if self.world.name == "wikipedia":
+                messages, docs_tokens = generate_llm_message_wikipedia(
+                    query, top_docs, choices, self.model)
+            else:
+                messages, docs_tokens = generate_llm_message(
+                    self.world.name, query, top_docs, choices, self.model)
+            llm_res = await self.llm.chat(self.model, messages)
+            generate_time = (
+                llm_res.generate_time if llm_res.generate_time >= 0
+                else -1)
+            response["answer"] = llm_res.answer
+
+        response["metadata"] = {
+            "data_sources": selected,
+            "embedding_time": embedding_time,
+            "selection_time": res.selection_time,
+            "doc_select_time": res.doc_select_time,
+            "generate_time": generate_time,
+            "data_sources_stats": ds_stats,
+            "top_docs": top_docs,
+            "e2e_time": time.time() - start,
+            "docs_tokens": docs_tokens,
+            "llm": self.model,
+            # extra (non-reference) observability
+            "batch_size": res.batch_size,
+            "routing_strategy": self.strategy,
+        }
+        return response
+
+    def _resolve_source(self, res: QueryResult, si: int):
+        """One source's k candidates as (ids, docs, scores) — the data the
+        reference data-source process returns (data_source.py:123-131)."""
+        src = self.world.sources[si]
+        id_table = self.engine.shard_set.doc_ids.get(src.name)
+        ids, docs, scores = [], [], []
+        for r in range(res.shard_ids.shape[1]):
+            local = int(res.shard_ids[si, r])
+            ids.append(id_table[local] if id_table else local)
+            docs.append(self.doc_store.get(src.name, local)
+                        if self.doc_store else None)
+            scores.append(float(res.shard_scores[si, r]))
+        if self.world.name == "feb4rag":
+            scores = []  # parity: no scores for FeB4RAG (data_source.py:163)
+        return ids, docs, scores
+
+    def _merge_top_docs(self, res: QueryResult, question_id, per_ids, per_docs):
+        """Global top-k docs, per world semantics."""
+        if self.world.name == "feb4rag":
+            # qrels-oracle rerank, host-side (rerank.py:12-25)
+            all_ids, all_docs = [], []
+            for name in per_ids:
+                all_ids.extend(per_ids[name])
+                all_docs.extend(per_docs[name])
+            docs, _ = rerank_feb4rag(
+                all_ids, all_docs, question_id, self.world.k,
+                self.relevance_data)
+            return docs
+        # medrag / wikipedia: device merge already ordered correctly
+        docs = []
+        for j in range(res.merged_shard.shape[0]):
+            si = int(res.merged_shard[j])
+            if si < 0:
+                continue
+            src = self.world.sources[si]
+            local = int(res.merged_local[j])
+            docs.append(self.doc_store.get(src.name, local)
+                        if self.doc_store else
+                        {"source": src.name, "index": local})
+        return docs
+
+
+async def run_server(engine: FederatedSearchEngine, **kwargs) -> FederationServer:
+    server = FederationServer(engine, **kwargs)
+    await server.start()
+    return server

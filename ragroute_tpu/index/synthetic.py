@@ -160,6 +160,86 @@ def make_synthetic_world(
     )
 
 
+def save_world(syn: SyntheticWorld, root: str) -> str:
+    """Persist a synthetic world in the framework's on-disk layout:
+
+        <root>/<world>/<source>/{embeddings.npy, doc_ids.json}
+        <root>/<world>/payloads/<source>.jsonl
+        <root>/<world>/centroids.json       (the *_stats.json equivalent)
+        <root>/<world>/queries/{<enc_idx>.npy, encoders.json, qids.json}
+        <root>/<world>/relevant.npy         (ground-truth routing labels)
+        <root>/<world>/benchmark/SYNTHETIC.json
+        <root>/<world>/qrels.txt            (feb4rag: synthetic oracle qrels)
+    """
+    import json as _json
+    import os as _os
+
+    from ragroute_tpu.benchmark import write_synthetic_benchmark
+    from ragroute_tpu.index.shard import ShardSet
+
+    world = syn.world
+    wroot = _os.path.join(root, world.name)
+    _os.makedirs(wroot, exist_ok=True)
+    for src in world.sources:
+        ShardSet.save_source(root, world.name, src.name,
+                             syn.embeddings[src.name],
+                             doc_ids=syn.doc_ids[src.name])
+        pdir = _os.path.join(wroot, "payloads")
+        _os.makedirs(pdir, exist_ok=True)
+        with open(_os.path.join(pdir, f"{src.name}.jsonl"), "w") as f:
+            for p in syn.doc_payloads[src.name]:
+                f.write(_json.dumps(p) + "\n")
+    with open(_os.path.join(wroot, "centroids.json"), "w") as f:
+        _json.dump({k: v.tolist() for k, v in syn.centroids.items()}, f)
+
+    qdir = _os.path.join(wroot, "queries")
+    _os.makedirs(qdir, exist_ok=True)
+    encoders = list(world.encoders)
+    with open(_os.path.join(qdir, "encoders.json"), "w") as f:
+        _json.dump(encoders, f)
+    for i, enc in enumerate(encoders):
+        np.save(_os.path.join(qdir, f"enc_{i}.npy"), syn.query_embs[enc])
+    with open(_os.path.join(qdir, "qids.json"), "w") as f:
+        _json.dump([q["qid"] for q in syn.questions], f)
+    np.save(_os.path.join(wroot, "relevant.npy"), syn.relevant)
+
+    write_synthetic_benchmark(
+        _os.path.join(wroot, "benchmark"), syn.questions)
+
+    if world.name == "feb4rag":
+        # synthetic oracle qrels: the true top-k docs of each query get
+        # graded relevance (BEIR-QRELS-RM.txt format, http_server.py:93-96)
+        with open(_os.path.join(wroot, "qrels.txt"), "w") as f:
+            k = world.k
+            for qi, q in enumerate(syn.questions):
+                cands = _global_topk_ids(syn, qi, k)
+                for rank, doc_id in enumerate(cands):
+                    f.write(f"{q['qid']} 0 {doc_id} {k - rank}\n")
+    return wroot
+
+
+def _global_topk_ids(syn: SyntheticWorld, qi: int, k: int):
+    """Exact global top-k doc ids for one query (brute force, host)."""
+    world = syn.world
+    scored = []
+    for si, src in enumerate(world.sources):
+        q = syn.query_embs[src.encoder][qi]
+        docs = syn.embeddings[src.name]
+        if src.score_mode == "cos":
+            dn = docs / np.maximum(
+                np.linalg.norm(docs, axis=1, keepdims=True), 1e-12)
+            s = dn @ (q / max(np.linalg.norm(q), 1e-12))
+        elif src.score_mode == "l2":
+            s = -((docs - q) ** 2).sum(1)
+        else:
+            s = docs @ q
+        order = np.argsort(-s, kind="stable")[:k]
+        for li in order:
+            scored.append((float(s[li]), syn.doc_ids[src.name][int(li)]))
+    scored.sort(key=lambda t: -t[0])
+    return [doc_id for _, doc_id in scored[:k]]
+
+
 def contribution_labels(
     syn: SyntheticWorld, k: Optional[int] = None
 ) -> np.ndarray:

@@ -1,0 +1,223 @@
+"""System orchestration: build, serve, watch, shut down.
+
+The reference's ``RAGRoute`` controller (``ragroute/ragroute.py:19-131``)
+spawns a router process and one process per data source, sleeps a grace
+second, starts the HTTP server, polls children every second, and tears
+everything down on SIGINT/SIGTERM (terminate → join(2s) → kill).
+
+Here there are no child processes — shards and the router are device state
+inside one program — so the same responsibilities become: load world
+artifacts (shards, centroids, router checkpoint, doc payloads) from the
+data root, construct engine + batcher + HTTP server, watch the batcher
+worker (restarting it if it ever dies — stronger than the reference, which
+only logs dead children), and stop cleanly on signals.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import signal
+from typing import Dict, Optional
+
+import numpy as np
+
+from ragroute_tpu import config as cfg
+from ragroute_tpu.config import WorldConfig, get_world
+from ragroute_tpu.engine import FederatedSearchEngine
+from ragroute_tpu.engine.batcher import QueryBatcher
+from ragroute_tpu.engine.embedding import HashEmbeddings, PrecomputedEmbeddings
+from ragroute_tpu.engine.llm import LLMClient
+from ragroute_tpu.engine.rerank import load_qrels
+from ragroute_tpu.engine.server import FederationServer
+from ragroute_tpu.index import ShardSet, make_synthetic_world
+from ragroute_tpu.index.shard import SHARD_PAD_MULTIPLE
+from ragroute_tpu.index.store import JsonlDirDocStore, MemoryDocStore
+from ragroute_tpu.router import RouterBank, init_router_params
+from ragroute_tpu.router.torch_import import load_router_npz, load_torch_router
+
+logger = logging.getLogger("system")
+
+WATCHDOG_POLL_S = 1.0  # reference ragroute.py:72
+
+
+def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
+    """Load shards/centroids/router/provider/doc-store from the data root.
+
+    Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
+    (or by importers of real corpora). Missing pieces degrade gracefully:
+    no router checkpoint → fresh params (warning), no query table → hash
+    embeddings.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.bfloat16
+    wroot = os.path.join(root, world.name)
+
+    shard_set = ShardSet.load(root, world, dtype=dtype)
+
+    cent_path = os.path.join(wroot, "centroids.json")
+    if os.path.exists(cent_path):
+        with open(cent_path) as f:
+            centroids = {k: np.asarray(v, np.float32)
+                         for k, v in json.load(f).items()}
+    else:
+        logger.warning("no centroids.json under %s; using zeros", wroot)
+        centroids = {s.name: np.zeros(s.embed_dim, np.float32)
+                     for s in world.sources}
+
+    params, threshold, scaler = None, None, None
+    npz_path = os.path.join(wroot, "router.npz")
+    pth_path = os.path.join(wroot, "router.pth")
+    if os.path.exists(npz_path):
+        params, threshold, scaler = load_router_npz(npz_path)
+    elif os.path.exists(pth_path):
+        params = load_torch_router(pth_path)
+    else:
+        logger.warning(
+            "no router checkpoint under %s; initializing fresh params "
+            "(train with ragroute_tpu.train.train_router)", wroot)
+        params = init_router_params(jax.random.key(0), world.router_input_dim)
+    bank = RouterBank.create(world, centroids, scaler)
+
+    provider = None
+    qdir = os.path.join(wroot, "queries")
+    if os.path.exists(os.path.join(qdir, "encoders.json")):
+        with open(os.path.join(qdir, "encoders.json")) as f:
+            encoders = json.load(f)
+        with open(os.path.join(qdir, "qids.json")) as f:
+            qids = json.load(f)
+        embs = {enc: np.load(os.path.join(qdir, f"enc_{i}.npy"))
+                for i, enc in enumerate(encoders)}
+        table = {
+            qid: {enc: embs[enc][i] for enc in encoders}
+            for i, qid in enumerate(qids)
+        }
+        provider = PrecomputedEmbeddings(world, table)
+    else:
+        provider = HashEmbeddings(world)
+
+    pay_dir = os.path.join(wroot, "payloads")
+    doc_store = JsonlDirDocStore(pay_dir) if os.path.isdir(pay_dir) else None
+
+    relevance = {}
+    qrels_path = os.path.join(wroot, "qrels.txt")
+    if world.name == "feb4rag" and os.path.exists(qrels_path):
+        relevance = load_qrels(qrels_path)
+
+    return shard_set, params, bank, provider, doc_store, relevance
+
+
+class ServingSystem:
+    """One-stop construction + lifecycle for the serving stack."""
+
+    def __init__(self, args):
+        self.dataset: str = args.dataset
+        self.world = get_world(self.dataset)
+        self.routing: str = args.routing
+        self.disable_llm: bool = args.disable_llm
+        self.simulate: bool = getattr(args, "simulate", False)
+        self.model: str = args.model
+        self.data_root: str = getattr(args, "data_root", None) or cfg.data_root()
+        self.port: int = getattr(args, "port", None) or cfg.HTTP_PORT
+        self.dtype_name: str = getattr(args, "dtype", "bfloat16")
+        self.impl: str = getattr(args, "impl", "auto")
+        self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
+        self.server: Optional[FederationServer] = None
+        self._watchdog: Optional[asyncio.Task] = None
+        self._stopping = False
+
+    def build(self) -> FederationServer:
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if self.dtype_name == "bfloat16" else jnp.float32
+
+        if self.simulate:
+            # Simulation parity (reference --simulate): tiny synthetic world
+            # in-memory, hash embeddings, full pipeline live with stage
+            # delays (router.py:321, data_source.py:111, http_server.py:300).
+            syn = make_synthetic_world(
+                self.dataset, docs_per_source=SHARD_PAD_MULTIPLE,
+                num_queries=4)
+            shard_set = ShardSet.build(
+                syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype)
+            import jax
+
+            params = init_router_params(
+                jax.random.key(0), self.world.router_input_dim)
+            bank = RouterBank.create(self.world, syn.centroids)
+            provider = HashEmbeddings(self.world)
+            doc_store = MemoryDocStore.from_synthetic(syn)
+            relevance = {}
+        else:
+            (shard_set, params, bank, provider, doc_store,
+             relevance) = load_world_artifacts(
+                self.data_root, self.world, dtype=dtype)
+
+        engine = FederatedSearchEngine(shard_set, params, bank, impl=self.impl)
+        # simulate mode routes to all sources (reference router.py:222-223)
+        strategy = "all" if self.simulate else self.routing
+        llm = LLMClient(
+            "echo" if (self.simulate or self.disable_llm) else "ollama",
+            delay_s=cfg.LLM_DELAY if self.simulate else 0.0)
+        self.server = FederationServer(
+            engine,
+            strategy=strategy,
+            embedding_provider=provider,
+            doc_store=doc_store,
+            llm=llm,
+            model=self.model,
+            disable_llm=self.disable_llm,
+            simulate=self.simulate,
+            relevance_data=relevance,
+            port=self.port,
+            batcher=QueryBatcher(engine, strategy=strategy,
+                                 buckets=self.buckets),
+        )
+        return self.server
+
+    async def start(self) -> None:
+        if self.server is None:
+            self.build()
+        logger.info("Starting ragroute-tpu with dataset %s (routing=%s)",
+                    self.dataset, self.routing)
+        await self.server.start()
+        self._watchdog = asyncio.create_task(self._watch())
+
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(
+                    sig, lambda: asyncio.create_task(self.stop()))
+            except NotImplementedError:  # non-unix
+                pass
+
+    async def _watch(self) -> None:
+        """Restart the batcher worker if it ever dies (reference watchdog
+        only detects and logs dead children, ragroute.py:74-84)."""
+        while not self._stopping:
+            await asyncio.sleep(WATCHDOG_POLL_S)
+            b = self.server.batcher
+            if b._task is not None and b._task.done() and not self._stopping:
+                exc = b._task.exception() if not b._task.cancelled() else None
+                logger.error("batch worker died (%s); restarting", exc)
+                await b.start()
+
+    async def run_forever(self) -> None:
+        await self.start()
+        while not self._stopping:
+            await asyncio.sleep(1.0)
+
+    async def stop(self) -> None:
+        if self._stopping:
+            return
+        self._stopping = True
+        logger.info("Shutting down ragroute-tpu serving system")
+        if self._watchdog:
+            self._watchdog.cancel()
+        if self.server:
+            await self.server.stop()
+        logger.info("Shutdown complete")

@@ -1,0 +1,184 @@
+"""End-to-end HTTP federation protocol tests (synthetic world, CPU)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import aiohttp
+
+from ragroute_tpu.engine import FederatedSearchEngine
+from ragroute_tpu.engine.batcher import QueryBatcher
+from ragroute_tpu.engine.embedding import PrecomputedEmbeddings
+from ragroute_tpu.engine.server import FederationServer
+from ragroute_tpu.index import ShardSet, make_synthetic_world
+from ragroute_tpu.index.store import MemoryDocStore
+from ragroute_tpu.router import RouterBank, init_router_params
+
+
+def make_server(world_name="medrag", strategy="all", **kw):
+    syn = make_synthetic_world(
+        world_name, docs_per_source=600, num_queries=8, seed=1)
+    shard_set = ShardSet.build(
+        syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(0), syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    server = FederationServer(
+        engine,
+        strategy=strategy,
+        embedding_provider=PrecomputedEmbeddings.from_synthetic(syn),
+        doc_store=MemoryDocStore.from_synthetic(syn),
+        disable_llm=kw.pop("disable_llm", True),
+        port=0,
+        warmup=False,  # single-core CPU CI: compile lazily per test
+        batcher=QueryBatcher(engine, strategy=strategy, window_ms=5.0,
+                             buckets=(8,)),
+        **kw,
+    )
+    return syn, server
+
+
+async def query_server(port, q, choices, qid):
+    async with aiohttp.ClientSession() as session:
+        enc_q = aiohttp.helpers.quote(q)
+        enc_c = aiohttp.helpers.quote(json.dumps(choices))
+        url = (f"http://127.0.0.1:{port}/query?"
+               f"q={enc_q}&choices={enc_c}&qid={qid}")
+        async with session.get(url) as resp:
+            return resp.status, await (resp.json() if resp.status == 200
+                                       else resp.text())
+
+
+def test_query_roundtrip_schema():
+    async def run():
+        syn, server = make_server()
+        await server.start()
+        try:
+            q = syn.questions[0]
+            status, body = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+            # reference response schema (http_server.py:274-339)
+            assert set(body) == {"query_id", "query", "answer", "metadata"}
+            md = body["metadata"]
+            for field in ["data_sources", "embedding_time", "selection_time",
+                          "doc_select_time", "generate_time", "e2e_time",
+                          "docs_tokens", "llm", "top_docs",
+                          "data_sources_stats"]:
+                assert field in md, field
+            assert body["answer"] == ""  # disable_llm parity
+            assert md["generate_time"] == 0
+            assert sorted(md["data_sources"]) == sorted(
+                s.name for s in syn.world.sources)  # strategy=all
+            assert len(md["top_docs"]) == syn.world.k
+            assert md["top_docs"][0]["title"].endswith(
+                f"article {md['top_docs'][0]['id'].split('_')[-1]}")
+            for name, stats in md["data_sources_stats"].items():
+                assert stats["message_size"] > 0
+                assert stats["duration"] >= 0
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_query_validation_errors():
+    async def run():
+        syn, server = make_server()
+        await server.start()
+        try:
+            port = server.bound_port
+            async with aiohttp.ClientSession() as s:
+                async with s.get(f"http://127.0.0.1:{port}/query") as r:
+                    assert r.status == 400
+                    assert await r.text() == "Please provide a query"
+                async with s.get(
+                        f"http://127.0.0.1:{port}/query?q=x") as r:
+                    assert r.status == 400
+                    assert await r.text() == "Please provide choices"
+                async with s.get(
+                        f"http://127.0.0.1:{port}/query?q=x&choices=[bad"
+                ) as r:
+                    assert r.status == 400
+                    assert await r.text() == "Invalid choices format"
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_batched_concurrent_queries():
+    """Many concurrent requests ride one (or few) device batches."""
+    async def run():
+        syn, server = make_server(strategy="all")
+        await server.start()
+        try:
+            port = server.bound_port
+            tasks = [
+                query_server(port, q["question"], q["options"], q["qid"])
+                for q in syn.questions
+            ]
+            results = await asyncio.gather(*tasks)
+            assert all(status == 200 for status, _ in results)
+            batch_sizes = [body["metadata"]["batch_size"]
+                           for _, body in results]
+            assert max(batch_sizes) > 1  # batching actually happened
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_llm_echo_backend():
+    async def run():
+        syn, server = make_server(disable_llm=False)
+        await server.start()
+        try:
+            q = syn.questions[0]
+            status, body = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+            assert '"answer_choice": "A"' in body["answer"]
+            assert body["metadata"]["generate_time"] > 0
+            assert body["metadata"]["docs_tokens"] > 0
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_feb4rag_requires_qid_and_oracle_rerank():
+    async def run():
+        syn, server = make_server(world_name="feb4rag", strategy="all")
+        # attach qrels that prefer a specific doc for q "syn0"
+        target_id = syn.doc_ids["arguana"][5]
+        server.relevance_data = {"syn0": [(target_id, "3")]}
+        await server.start()
+        try:
+            port = server.bound_port
+            async with aiohttp.ClientSession() as s:
+                enc_q = aiohttp.helpers.quote("anything")
+                enc_c = aiohttp.helpers.quote(json.dumps(["x"]))
+                async with s.get(
+                    f"http://127.0.0.1:{port}/query?q={enc_q}&choices={enc_c}"
+                ) as r:
+                    assert r.status == 400
+                    assert "question ID" in await r.text()
+            q = syn.questions[0]
+            status, body = await query_server(
+                port, q["question"], ["x"], q["qid"])
+            assert status == 200
+            top = body["metadata"]["top_docs"]
+            assert len(top) == syn.world.k
+            # if the qrels doc was among candidates it must be ranked first
+            cand_ids = {d["_id"] for d in top if d}
+            if target_id in cand_ids:
+                assert top[0]["_id"] == target_id
+        finally:
+            await server.stop()
+
+    asyncio.run(run())

@@ -1,0 +1,134 @@
+"""Full-system integration: synthetic data → serve → benchmark client → CSVs."""
+
+import argparse
+import asyncio
+import json
+import os
+
+import pytest
+
+import run_benchmark
+from ragroute_tpu.index.synthetic import make_synthetic_world, save_world
+from ragroute_tpu.system import ServingSystem
+
+
+def make_args(**kw):
+    base = dict(dataset="medrag", routing="all", disable_llm=True,
+                simulate=False, model="llama3.1-8B-instruct",
+                data_root=None, port=0, dtype="float32", impl="exact",
+                buckets=(8,))
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+@pytest.fixture(scope="module")
+def world_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("data"))
+    syn = make_synthetic_world("medrag", docs_per_source=600,
+                               num_queries=6, seed=2)
+    save_world(syn, root)
+    return root
+
+
+def test_full_system_benchmark_run(world_root, tmp_path):
+    logs = str(tmp_path / "logs")
+
+    async def run():
+        system = ServingSystem(make_args(data_root=world_root))
+        await system.start()
+        try:
+            port = system.server.bound_port
+            bench_args = run_benchmark.parse_args([
+                "--benchmark", "SYNTHETIC",
+                "--benchmark-path",
+                os.path.join(world_root, "medrag", "benchmark"),
+                "--save-logs-dir", logs,
+                "--routing", "all",
+                "--parallel", "3",
+                "--server", f"http://127.0.0.1:{port}",
+            ])
+            return await run_benchmark.run(bench_args)
+        finally:
+            await system.stop()
+
+    stats = asyncio.run(run())
+    assert stats["questions"] == 6
+
+    # CSV schema parity (reference run_benchmark.py:45)
+    bench_csv = os.path.join(logs, "benchmark_SYNTHETIC_all.csv")
+    with open(bench_csv) as f:
+        header = f.readline().strip()
+        rows = f.readlines()
+    assert header == ("benchmark,dataset,model,question_id,correct,"
+                      "data_sources,num_data_sources,selection_time,"
+                      "embedding_time,doc_select_time,generate_time,"
+                      "e2e_time,docs_tokens")
+    assert len(rows) == 6
+    first = rows[0].split(",")
+    assert first[0] == "SYNTHETIC"
+    assert int(first[6]) == 4  # all 4 medrag sources routed
+
+    ds_csv = os.path.join(logs, "ds_stats_SYNTHETIC_all.csv")
+    with open(ds_csv) as f:
+        ds_rows = f.readlines()[1:]
+    assert len(ds_rows) == 6 * 4
+
+    # frozen question order persisted
+    order = os.path.join(logs, "question_order_SYNTHETIC_synthetic.json")
+    assert os.path.exists(order)
+    with open(order) as f:
+        assert len(json.load(f)) == 6
+
+    # answers + top_docs jsonl written
+    with open(os.path.join(logs, "answers_SYNTHETIC_all.jsonl")) as f:
+        assert len(f.readlines()) == 6
+
+    # resume-by-skip: a second run must add nothing
+    async def rerun():
+        system = ServingSystem(make_args(data_root=world_root))
+        await system.start()
+        try:
+            port = system.server.bound_port
+            bench_args = run_benchmark.parse_args([
+                "--benchmark", "SYNTHETIC",
+                "--benchmark-path",
+                os.path.join(world_root, "medrag", "benchmark"),
+                "--save-logs-dir", logs,
+                "--routing", "all",
+                "--server", f"http://127.0.0.1:{port}",
+            ])
+            return await run_benchmark.run(bench_args)
+        finally:
+            await system.stop()
+
+    stats2 = asyncio.run(rerun())
+    assert stats2["questions"] == 0  # everything skipped
+    with open(bench_csv) as f:
+        assert len(f.readlines()) == 7  # header + 6, unchanged
+
+
+def test_simulate_mode_boots():
+    """--simulate parity: tiny in-memory world, no data root needed."""
+    async def run():
+        system = ServingSystem(make_args(simulate=True, dataset="medrag"))
+        await system.start()
+        try:
+            import aiohttp
+
+            port = system.server.bound_port
+            async with aiohttp.ClientSession() as s:
+                enc_c = aiohttp.helpers.quote(json.dumps({"A": "x"}))
+                async with s.get(
+                    f"http://127.0.0.1:{port}/query?q=test&choices={enc_c}"
+                ) as r:
+                    assert r.status == 200
+                    body = await r.json()
+                    # simulate routes to all sources (router.py:222-223)
+                    assert len(body["metadata"]["data_sources"]) == 4
+                async with s.get(f"http://127.0.0.1:{port}/healthz") as r:
+                    health = await r.json()
+                    assert health["status"] == "ok"
+        finally:
+            await system.stop()
+
+    asyncio.run(run())
