@@ -1,0 +1,133 @@
+"""Headline benchmark: routed queries/sec on one TPU chip.
+
+Measures the full fused federated-search step (router MLP gating +
+brute-force scoring of every MedRAG-world shard with the Pallas fused
+matmul+top-k kernel + on-device segmented merge) on synthetic corpora at a
+realistic index size, strategy=ragroute.
+
+Prints ONE JSON line:
+    {"metric": "routed_queries_per_sec", "value": N, "unit": "q/s",
+     "vs_baseline": N/10000}
+(the driver-defined target is >=10k routed queries/sec on one v5e chip,
+BASELINE.md). Everything else goes to stderr.
+
+Env knobs:
+    RAGROUTE_BENCH_DOCS    total docs across the 4 shards (default 1,048,576)
+    RAGROUTE_BENCH_BATCH   query batch size               (default 1024)
+    RAGROUTE_BENCH_REPS    timed batches                  (default 16)
+    RAGROUTE_BENCH_DTYPE   bfloat16 | float32             (default bfloat16)
+    RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ragroute_tpu.engine.engine import _route_fn, _score_fn
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    total_docs = int(os.environ.get("RAGROUTE_BENCH_DOCS", 1 << 20))
+    batch = int(os.environ.get("RAGROUTE_BENCH_BATCH", 1024))
+    reps = int(os.environ.get("RAGROUTE_BENCH_REPS", 16))
+    dtype_name = os.environ.get("RAGROUTE_BENCH_DTYPE", "bfloat16")
+    strategy = os.environ.get("RAGROUTE_BENCH_STRATEGY", "ragroute")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    # MedRAG-shaped world: 4 shards, realistic size skew (pubmed dominates,
+    # reference DATA_SOURCES config.py:33), d=768, k=32.
+    weights = {"pubmed": 0.70, "statpearls": 0.10,
+               "textbooks": 0.08, "wikipedia": 0.12}
+    sizes = {n: max(2048, int(total_docs * w)) for n, w in weights.items()}
+    log(f"building synthetic medrag world: {sizes} (dtype={dtype_name})")
+    t0 = time.time()
+    syn = make_synthetic_world(
+        "medrag", docs_per_source_map=sizes, docs_per_source=4096,
+        num_queries=batch, seed=0, with_payloads=False)
+    log(f"generated in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=dtype)
+    for docs, bias in shard_set.arrays():
+        docs.block_until_ready()
+    log(f"uploaded {shard_set.index_bytes / 1e9:.2f} GB index "
+        f"({shard_set.total_docs} docs) in {time.time() - t0:.1f}s")
+
+    world = shard_set.world
+    params = init_router_params(jax.random.key(0), world.router_input_dim)
+    bank = RouterBank.create(world, syn.centroids)
+    arrays = shard_set.arrays()
+    n_docs = tuple(s.n_docs for s in shard_set.shards)
+
+    # R DISTINCT query batches scanned inside ONE dispatch — distinct so
+    # XLA cannot hoist the loop body, one dispatch because the remote-tunnel
+    # dev setup has ~27ms/dispatch overhead (production serving amortizes
+    # dispatches the same way via the micro-batcher).
+    rng = np.random.default_rng(3)
+    embs_r = {}
+    base = syn.query_embs[world.encoders[0]]
+    for enc in world.encoders:
+        q = syn.query_embs[enc]
+        reps_q = np.stack([
+            q + 0.01 * rng.standard_normal(q.shape).astype(np.float32)
+            for _ in range(reps)
+        ])
+        embs_r[enc] = jnp.asarray(reps_q, dtype=jnp.float32)
+
+    def one_step(params, bank, arrays, query_embs, rng_key):
+        probs, mask = _route_fn(
+            world, strategy, params, bank, query_embs, rng_key)
+        out = _score_fn(world, world.k, "auto", n_docs, arrays,
+                        query_embs, mask)
+        return out[2], out[3]  # merged scores/shards
+
+    @jax.jit
+    def loop(params, bank, arrays, query_embs_r, keys):
+        def body(carry, xs):
+            qe, key = xs
+            s, sh = one_step(params, bank, arrays, qe, key)
+            return carry + s.sum() + sh.sum(), None
+        out, _ = jax.lax.scan(body, jnp.float32(0), (query_embs_r, keys))
+        return out
+
+    keys = jax.random.split(jax.random.key(1), reps)
+    log("compiling + warmup...")
+    t0 = time.time()
+    # float() forces a device->host transfer: block_until_ready alone does
+    # not synchronize through the axon remote-TPU tunnel
+    float(loop(params, bank, arrays, embs_r, keys))
+    log(f"compiled in {time.time() - t0:.1f}s; timing {reps} batches of "
+        f"{batch}...")
+
+    t0 = time.time()
+    float(loop(params, bank, arrays, embs_r, keys))
+    elapsed = time.time() - t0
+
+    qps = reps * batch / elapsed
+    flops = 2.0 * batch * sum(n_docs) * 768 * reps
+    log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s, "
+        f"{flops / elapsed / 1e12:.1f} TFLOPS effective")
+
+    print(json.dumps({
+        "metric": "routed_queries_per_sec",
+        "value": round(qps, 1),
+        "unit": "q/s",
+        "vs_baseline": round(qps / 10000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

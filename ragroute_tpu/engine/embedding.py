@@ -26,12 +26,19 @@ from ragroute_tpu.config import WorldConfig
 
 
 class PrecomputedEmbeddings:
-    """qid -> {encoder: [d]} lookup table."""
+    """qid -> {encoder: [d]} lookup table.
+
+    Unknown qids fall back to the ``fallback`` provider (hash embeddings by
+    default) instead of failing: the reference encodes whatever text
+    arrives and never rejects a query for being unknown.
+    """
 
     def __init__(self, world: WorldConfig,
-                 table: Mapping[str, Dict[str, np.ndarray]]):
+                 table: Mapping[str, Dict[str, np.ndarray]],
+                 fallback=None):
         self.world = world
         self.table = dict(table)
+        self.fallback = fallback or HashEmbeddings(world)
 
     @classmethod
     def from_synthetic(cls, syn) -> "PrecomputedEmbeddings":
@@ -44,7 +51,7 @@ class PrecomputedEmbeddings:
 
     def embed(self, query: str, qid: str) -> Dict[str, np.ndarray]:
         if qid not in self.table:
-            raise KeyError(f"no precomputed embeddings for qid {qid!r}")
+            return self.fallback.embed(query, qid)
         return self.table[qid]
 
 

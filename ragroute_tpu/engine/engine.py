@@ -55,12 +55,39 @@ class SearchOutput:
     doc_select_time: float = 0.0  # scoring+merge stage (s)
 
 
-def _route_fn(world: WorldConfig, strategy: str, params, bank, query_embs, rng):
+def _route_fn(world: WorldConfig, strategy: str, params, bank, query_embs,
+              rng, threshold=None):
     feats = build_features(world, bank, query_embs)
     logits = router_forward(params, feats)
     probs = jax.nn.sigmoid(logits)
-    mask = routing_mask(world, strategy, probs, rng)
+    mask = routing_mask(world, strategy, probs, rng, threshold)
     return probs, mask
+
+
+def gate_and_merge(world: WorldConfig, k: int, mask, per_scores, per_ids):
+    """Gate per-shard top-k lists by the routing mask and merge globally.
+
+    Shared by the single-chip engine and the mesh-sharded engine
+    (:mod:`ragroute_tpu.parallel.sharded`).
+    """
+    bsz = per_scores[0].shape[0]
+    shard_scores = jnp.stack(per_scores, axis=1)        # [B, N, k]
+    shard_ids = jnp.stack(per_ids, axis=1)              # [B, N, k]
+
+    # Merge in gain form (uniform max semantics within a world).
+    l2 = world.sources[0].score_mode == "l2"
+    key = -shard_scores if l2 else shard_scores
+    gated = jnp.where(mask[:, :, None], key, NEG_INF)
+    flat = gated.reshape(bsz, -1)                       # [B, N*k]
+    top_key, pos = jax.lax.top_k(flat, k)
+    merged_shard = (pos // k).astype(jnp.int32)
+    merged_local = jnp.take_along_axis(
+        shard_ids.reshape(bsz, -1), pos, axis=1)
+    valid = top_key > NEG_INF
+    merged_score = jnp.where(valid, -top_key if l2 else top_key, jnp.nan)
+    merged_shard = jnp.where(valid, merged_shard, -1)
+    merged_valid = valid.sum(axis=1).astype(jnp.int32)
+    return shard_scores, shard_ids, merged_score, merged_shard, merged_local, merged_valid
 
 
 def _score_fn(
@@ -98,23 +125,7 @@ def _score_fn(
         per_scores.append(s)
         per_ids.append(idx)
 
-    shard_scores = jnp.stack(per_scores, axis=1)        # [B, N, k]
-    shard_ids = jnp.stack(per_ids, axis=1)              # [B, N, k]
-
-    # Merge in gain form (uniform max semantics within a world).
-    l2 = world.sources[0].score_mode == "l2"
-    key = -shard_scores if l2 else shard_scores
-    gated = jnp.where(mask[:, :, None], key, NEG_INF)
-    flat = gated.reshape(bsz, -1)                       # [B, N*k]
-    top_key, pos = jax.lax.top_k(flat, k)
-    merged_shard = (pos // k).astype(jnp.int32)
-    merged_local = jnp.take_along_axis(
-        shard_ids.reshape(bsz, -1), pos, axis=1)
-    valid = top_key > NEG_INF
-    merged_score = jnp.where(valid, -top_key if l2 else top_key, jnp.nan)
-    merged_shard = jnp.where(valid, merged_shard, -1)
-    merged_valid = valid.sum(axis=1).astype(jnp.int32)
-    return shard_scores, shard_ids, merged_score, merged_shard, merged_local, merged_valid
+    return gate_and_merge(world, k, mask, per_scores, per_ids)
 
 
 class FederatedSearchEngine:
@@ -136,22 +147,26 @@ class FederatedSearchEngine:
         *,
         impl: str = "auto",
         seed: int = 0,
+        threshold: float = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
         self.params = router_params
         self.bank = bank
         self.impl = impl
+        self.threshold = threshold
         self._key = jax.random.key(seed)
         n_docs = tuple(s.n_docs for s in shard_set.shards)
 
         world = self.world
         k = world.k
         impl_ = impl
+        thr = threshold
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
         def route_step(params, bank, query_embs, rng, *, strategy: str):
-            return _route_fn(world, strategy, params, bank, query_embs, rng)
+            return _route_fn(world, strategy, params, bank, query_embs, rng,
+                             thr)
 
         @jax.jit
         def score_step(shard_arrays, query_embs, mask):
@@ -162,7 +177,7 @@ class FederatedSearchEngine:
         def full_step(params, bank, shard_arrays, query_embs, rng,
                       *, strategy: str):
             probs, mask = _route_fn(
-                world, strategy, params, bank, query_embs, rng)
+                world, strategy, params, bank, query_embs, rng, thr)
             scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask)
             return (probs, mask) + scored

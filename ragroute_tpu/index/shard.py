@@ -103,6 +103,12 @@ class ShardSet:
             b = doc_bias(jnp.asarray(emb), src.score_mode)
             if b is None:
                 b = jnp.zeros((n_pad,), jnp.float32)
+            if n_pad != n:
+                # -inf bias makes padding unselectable even on code paths
+                # that cannot apply a static valid_docs mask (e.g. the
+                # mesh-sharded search, where padding position is dynamic
+                # relative to each device's local slice).
+                b = b.at[n:].set(-jnp.inf)
             docs = jnp.asarray(emb, dtype=dtype)
             if device is not None:
                 docs = jax.device_put(docs, device)

@@ -47,9 +47,9 @@ from ragroute_tpu.ops.topk import (
     gain_to_natural,
 )
 
-# VMEM budget per double-buffered doc tile (bytes). Conservative: leaves room
-# for the query tile, the gains tile, and the top-k scratch in ~16 MB VMEM.
-_DOC_TILE_BYTES = 3 * 1024 * 1024
+# Total VMEM budget for all kernel buffers (defaults to ~16 MB per core;
+# keep headroom for the compiler's own staging).
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -57,16 +57,29 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
-    """Pick (query tile, doc tile) sizes under the VMEM budget."""
+    """Pick (query tile TQ, doc tile TD) sizes under the VMEM budget.
+
+    Accounting per grid step:
+      query tile      TQ*d*4   (+ TQ*d*doc_bytes for the bf16 cast copy)
+      doc tile        2 * TD*d*doc_bytes          (double-buffered)
+      gains + buffer  2 * TQ*TD*4                 (value + merge scratch)
+    """
     tq = min(b_pad, 512)
-    td = _DOC_TILE_BYTES // max(d * doc_bytes, 1)
-    td = max(256, min(4096, 1 << (td.bit_length() - 1)))
-    return tq, td
+    while tq >= 64:
+        q_bytes = tq * d * 4 + (tq * d * doc_bytes if doc_bytes != 4 else 0)
+        avail = _VMEM_BUDGET - q_bytes
+        per_td = 2 * d * doc_bytes + 2 * tq * 4
+        td = avail // per_td if avail > 0 else 0
+        if td >= 256:
+            td = min(4096, 1 << (int(td).bit_length() - 1))
+            return tq, td
+        tq //= 2
+    return tq, 256
 
 
 def _topk_kernel(
     q_ref, docs_ref, bias_ref, out_g_ref, out_i_ref,
-    run_g, run_i,
+    run_g, run_i, gains_buf, done,
     *, k: int, td: int, n_doc_tiles: int, valid: int, n_pad: int,
 ):
     j = pl.program_id(1)
@@ -81,13 +94,11 @@ def _topk_kernel(
     if docs.dtype != q.dtype:
         q = q.astype(docs.dtype)
     # [TQ, TD] gains on the MXU; f32 accumulation regardless of input dtype.
-    # Full f32 precision only for f32 operands (parity path); bf16 operands
-    # use the native single-pass MXU mode (Mosaic rejects HIGHEST for bf16).
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if docs.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    # Precision policy (utils.precision): HIGHEST for f32 on CPU parity
+    # runs, single-pass DEFAULT on TPU / for bf16 operands.
+    from ragroute_tpu.utils.precision import scoring_precision
+
+    precision = scoring_precision(docs.dtype)
     gains = jax.lax.dot_general(
         q, docs,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -103,50 +114,70 @@ def _topk_kernel(
         gidx = col + j * td
         gains = jnp.where(gidx < valid, gains, NEG_INF)
 
-    # Merge loop: repeatedly extract the per-row max of the remaining tile
-    # and insert it into the running sorted top-k — but ONLY while some row
-    # can still improve. In steady state (most tiles beat nobody's k-th
-    # best) this costs a single row-max pass; tiles that do contribute pay
-    # one iteration per inserted element. Exact, data-adaptive, no fixed
-    # k-iteration tax per tile.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
+    # Merge: repeatedly extract the per-row max of the remaining tile and
+    # insert it into the running sorted top-k — but ONLY while some row can
+    # still improve. In steady state (most tiles beat nobody's k-th best)
+    # a tile costs one row-max pass and the whole loop is skipped; tiles
+    # that do contribute pay one iteration per inserted element and set
+    # `done` as soon as no row improves. Implemented as a static fori_loop
+    # over scratch refs with scalar-only carries (a while_loop carrying the
+    # [TQ, TD] gains tile compiles ~60x slower in Mosaic).
+    row_max = jnp.max(gains, axis=1)
+    need_merge = jnp.any(row_max > run_g[:, k - 1])
 
-    def can_improve(carry):
-        g, cur_g, _ = carry
-        return jnp.any(jnp.max(g, axis=1) > cur_g[:, k - 1])
+    @pl.when(need_merge)
+    def _merge():
+        gains_buf[:] = gains
+        done[0] = 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
-    def insert_step(carry):
-        g, cur_g, cur_i = carry
-        m = jnp.max(g, axis=1)                       # [TQ]
-        # First (lowest-index) argmax — FAISS tie-break parity.
-        am = jnp.min(jnp.where(g == m[:, None], col, td), axis=1)
-        kth = cur_g[:, k - 1]
-        do_ins = m > kth                             # [TQ]
-        # Insert after any equal-score entries (stable, index-ascending).
-        pos = jnp.sum((cur_g >= m[:, None]).astype(jnp.int32), axis=1)
-        # Shift right by one lane (lane 0 is a dummy, never selected).
-        sh_g = jnp.concatenate([cur_g[:, :1], cur_g[:, :-1]], axis=1)
-        sh_i = jnp.concatenate([cur_i[:, :1], cur_i[:, :-1]], axis=1)
-        gid = am + j * td
-        new_g = jnp.where(
-            lane < pos[:, None], cur_g,
-            jnp.where(lane == pos[:, None], m[:, None], sh_g))
-        new_i = jnp.where(
-            lane < pos[:, None], cur_i,
-            jnp.where(lane == pos[:, None], gid[:, None], sh_i))
-        cur_g = jnp.where(do_ins[:, None], new_g, cur_g)
-        cur_i = jnp.where(do_ins[:, None], new_i, cur_i)
-        # Knock out the taken element; equal ties elsewhere survive for the
-        # next iteration. Rows that can no longer improve are fully masked
-        # so they stop contributing to the loop condition.
-        g = jnp.where(col == am[:, None], NEG_INF, g)
-        g = jnp.where(do_ins[:, None], g, NEG_INF)
-        return g, cur_g, cur_i
+        def insert_step(t, carry):
+            @pl.when(done[0] == 0)
+            def _():
+                g = gains_buf[:]
+                cur_g = run_g[:]
+                cur_i = run_i[:]
+                m = jnp.max(g, axis=1)                   # [TQ]
+                kth = cur_g[:, k - 1]
+                do_ins = m > kth                         # [TQ]
 
-    _, fin_g, fin_i = jax.lax.while_loop(
-        can_improve, insert_step, (gains, run_g[:], run_i[:]))
-    run_g[:] = fin_g
-    run_i[:] = fin_i
+                @pl.when(jnp.logical_not(jnp.any(do_ins)))
+                def _stop():
+                    done[0] = 1
+
+                @pl.when(jnp.any(do_ins))
+                def _ins():
+                    # First (lowest-index) argmax — FAISS tie-break parity.
+                    am = jnp.min(
+                        jnp.where(g == m[:, None], col, td), axis=1)
+                    # Insert after equal-score entries (index-ascending).
+                    pos = jnp.sum(
+                        (cur_g >= m[:, None]).astype(jnp.int32), axis=1)
+                    # Shift right one lane (lane 0 dummy, never selected).
+                    sh_g = jnp.concatenate(
+                        [cur_g[:, :1], cur_g[:, :-1]], axis=1)
+                    sh_i = jnp.concatenate(
+                        [cur_i[:, :1], cur_i[:, :-1]], axis=1)
+                    gid = am + j * td
+                    new_g = jnp.where(
+                        lane < pos[:, None], cur_g,
+                        jnp.where(lane == pos[:, None], m[:, None], sh_g))
+                    new_i = jnp.where(
+                        lane < pos[:, None], cur_i,
+                        jnp.where(lane == pos[:, None], gid[:, None], sh_i))
+                    run_g[:] = jnp.where(do_ins[:, None], new_g, cur_g)
+                    run_i[:] = jnp.where(do_ins[:, None], new_i, cur_i)
+                    # Knock out the taken element; mask rows that can no
+                    # longer improve so they stop winning the row max.
+                    g2 = jnp.where(col == am[:, None], NEG_INF, g)
+                    gains_buf[:] = jnp.where(
+                        do_ins[:, None], g2, NEG_INF)
+
+            return carry
+
+        # <= k iterations: each improving row inserts one element per
+        # iteration and a row can absorb at most k new entries per tile.
+        jax.lax.fori_loop(0, k, insert_step, 0)
 
     @pl.when(j == n_doc_tiles - 1)
     def _emit():
@@ -244,6 +275,8 @@ def pallas_topk(
         scratch_shapes=[
             pltpu.VMEM((tq, k), jnp.float32),
             pltpu.VMEM((tq, k), jnp.int32),
+            pltpu.VMEM((tq, td), jnp.float32),   # gains buffer for merge
+            pltpu.SMEM((1,), jnp.int32),          # early-exit flag
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),

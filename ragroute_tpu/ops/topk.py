@@ -42,6 +42,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ragroute_tpu.utils.precision import scoring_precision
+
 NEG_INF = float("-inf")  # plain float: safe to close over inside kernels
 
 
@@ -99,7 +101,7 @@ def exact_topk(
     n = docs.shape[0]
     q = _prepare_queries(queries, mode)
     gains = jnp.dot(q, docs.T.astype(jnp.float32),
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=scoring_precision(jnp.float32),
                     preferred_element_type=jnp.float32)
     b = doc_bias(docs, mode) if bias is None else bias
     if b is not None:
@@ -168,7 +170,7 @@ def chunked_topk(
         else:
             slab, bvec, offset = xs
         gains = jnp.dot(q, slab.T.astype(q.dtype),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=scoring_precision(slab.dtype),
                         preferred_element_type=jnp.float32)
         if bvec is not None:
             gains = gains + bvec[None, :]

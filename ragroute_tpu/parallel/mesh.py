@@ -1,0 +1,43 @@
+"""Device mesh construction.
+
+The scaling axes of a federated index-and-query engine (SURVEY §5.7-5.8):
+
+* ``dp``  — query-batch data parallelism (each device handles a slice of
+  the incoming batch; the analogue of the reference's ``--parallel`` /
+  ``--num-shards`` client striping, ``run_benchmark_parallel.py:104``).
+* ``idx`` — index parallelism: the document axis of every corpus shard is
+  split across devices (the reference's one-process-per-corpus federation
+  generalized: a corpus larger than one chip's HBM spans chips; per-device
+  local top-k then an all-gather merge over ICI).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    dp: int = 1,
+    idx: Optional[int] = None,
+    *,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ``(dp, idx)`` mesh over the available devices.
+
+    ``idx`` defaults to ``n_devices // dp``. Axis names are fixed
+    ("dp", "idx") and used by :mod:`ragroute_tpu.parallel.sharded`.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = len(devs)
+    if idx is None:
+        if n % dp != 0:
+            raise ValueError(f"{n} devices not divisible by dp={dp}")
+        idx = n // dp
+    if dp * idx != n:
+        raise ValueError(f"dp*idx = {dp * idx} != {n} devices")
+    arr = np.array(devs).reshape(dp, idx)
+    return Mesh(arr, ("dp", "idx"))

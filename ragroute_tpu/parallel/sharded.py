@@ -1,0 +1,171 @@
+"""Mesh-sharded federated search: the multi-chip scaling path.
+
+The reference federates corpora across OS processes on one machine
+(``ragroute/ragroute.py:49-54``) and cannot scale past one node (ZMQ
+sockets hardcoded to localhost, ``config.py:3-10``). Here the scale-out
+story is a ``jax.sharding.Mesh``:
+
+* the document axis of every corpus is split across the ``idx`` mesh axis
+  (a corpus bigger than one chip's HBM spans chips);
+* the query batch is split across the ``dp`` axis;
+* each device runs the fused local top-k kernel on its slice, then an
+  ``all_gather`` over ICI moves only ``[idx, B/dp, k]`` candidate
+  (score, id) pairs — never embeddings — and every device computes the
+  identical global merge (SURVEY §7 "segmented top-k").
+
+Communication per corpus per batch: ``idx * B/dp * k * 8`` bytes — for
+B=512, k=32, 8 chips that's ~1 MB over ICI vs the reference's per-query
+JSON-serialized float lists over TCP (``router.py:317-319``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.engine.engine import _route_fn, gate_and_merge
+from ragroute_tpu.index.shard import ShardSet
+from ragroute_tpu.ops.topk import shard_topk
+from ragroute_tpu.router.features import RouterBank
+from ragroute_tpu.router.mlp import CorpusRouterParams
+
+
+def sharded_shard_topk(
+    mesh: Mesh,
+    queries: jnp.ndarray,
+    docs: jnp.ndarray,
+    bias: jnp.ndarray,
+    k: int,
+    *,
+    mode: str = "dot",
+    impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a doc-axis-sharded corpus.
+
+    ``queries [B, d]`` is split over ``dp`` (replicated over ``idx``);
+    ``docs [N, d]`` / ``bias [N]`` are split over ``idx`` (replicated over
+    ``dp``). Padding rows must carry ``-inf`` bias (ShardSet does this).
+    Returns globally-merged ``(scores [B, k], global_indices [B, k])``,
+    batch-sharded over ``dp``.
+    """
+    n_idx = mesh.shape["idx"]
+    n = docs.shape[0]
+    if n % n_idx != 0:
+        raise ValueError(f"doc axis {n} not divisible by idx={n_idx}")
+    n_local = n // n_idx
+    l2 = mode == "l2"
+
+    def local_fn(q_l, docs_l, bias_l):
+        s, i = shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l, impl=impl)
+        key = -s if l2 else s
+        gid = i + jax.lax.axis_index("idx") * n_local
+        # all-gather candidate pairs over ICI: [idx, B/dp, k]
+        keys = jax.lax.all_gather(key, "idx")
+        gids = jax.lax.all_gather(gid, "idx")
+        bsz_l = q_l.shape[0]
+        keys = jnp.moveaxis(keys, 0, 1).reshape(bsz_l, n_idx * k)
+        gids = jnp.moveaxis(gids, 0, 1).reshape(bsz_l, n_idx * k)
+        top, pos = jax.lax.top_k(keys, k)
+        gi = jnp.take_along_axis(gids, pos, axis=1)
+        return (-top if l2 else top), gi
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("idx", None), P("idx")),
+        out_specs=(P("dp", None), P("dp", None)),
+        # outputs ARE replicated over idx (identical merge of the same
+        # all-gathered candidates on every idx peer), but the static
+        # varying-manual-axes checker can't prove it
+        check_vma=False,
+    )(queries, docs, bias)
+
+
+class ShardedSearch:
+    """Full federated search step over a ``(dp, idx)`` mesh.
+
+    Same semantics as :class:`ragroute_tpu.engine.FederatedSearchEngine`
+    (route → score → gate → merge) with every corpus's documents sharded
+    over ``idx`` and the batch over ``dp``. Router params/bank are
+    replicated (they are tiny).
+    """
+
+    def __init__(
+        self,
+        shard_set: ShardSet,
+        params: CorpusRouterParams,
+        bank: RouterBank,
+        mesh: Mesh,
+        *,
+        impl: str = "auto",
+        seed: int = 0,
+        threshold: float = None,
+    ):
+        self.world: WorldConfig = shard_set.world
+        self.mesh = mesh
+        self.impl = impl
+        self._key = jax.random.key(seed)
+        n_idx = mesh.shape["idx"]
+
+        repl = NamedSharding(mesh, P())
+        docs_sh = NamedSharding(mesh, P("idx", None))
+        bias_sh = NamedSharding(mesh, P("idx"))
+
+        self.params = jax.device_put(params, repl)
+        self.bank = jax.device_put(bank, repl)
+        self.arrays = []
+        for s in shard_set.shards:
+            docs, bias = s.docs, s.bias
+            n = docs.shape[0]
+            if n % n_idx != 0:
+                # re-pad to the idx multiple; padding carries -inf bias
+                pad = (-n) % n_idx
+                docs = jnp.pad(docs, ((0, pad), (0, 0)))
+                bias = jnp.pad(bias, (0, pad), constant_values=-jnp.inf)
+            self.arrays.append((
+                jax.device_put(docs, docs_sh),
+                jax.device_put(bias, bias_sh),
+            ))
+
+        world = self.world
+        k = world.k
+        mesh_ = mesh
+        impl__ = impl
+
+        @functools.partial(jax.jit, static_argnames=("strategy",))
+        def step(params, bank, arrays, query_embs, rng, *, strategy: str):
+            probs, mask = _route_fn(
+                world, strategy, params, bank, query_embs, rng, threshold)
+            per_scores, per_ids = [], []
+            for i, src in enumerate(world.sources):
+                docs, bias = arrays[i]
+                s, gi = sharded_shard_topk(
+                    mesh_, query_embs[src.encoder], docs, bias, k,
+                    mode=src.score_mode, impl=impl__)
+                per_scores.append(s)
+                per_ids.append(gi)
+            return (probs, mask) + gate_and_merge(
+                world, k, mask, per_scores, per_ids)
+
+        self._step = step
+        self._q_sharding = NamedSharding(mesh, P("dp", None))
+
+    def search(self, query_embs: Dict[str, np.ndarray], *,
+               strategy: str = "ragroute"):
+        """Run one sharded search; returns the same tuple layout as the
+        single-chip full step (probs, mask, shard_scores, shard_ids,
+        merged_score, merged_shard, merged_local, merged_valid)."""
+        embs = {}
+        for enc in self.world.encoders:
+            arr = jnp.asarray(query_embs[enc], dtype=jnp.float32)
+            embs[enc] = jax.device_put(arr, self._q_sharding)
+        self._key, sub = jax.random.split(self._key)
+        return self._step(
+            self.params, self.bank, self.arrays, embs, sub,
+            strategy=strategy)

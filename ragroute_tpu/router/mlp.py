@@ -24,6 +24,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ragroute_tpu.utils.precision import scoring_precision
+
 CorpusRouterParams = Dict[str, Dict[str, jnp.ndarray]]
 
 HIDDEN1 = 256
@@ -65,7 +67,7 @@ def _layernorm(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
 def _dense(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return (
-        jnp.dot(x, p["w"], precision=jax.lax.Precision.HIGHEST,
+        jnp.dot(x, p["w"], precision=scoring_precision(x.dtype),
                 preferred_element_type=jnp.float32)
         + p["b"]
     )

@@ -28,6 +28,7 @@ def routing_mask(
     strategy: str,
     probs: jnp.ndarray,
     rng: jax.Array,
+    threshold: float = None,
 ) -> jnp.ndarray:
     """Build the ``[B, N]`` boolean routing mask.
 
@@ -37,6 +38,9 @@ def routing_mask(
       probs: ``[B, N]`` router sigmoid probabilities (only used by
         ``ragroute``; pass anything of the right shape otherwise).
       rng: PRNG key (only used by ``random``).
+      threshold: decision threshold override (e.g. the ROC-optimal value
+        stored with a trained checkpoint); defaults to the world's pinned
+        threshold (0.4924 medrag / 0.5, router.py:277-280).
     """
     if strategy not in ROUTING_STRATEGIES:
         raise ValueError(
@@ -47,7 +51,8 @@ def routing_mask(
         raise ValueError(f"probs last dim {n} != {world.num_sources} sources")
 
     if strategy == "ragroute":
-        return probs > world.router_threshold
+        t = world.router_threshold if threshold is None else threshold
+        return probs > t
     if strategy == "all":
         return jnp.ones((bsz, n), dtype=bool)
     if strategy == "none":

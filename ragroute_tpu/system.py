@@ -108,7 +108,7 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
     if world.name == "feb4rag" and os.path.exists(qrels_path):
         relevance = load_qrels(qrels_path)
 
-    return shard_set, params, bank, provider, doc_store, relevance
+    return shard_set, params, bank, provider, doc_store, relevance, threshold
 
 
 class ServingSystem:
@@ -152,12 +152,14 @@ class ServingSystem:
             provider = HashEmbeddings(self.world)
             doc_store = MemoryDocStore.from_synthetic(syn)
             relevance = {}
+            threshold = None
         else:
             (shard_set, params, bank, provider, doc_store,
-             relevance) = load_world_artifacts(
+             relevance, threshold) = load_world_artifacts(
                 self.data_root, self.world, dtype=dtype)
 
-        engine = FederatedSearchEngine(shard_set, params, bank, impl=self.impl)
+        engine = FederatedSearchEngine(
+            shard_set, params, bank, impl=self.impl, threshold=threshold)
         # simulate mode routes to all sources (reference router.py:222-223)
         strategy = "all" if self.simulate else self.routing
         llm = LLMClient(

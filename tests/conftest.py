@@ -6,13 +6,22 @@ host-platform virtual devices (same XLA collectives, same shardings).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force (not setdefault): the
+# axon sitecustomize pre-sets JAX_PLATFORMS=axon, which would silently route
+# every test through the remote-TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize registers a remote-TPU PJRT plugin at interpreter
+# start and pins jax_platforms; pin it back explicitly.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,106 @@
+"""Mesh-sharded search tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ragroute_tpu.index import ShardSet, make_synthetic_world
+from ragroute_tpu.ops import exact_topk
+from ragroute_tpu.parallel import ShardedSearch, make_mesh, sharded_shard_topk
+from ragroute_tpu.router import RouterBank, init_router_params
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(dp=2)
+    assert mesh.shape == {"dp": 2, "idx": 4}
+    mesh = make_mesh(dp=1, idx=8)
+    assert mesh.shape == {"dp": 1, "idx": 8}
+    with pytest.raises(ValueError):
+        make_mesh(dp=3)
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_sharded_topk_matches_single_device(rng, mode):
+    mesh = make_mesh(dp=2, idx=4)
+    b, n, d, k = 8, 4096, 32, 16
+    q = rng.integers(-4, 5, size=(b, d)).astype(np.float32)
+    docs = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+
+    from ragroute_tpu.ops.topk import doc_bias
+
+    bias = doc_bias(jnp.asarray(docs), mode)
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+
+    s_sh, i_sh = sharded_shard_topk(
+        mesh, jnp.asarray(q), jnp.asarray(docs), bias, k,
+        mode=mode, impl="exact")
+    s_1, i_1 = exact_topk(jnp.asarray(q), jnp.asarray(docs), k, mode=mode)
+
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_1))
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_1), rtol=1e-5)
+
+
+def test_sharded_topk_padding_unselectable(rng):
+    """Padding rows (−inf bias) never win even when maximally attractive."""
+    mesh = make_mesh(dp=1, idx=8)
+    b, n, d, k, valid = 4, 2048, 16, 8, 1500
+    q = rng.integers(-4, 5, size=(b, d)).astype(np.float32)
+    docs = rng.integers(-4, 5, size=(n, d)).astype(np.float32)
+    docs[valid:] = 50.0
+    bias = jnp.zeros((n,), jnp.float32).at[valid:].set(-jnp.inf)
+
+    _, i_sh = sharded_shard_topk(
+        mesh, jnp.asarray(q), jnp.asarray(docs), bias, k,
+        mode="dot", impl="exact")
+    assert np.asarray(i_sh).max() < valid
+
+
+def test_sharded_full_step_matches_engine():
+    """The mesh-sharded full step returns the same winners as single-chip."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=5, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    out = sharded.search(syn.query_embs, strategy="all")
+    probs, mask, shard_scores, shard_ids, m_score, m_shard, m_local, m_valid = out
+
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ref = engine.search(syn.query_embs, strategy="all")
+
+    assert np.asarray(mask).all()
+    np.testing.assert_allclose(
+        np.asarray(probs), ref.probs, rtol=1e-4, atol=1e-5)
+    # same winner sets (near-ties at the k boundary may swap order)
+    for qi in range(8):
+        got = set(zip(np.asarray(m_shard)[qi].tolist(),
+                      np.asarray(m_local)[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
+
+
+def test_sharded_step_ragroute_strategy():
+    syn = make_synthetic_world("medrag", docs_per_source=512,
+                               num_queries=4, seed=6, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=4, idx=2)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    probs, mask, *_ , m_shard, m_local, m_valid = sharded.search(
+        syn.query_embs, strategy="ragroute")
+    np.testing.assert_array_equal(
+        np.asarray(mask),
+        np.asarray(probs) > syn.world.router_threshold)
