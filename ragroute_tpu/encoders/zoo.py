@@ -1,0 +1,180 @@
+"""EncoderZoo: load and run the query encoders for a world.
+
+Load order per encoder (replacing the reference's CustomModel/BeirModels
+loader split, ``model_zoo.py:12-118``):
+
+1. **JAX path** (BERT-family): HF checkpoint from the local cache →
+   :func:`ragroute_tpu.encoders.bert.params_from_torch_bert` → jitted
+   encode on the default backend. This is the TPU-native path.
+2. **torch fallback** (MPNet/GPT/T5 families, or if 1 fails):
+   sentence-transformers / transformers on host CPU, mirroring the
+   reference's own execution model.
+3. **hash stub**: deterministic text-hash embeddings (offline dev /
+   simulation; clearly flagged via ``EncoderZoo.backends``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.encoders.bert import (
+    BertConfig,
+    bert_encode,
+    config_from_hf,
+    params_from_torch_bert,
+    pool,
+)
+from ragroute_tpu.encoders.registry import ENCODER_SPECS, EncoderSpec
+
+logger = logging.getLogger("encoders")
+
+
+class HashEncoder:
+    """Deterministic stand-in when no weights are available."""
+
+    backend = "hash"
+
+    def __init__(self, spec: EncoderSpec):
+        self.spec = spec
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        out = np.zeros((len(texts), self.spec.dim), np.float32)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.sha256(f"{self.spec.name}::{t}".encode())
+                .digest()[:8], "little")
+            rng = np.random.default_rng(seed)
+            out[i] = rng.standard_normal(self.spec.dim).astype(np.float32)
+        if self.spec.normalize:
+            out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True),
+                              1e-12)
+        return out
+
+
+class JaxBertEncoder:
+    """BERT-family encoder running in JAX (jitted, static seq length)."""
+
+    backend = "jax"
+
+    def __init__(self, spec: EncoderSpec, params, cfg: BertConfig, tokenizer):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self.spec = spec
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _encode(params, ids, mask, type_ids):
+            outs = bert_encode(params, cfg, ids, mask, type_ids)
+            emb = pool(outs, mask, spec.pooling)
+            if spec.normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            return emb
+
+        self._encode = _encode
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        batch = self.tokenizer(
+            [self.spec.format_query(t) for t in texts],
+            return_tensors="np", padding="max_length", truncation=True,
+            max_length=self.spec.max_length)
+        import jax.numpy as jnp
+
+        emb = self._encode(
+            self.params,
+            jnp.asarray(batch["input_ids"], jnp.int32),
+            jnp.asarray(batch["attention_mask"], jnp.int32),
+            jnp.asarray(batch.get(
+                "token_type_ids",
+                np.zeros_like(batch["input_ids"])), jnp.int32),
+        )
+        return np.asarray(emb)
+
+
+class TorchEncoder:
+    """Host-side torch fallback (the reference's own execution model)."""
+
+    backend = "torch"
+
+    def __init__(self, spec: EncoderSpec):
+        self.spec = spec
+        from sentence_transformers import SentenceTransformer
+
+        self.model = SentenceTransformer(spec.hf_name)
+        self.model.eval()
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        emb = self.model.encode(
+            [self.spec.format_query(t) for t in texts],
+            show_progress_bar=False, convert_to_numpy=True,
+            normalize_embeddings=self.spec.normalize)
+        return np.asarray(emb, np.float32)
+
+
+def _load_jax_bert(spec: EncoderSpec) -> JaxBertEncoder:
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    hf_cfg = AutoConfig.from_pretrained(spec.hf_name, local_files_only=True)
+    tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
+    model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
+    cfg = config_from_hf(
+        hf_cfg if hf_cfg.model_type == "bert" else hf_cfg)
+    params = params_from_torch_bert(model.state_dict(), cfg)
+    return JaxBertEncoder(spec, params, cfg, tok)
+
+
+class EncoderZoo:
+    """All distinct encoders for a world, best-available backend each."""
+
+    def __init__(self, world: WorldConfig, *, prefer: str = "jax"):
+        self.world = world
+        self.encoders: Dict[str, object] = {}
+        self.backends: Dict[str, str] = {}
+        for enc_name in world.encoders:
+            spec = ENCODER_SPECS.get(enc_name)
+            if spec is None:
+                # unknown encoder: synthesize a spec from the source dims
+                dim = next(s.embed_dim for s in world.sources
+                           if s.encoder == enc_name)
+                spec = EncoderSpec(enc_name, "unknown", enc_name, dim,
+                                   "mean", False)
+            enc = self._load(spec, prefer)
+            self.encoders[enc_name] = enc
+            self.backends[enc_name] = enc.backend
+        logger.info("encoder backends: %s", self.backends)
+
+    def _load(self, spec: EncoderSpec, prefer: str):
+        if prefer == "hash":
+            return HashEncoder(spec)
+        if spec.family == "bert" and prefer == "jax":
+            try:
+                return _load_jax_bert(spec)
+            except Exception as e:
+                logger.warning("JAX load failed for %s (%s)", spec.name, e)
+        try:
+            return TorchEncoder(spec)
+        except Exception as e:
+            logger.warning(
+                "no weights for %s (%s); using hash embeddings "
+                "(retrieval quality is meaningless for this encoder)",
+                spec.name, e)
+            return HashEncoder(spec)
+
+    def encode_query(self, text: str) -> Dict[str, np.ndarray]:
+        """One query through every encoder (reference router.py:285-303)."""
+        return {name: enc.encode([text])[0]
+                for name, enc in self.encoders.items()}
+
+    def encode_queries(self, texts: List[str]) -> Dict[str, np.ndarray]:
+        return {name: enc.encode(texts)
+                for name, enc in self.encoders.items()}
