@@ -101,7 +101,12 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
         provider = HashEmbeddings(world)
 
     pay_dir = os.path.join(wroot, "payloads")
-    doc_store = JsonlDirDocStore(pay_dir) if os.path.isdir(pay_dir) else None
+    if os.path.isdir(pay_dir):
+        from ragroute_tpu.index.native_store import make_doc_store
+
+        doc_store = make_doc_store(pay_dir)  # C++ mmap store, py fallback
+    else:
+        doc_store = None
 
     relevance = {}
     qrels_path = os.path.join(wroot, "qrels.txt")
