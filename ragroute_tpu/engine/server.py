@@ -41,6 +41,7 @@ from ragroute_tpu.engine.prompts import (
     generate_llm_message,
     generate_llm_message_wikipedia,
 )
+from ragroute_tpu.engine.metrics import ServerMetrics
 from ragroute_tpu.engine.rerank import rerank_feb4rag
 
 logger = logging.getLogger("server")
@@ -90,6 +91,7 @@ class FederationServer:
         self._runner: Optional[web.AppRunner] = None
         self._site: Optional[web.TCPSite] = None
         self._num_queries = 0
+        self.metrics = ServerMetrics()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -144,7 +146,7 @@ class FederationServer:
         })
 
     async def handle_stats(self, request):
-        return web.json_response({"num_queries": self._num_queries})
+        return web.json_response(self.metrics.snapshot())
 
     async def handle_query(self, request):
         if request.method == "GET":
@@ -253,6 +255,11 @@ class FederationServer:
                 else -1)
             response["answer"] = llm_res.answer
 
+        e2e = time.time() - start
+        self.metrics.observe_query(
+            embedding=embedding_time, selection=res.selection_time,
+            doc_select=res.doc_select_time, generate=generate_time,
+            e2e=e2e, batch_size=res.batch_size)
         response["metadata"] = {
             "data_sources": selected,
             "embedding_time": embedding_time,
@@ -261,7 +268,7 @@ class FederationServer:
             "generate_time": generate_time,
             "data_sources_stats": ds_stats,
             "top_docs": top_docs,
-            "e2e_time": time.time() - start,
+            "e2e_time": e2e,
             "docs_tokens": docs_tokens,
             "llm": self.model,
             # extra (non-reference) observability

@@ -147,3 +147,21 @@ def test_topk_batch_not_tile_multiple(rng):
     _, want_i = numpy_oracle(q, docs, k, "dot")
     _, got_i = pallas_topk(jnp.asarray(q), jnp.asarray(docs), k, mode="dot")
     np.testing.assert_array_equal(np.asarray(got_i), want_i)
+
+
+def test_pallas_same_bin_collision(rng):
+    """Two top-k elements in the SAME bin of the same tile (col ≡ col' mod
+    128 within one doc tile) exercise the binned merge's rebuild path."""
+    n, d, k = 2048, 32, 4
+    q = np.zeros((1, d), np.float32)
+    q[0, 0] = 1.0
+    docs = rng.standard_normal((n, d)).astype(np.float32) * 0.01
+    # same bin (lane 5), same tile: cols 5, 133, 261; plus one elsewhere
+    docs[5, 0] = 10.0
+    docs[133, 0] = 9.5
+    docs[261, 0] = 9.0
+    docs[700, 0] = 8.0
+    s, i = pallas_topk(jnp.asarray(q), jnp.asarray(docs), k, mode="dot")
+    assert list(np.asarray(i)[0]) == [5, 133, 261, 700]
+    np.testing.assert_allclose(np.asarray(s)[0, :4], [10, 9.5, 9, 8],
+                               rtol=1e-4)
