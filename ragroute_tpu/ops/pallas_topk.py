@@ -24,6 +24,19 @@ Two properties make this fast:
 Ties break toward the lower document index (first-argmax + insert-after-
 equals), matching FAISS flat-index ordering.
 
+Tuning notes (v5e, 735k docs x 768d, B=1024, k=32; matmul-only floor is
+4.3 us/step at 186 TFLOPS): this design runs 13.9 us/step (58-61 TFLOPS
+end to end). Alternatives MEASURED SLOWER on this backend and reverted:
+  * 128-lane bin-max candidate view + narrow insert loop + exactness
+    rebuild: 15.7 us (per-tile rebuild + extra scalar reductions eat the
+    narrower iteration savings);
+  * read-only lexicographic (value, col) cursor walk (zero VMEM writes):
+    28.3 us (Mosaic copies large value carries through cond/fori);
+  * unconditional masked body with a single scalar reduction: 15.7 us
+    (the terminal wasted iteration costs more than the branch stalls).
+Merge cost is intrinsic: exact streaming top-k performs ~k*ln(n_tiles)
+inserts per row (~300 here), and each insert is VPU passes over the tile.
+
 The wrapper handles score-mode transforms (dot / cos / l2) via the shared
 gain-form convention in :mod:`ragroute_tpu.ops.topk`, pads shapes to tile
 multiples, and masks padded docs so they can never win.
@@ -67,7 +80,6 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
     tq = min(b_pad, 512)
     while tq >= 64:
         q_bytes = tq * d * 4 + (tq * d * doc_bytes if doc_bytes != 4 else 0)
-        q_bytes += tq * 128 * 8  # bin-view scratch (bm f32 + bc i32)
         avail = _VMEM_BUDGET - q_bytes
         per_td = 2 * d * doc_bytes + 2 * tq * 4
         td = avail // per_td if avail > 0 else 0
@@ -80,7 +92,7 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
 
 def _topk_kernel(
     q_ref, docs_ref, bias_ref, out_g_ref, out_i_ref,
-    run_g, run_i, gains_buf, bm_ref, bc_ref, done,
+    run_g, run_i, gains_buf, done,
     *, k: int, td: int, n_doc_tiles: int, valid: int, n_pad: int,
 ):
     j = pl.program_id(1)
@@ -115,110 +127,70 @@ def _topk_kernel(
         gidx = col + j * td
         gains = jnp.where(gidx < valid, gains, NEG_INF)
 
-    # --- Binned streaming merge -------------------------------------------
-    #
-    # Exact streaming top-k inserts ~k*ln(n_tiles) elements per row over a
-    # scan, so merge work — not the matmul — dominates a naive design. The
-    # trick: reduce the [TQ, TD] tile to a 128-lane bin-max view ONCE (bin
-    # l holds max over columns ≡ l mod... here: col = w*128 + l, reduced
-    # over w), then run the data-adaptive insert loop on the narrow
-    # [TQ, 128] view; the wide buffer is touched only by one single-element
-    # knockout pass per insert. A bin holding TWO top-k elements of the
-    # same tile is handled by an outer repeat (rebuild the bin view from
-    # the knocked-out buffer); the qualifying check makes this exact.
-    #
-    # Measured on v5e (735k docs x 768d, B=1024, k=32): 13.9 -> ~8 us/step
-    # vs the wide-view merge; matmul-only floor is 4.3 us.
-    w_bins = td // 128
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (tq, 128), 1)
-    lane_k = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
-
-    def rebuild_bins():
-        # static unrolled max over the W 128-lane column slices — each
-        # slice is one natural vreg column tile, so this is pure VPU
-        # elementwise work with no relayout. Strict > keeps the earliest
-        # (lowest-col) winner on ties.
-        bm = gains_buf[:, 0:128]
-        bc = lane128
-        for w in range(1, w_bins):
-            blk = gains_buf[:, w * 128:(w + 1) * 128]
-            upd = blk > bm
-            bm = jnp.where(upd, blk, bm)
-            bc = jnp.where(upd, lane128 + w * 128, bc)
-        bm_ref[:] = bm
-        bc_ref[:] = bc
-
+    # Merge: repeatedly extract the per-row max of the remaining tile and
+    # insert it into the running sorted top-k — but ONLY while some row can
+    # still improve. In steady state (most tiles beat nobody's k-th best)
+    # a tile costs one row-max pass and the whole loop is skipped; tiles
+    # that do contribute pay one iteration per inserted element and set
+    # `done` as soon as no row improves. Implemented as a static fori_loop
+    # over scratch refs with scalar-only carries (a while_loop carrying the
+    # [TQ, TD] gains tile compiles ~60x slower in Mosaic).
     row_max = jnp.max(gains, axis=1)
+    need_merge = jnp.any(row_max > run_g[:, k - 1])
 
-    @pl.when(jnp.any(row_max > run_g[:, k - 1]))
+    @pl.when(need_merge)
     def _merge():
         gains_buf[:] = gains
         done[0] = 0
-        rebuild_bins()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
-        def step(t, carry):
+        def insert_step(t, carry):
             @pl.when(done[0] == 0)
             def _():
-                bm = bm_ref[:]
-                bcol = bc_ref[:]
+                g = gains_buf[:]
                 cur_g = run_g[:]
                 cur_i = run_i[:]
-                m = jnp.max(bm, axis=1)                    # [TQ]
+                m = jnp.max(g, axis=1)                   # [TQ]
                 kth = cur_g[:, k - 1]
-                do_ins = m > kth
+                do_ins = m > kth                         # [TQ]
 
                 @pl.when(jnp.logical_not(jnp.any(do_ins)))
-                def _exhausted():
-                    # narrow view spent; any qualifiers hidden behind
-                    # consumed bins? (rare: needs 2 tile-top-k elements in
-                    # one bin) — if so rebuild the view, else finish.
-                    more = jnp.any(gains_buf[:] > kth[:, None])
-
-                    @pl.when(more)
-                    def _():
-                        rebuild_bins()
-
-                    @pl.when(jnp.logical_not(more))
-                    def _():
-                        done[0] = 1
+                def _stop():
+                    done[0] = 1
 
                 @pl.when(jnp.any(do_ins))
                 def _ins():
-                    # lowest-col among tied bins (FAISS tie-break parity;
-                    # within-bin ties already resolved to min col)
-                    am_col = jnp.min(
-                        jnp.where(bm == m[:, None], bcol, td), axis=1)
-                    # insert after equal-score entries (index-ascending)
+                    # First (lowest-index) argmax — FAISS tie-break parity.
+                    am = jnp.min(
+                        jnp.where(g == m[:, None], col, td), axis=1)
+                    # Insert after equal-score entries (index-ascending).
                     pos = jnp.sum(
                         (cur_g >= m[:, None]).astype(jnp.int32), axis=1)
+                    # Shift right one lane (lane 0 dummy, never selected).
                     sh_g = jnp.concatenate(
                         [cur_g[:, :1], cur_g[:, :-1]], axis=1)
                     sh_i = jnp.concatenate(
                         [cur_i[:, :1], cur_i[:, :-1]], axis=1)
-                    gid = am_col + j * td
+                    gid = am + j * td
                     new_g = jnp.where(
-                        lane_k < pos[:, None], cur_g,
-                        jnp.where(lane_k == pos[:, None], m[:, None], sh_g))
+                        lane < pos[:, None], cur_g,
+                        jnp.where(lane == pos[:, None], m[:, None], sh_g))
                     new_i = jnp.where(
-                        lane_k < pos[:, None], cur_i,
-                        jnp.where(lane_k == pos[:, None], gid[:, None], sh_i))
+                        lane < pos[:, None], cur_i,
+                        jnp.where(lane == pos[:, None], gid[:, None], sh_i))
                     run_g[:] = jnp.where(do_ins[:, None], new_g, cur_g)
                     run_i[:] = jnp.where(do_ins[:, None], new_i, cur_i)
-                    # single-element knockout in the wide buffer (the only
-                    # full-width op per insert)
-                    sel = jnp.logical_and(
-                        col == am_col[:, None], do_ins[:, None])
-                    gains_buf[:] = jnp.where(sel, NEG_INF, gains_buf[:])
-                    # consume the winning bin in the narrow view
-                    bsel = jnp.logical_and(
-                        bcol == am_col[:, None], do_ins[:, None])
-                    bm_ref[:] = jnp.where(bsel, NEG_INF, bm)
+                    # Knock out the taken element; mask rows that can no
+                    # longer improve so they stop winning the row max.
+                    g2 = jnp.where(col == am[:, None], NEG_INF, g)
+                    gains_buf[:] = jnp.where(
+                        do_ins[:, None], g2, NEG_INF)
 
             return carry
 
-        # bound: <= k insert iterations per row, plus at most one rebuild
-        # per insert and a final exhausted check.
-        jax.lax.fori_loop(0, 2 * k + 2, step, 0)
+        # <= k iterations: each improving row inserts one element per
+        # iteration and a row can absorb at most k new entries per tile.
+        jax.lax.fori_loop(0, k, insert_step, 0)
 
     @pl.when(j == n_doc_tiles - 1)
     def _emit():
@@ -317,8 +289,6 @@ def pallas_topk(
             pltpu.VMEM((tq, k), jnp.float32),
             pltpu.VMEM((tq, k), jnp.int32),
             pltpu.VMEM((tq, td), jnp.float32),   # gains buffer for merge
-            pltpu.VMEM((tq, 128), jnp.float32),  # bin-max view
-            pltpu.VMEM((tq, 128), jnp.int32),    # bin-winner cols
             pltpu.SMEM((1,), jnp.int32),          # early-exit flag
         ],
         cost_estimate=pl.CostEstimate(

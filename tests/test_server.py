@@ -182,3 +182,51 @@ def test_feb4rag_requires_qid_and_oracle_rerank():
             await server.stop()
 
     asyncio.run(run())
+
+
+def test_wikipedia_world_server():
+    """Wikipedia world: choices joined into the encoded query
+    (http_server.py:147-150), l2-ascending top docs, (title, text) payloads."""
+    async def run():
+        syn, server = make_server(world_name="wikipedia", strategy="all")
+        await server.start()
+        try:
+            q = syn.questions[0]
+            status, body = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+            md = body["metadata"]
+            assert len(md["data_sources"]) == 10
+            top = md["top_docs"]
+            assert len(top) == syn.world.k
+            # (title, text) pairs serialize as 2-lists
+            assert len(top[0]) == 2 and "page" in top[0][0]
+            # per-source scores are squared L2 distances (non-negative)
+            stats = md["data_sources_stats"]
+            assert len(stats) == 10
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_stats_endpoint_aggregates():
+    async def run():
+        syn, server = make_server(strategy="all")
+        await server.start()
+        try:
+            port = server.bound_port
+            for q in syn.questions[:3]:
+                await query_server(port, q["question"], q["options"],
+                                   q["qid"])
+            async with aiohttp.ClientSession() as s:
+                async with s.get(f"http://127.0.0.1:{port}/stats") as r:
+                    stats = await r.json()
+            assert stats["num_queries"] == 3
+            assert stats["stages_s"]["e2e"]["count"] == 3
+            assert stats["stages_s"]["doc_select"]["p50"] > 0
+            assert stats["batch_size"]["count"] == 3
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
