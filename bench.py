@@ -112,9 +112,21 @@ def main():
     log(f"compiled in {time.time() - t0:.1f}s; timing {reps} batches of "
         f"{batch}...")
 
-    t0 = time.time()
-    float(loop(params, bank, arrays, embs_r, keys))
-    elapsed = time.time() - t0
+    profile_dir = os.environ.get("RAGROUTE_PROFILE")
+    if profile_dir:
+        import contextlib
+
+        ctx = jax.profiler.trace(profile_dir)
+        log(f"profiling to {profile_dir}")
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+
+    with ctx:
+        t0 = time.time()
+        float(loop(params, bank, arrays, embs_r, keys))
+        elapsed = time.time() - t0
 
     qps = reps * batch / elapsed
     flops = 2.0 * batch * sum(n_docs) * 768 * reps

@@ -90,7 +90,6 @@ class FederationServer:
         self.warmup = warmup
         self._runner: Optional[web.AppRunner] = None
         self._site: Optional[web.TCPSite] = None
-        self._num_queries = 0
         self.metrics = ServerMetrics()
 
     # -- lifecycle ---------------------------------------------------------
@@ -187,7 +186,6 @@ class FederationServer:
     async def _process(self, query: str, choices, question_id: str) -> dict:
         query_id = str(uuid.uuid4())
         start = time.time()
-        self._num_queries += 1
 
         # wikipedia formats query+choices for encoding (http_server.py:147-150)
         if self.world.name == "wikipedia":

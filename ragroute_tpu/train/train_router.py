@@ -189,13 +189,36 @@ def train_router(
     val_fraction: float = 0.2,
     seed: int = 0,
     verbose: bool = False,
+    split_path: Optional[str] = None,
 ) -> TrainResult:
-    """Full training loop with best-val checkpointing + threshold search."""
+    """Full training loop with best-val checkpointing + threshold search.
+
+    ``split_path``: persist/reuse the train/val split as JSON, mirroring the
+    reference's frozen splits (``train_test_split_per_benchmark.json`` /
+    ``split.json``, train_medrag_router.py:296-317) so retraining runs are
+    comparable.
+    """
     m, d_in = features.shape
-    rng = np.random.default_rng(seed)
-    perm = rng.permutation(m)
-    n_val = max(1, int(m * val_fraction))
-    val_idx, train_idx = perm[:n_val], perm[n_val:]
+    if split_path and os.path.exists(split_path):
+        with open(split_path) as f:
+            saved = json.load(f)
+        val_idx = np.asarray(saved["val"], dtype=np.int64)
+        train_idx = np.asarray(saved["train"], dtype=np.int64)
+        if len(val_idx) + len(train_idx) != m:
+            raise ValueError(
+                f"persisted split at {split_path} covers "
+                f"{len(val_idx) + len(train_idx)} examples, dataset has {m}")
+    else:
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(m)
+        n_val = max(1, int(m * val_fraction))
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+        if split_path:
+            os.makedirs(os.path.dirname(os.path.abspath(split_path)),
+                        exist_ok=True)
+            with open(split_path, "w") as f:
+                json.dump({"train": train_idx.tolist(),
+                           "val": val_idx.tolist()}, f)
 
     x_train_raw = features[train_idx]
     scaler = fit_scaler(x_train_raw) if use_scaler else None

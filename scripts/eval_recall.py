@@ -1,0 +1,105 @@
+"""Recall-parity evaluation: engine vs exact f32 brute force.
+
+The acceptance gate from SURVEY §4/BASELINE.md: recall@k of the TPU engine
+(bf16 index + fused kernel) measured against an exact float32 brute-force
+oracle over the same corpus, per routing strategy. Prints a JSON report.
+
+    python scripts/eval_recall.py --dataset medrag --strategies all ragroute
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def exact_oracle(world, embeddings, query_embs, k, mask=None):
+    """Exact f32 global top-k (set per query) with reference semantics."""
+    nq = next(iter(query_embs.values())).shape[0]
+    out = []
+    for qi in range(nq):
+        cands = []
+        for si, src in enumerate(world.sources):
+            if mask is not None and not mask[qi, si]:
+                continue
+            q = query_embs[src.encoder][qi].astype(np.float32)
+            docs = np.asarray(embeddings[src.name], np.float32)
+            if src.score_mode == "cos":
+                dn = docs / np.maximum(
+                    np.linalg.norm(docs, axis=1, keepdims=True), 1e-12)
+                s = dn @ (q / max(np.linalg.norm(q), 1e-12))
+            elif src.score_mode == "l2":
+                s = -((docs - q) ** 2).sum(1)
+            else:
+                s = docs @ q
+            order = np.argsort(-s, kind="stable")[:k]
+            cands.extend((float(s[li]), si, int(li)) for li in order)
+        cands.sort(key=lambda t: -t[0])
+        out.append({(si, li) for _, si, li in cands[:k]})
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", default="medrag")
+    parser.add_argument("--data-root", default=None)
+    parser.add_argument("--strategies", nargs="+",
+                        default=["all", "ragroute", "random"])
+    parser.add_argument("--dtype", default="bfloat16",
+                        choices=["bfloat16", "float32"])
+    parser.add_argument("--num-queries", type=int, default=128)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ragroute_tpu.config import data_root, get_world
+    from ragroute_tpu.engine import FederatedSearchEngine
+    from ragroute_tpu.system import load_world_artifacts
+
+    root = args.data_root or data_root()
+    world = get_world(args.dataset)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    (shard_set, params, bank, provider, _, _, threshold) = \
+        load_world_artifacts(root, world, dtype=dtype)
+    engine = FederatedSearchEngine(shard_set, params, bank,
+                                   threshold=threshold)
+
+    # raw embeddings for the oracle + the precomputed query table
+    wroot = os.path.join(root, world.name)
+    embeddings = {
+        s.name: np.load(os.path.join(wroot, s.name, "embeddings.npy"),
+                        mmap_mode="r")
+        for s in world.sources
+    }
+    qids = sorted(provider.table)[: args.num_queries]
+    query_embs = {
+        enc: np.stack([provider.table[q][enc] for q in qids])
+        for enc in world.encoders
+    }
+
+    report = {"dataset": world.name, "k": world.k, "dtype": args.dtype,
+              "num_queries": len(qids), "recall": {}}
+    for strategy in args.strategies:
+        out = engine.search(query_embs, strategy=strategy)
+        mask = out.mask if strategy != "all" else None
+        oracle = exact_oracle(world, embeddings, query_embs, world.k,
+                              mask=mask)
+        recalls = []
+        for qi in range(len(qids)):
+            got = {
+                (int(s), int(l))
+                for s, l in zip(out.merged_shard[qi], out.merged_local[qi])
+                if s >= 0
+            }
+            want = oracle[qi]
+            recalls.append(len(got & want) / max(len(want), 1))
+        report["recall"][strategy] = round(float(np.mean(recalls)), 4)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

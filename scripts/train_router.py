@@ -79,6 +79,7 @@ def main(argv=None):
 
     result = train_router(
         x, y,
+        split_path=os.path.join(wroot, "split.json"),
         use_scaler=world.uses_scaler,
         pos_weight=pos_weight,
         num_epochs=args.epochs or NUM_EPOCHS,

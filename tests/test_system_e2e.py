@@ -132,3 +132,55 @@ def test_simulate_mode_boots():
             await system.stop()
 
     asyncio.run(run())
+
+
+def test_feb4rag_full_system(tmp_path):
+    """FeB4RAG world through ServingSystem: 13 heterogeneous shards,
+    synthetic qrels loaded from the data root, oracle rerank served."""
+    root = str(tmp_path / "feb_data")
+    syn = make_synthetic_world("feb4rag", docs_per_source=520,
+                               num_queries=4, seed=3)
+    save_world(syn, root)
+    assert os.path.exists(os.path.join(root, "feb4rag", "qrels.txt"))
+
+    async def run():
+        system = ServingSystem(make_args(
+            dataset="feb4rag", data_root=root, buckets=(4,)))
+        await system.start()
+        try:
+            assert system.server.relevance_data  # qrels loaded
+            import aiohttp
+
+            port = system.server.bound_port
+            q = syn.questions[0]
+            async with aiohttp.ClientSession() as s:
+                enc_q = aiohttp.helpers.quote(q["question"])
+                enc_c = aiohttp.helpers.quote(json.dumps(["x"]))
+                async with s.get(
+                    f"http://127.0.0.1:{port}/query?q={enc_q}"
+                    f"&choices={enc_c}&qid={q['qid']}"
+                ) as r:
+                    assert r.status == 200
+                    body = await r.json()
+            md = body["metadata"]
+            assert len(md["data_sources"]) == 13  # routing=all
+            top = md["top_docs"]
+            assert len(top) == 10
+            # qrels oracle: top docs must be exactly the query's true
+            # top-k ids (save_world writes qrels from exact brute force)
+            want_prefix = top[0]["_id"]
+            qrels = {}
+            with open(os.path.join(root, "feb4rag", "qrels.txt")) as f:
+                for line in f:
+                    qid, _, did, rel = line.split()
+                    if qid == q["qid"]:
+                        qrels[did] = int(rel)
+            assert want_prefix in qrels
+            # ranked by descending qrels relevance
+            rels = [qrels.get(d["_id"], -1) for d in top]
+            in_qrels = [r for r in rels if r >= 0]
+            assert in_qrels == sorted(in_qrels, reverse=True)
+        finally:
+            await system.stop()
+
+    asyncio.run(run())
