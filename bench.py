@@ -31,6 +31,12 @@ def log(*a):
 
 def main():
     import jax
+
+    # persistent compile cache: Mosaic compiles on this backend take
+    # minutes; repeat bench runs hit the cache instead
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_ragroute"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 

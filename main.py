@@ -47,11 +47,17 @@ def parse_args(argv=None):
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact"],
                         help="Top-k kernel implementation")
+    parser.add_argument("--buckets", type=int, nargs="+", default=None,
+                        help="Batch bucket sizes (each is compiled at "
+                             "startup; default 1 8 32 128 512)")
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    from ragroute_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     system = ServingSystem(args)
     try:
         asyncio.run(system.run_forever())

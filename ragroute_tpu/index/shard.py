@@ -92,6 +92,12 @@ class ShardSet:
                 raise ValueError(
                     f"{src.name}: embeddings shape {emb.shape} != "
                     f"[n, {src.embed_dim}]")
+            if emb.shape[0] < world.k:
+                # FAISS silently returns -1 ids when k > ntotal
+                # (reference would then index metadatas[-1]); fail loudly.
+                raise ValueError(
+                    f"{src.name}: only {emb.shape[0]} docs but k={world.k}; "
+                    f"a shard must hold at least k documents")
             if src.score_mode == "cos" and normalize_cos:
                 norms = np.linalg.norm(emb, axis=1, keepdims=True)
                 emb = emb / np.maximum(norms, 1e-12)

@@ -36,7 +36,6 @@ natural form. For ``l2``: gain = 2*q·d − |d|², and squared-L2 =
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -13,12 +13,11 @@ the server so results are identical to the HTTP path.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ragroute_tpu.config import LLM_MODELS, WorldConfig, get_world
+from ragroute_tpu.config import WorldConfig, get_world
 from ragroute_tpu.engine.engine import FederatedSearchEngine
 from ragroute_tpu.engine.prompts import (
     generate_llm_message,

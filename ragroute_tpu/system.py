@@ -20,7 +20,7 @@ import json
 import logging
 import os
 import signal
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -34,7 +34,7 @@ from ragroute_tpu.engine.rerank import load_qrels
 from ragroute_tpu.engine.server import FederationServer
 from ragroute_tpu.index import ShardSet, make_synthetic_world
 from ragroute_tpu.index.shard import SHARD_PAD_MULTIPLE
-from ragroute_tpu.index.store import JsonlDirDocStore, MemoryDocStore
+from ragroute_tpu.index.store import MemoryDocStore
 from ragroute_tpu.router import RouterBank, init_router_params
 from ragroute_tpu.router.torch_import import load_router_npz, load_torch_router
 

@@ -4,7 +4,6 @@ import asyncio
 import json
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
