@@ -79,9 +79,13 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
     """
     tq = min(b_pad, 512)
     while tq >= 64:
-        q_bytes = tq * d * 4 + (tq * d * doc_bytes if doc_bytes != 4 else 0)
+        # queries are pre-cast to the doc dtype in the wrapper, so only one
+        # copy of the query tile lives in VMEM
+        q_bytes = tq * d * doc_bytes
         avail = _VMEM_BUDGET - q_bytes
-        per_td = 2 * d * doc_bytes + 2 * tq * 4
+        # per doc-tile column: double-buffered docs + gains value + merge
+        # buffer + one compiler temporary
+        per_td = 2 * d * doc_bytes + 3 * tq * 4
         td = avail // per_td if avail > 0 else 0
         if td >= 256:
             td = min(4096, 1 << (int(td).bit_length() - 1))
@@ -104,8 +108,6 @@ def _topk_kernel(
 
     q = q_ref[:]
     docs = docs_ref[:]
-    if docs.dtype != q.dtype:
-        q = q.astype(docs.dtype)
     # [TQ, TD] gains on the MXU; f32 accumulation regardless of input dtype.
     # Precision policy (utils.precision): HIGHEST for f32 on CPU parity
     # runs, single-pass DEFAULT on TPU / for bf16 operands.
@@ -127,22 +129,27 @@ def _topk_kernel(
         gidx = col + j * td
         gains = jnp.where(gidx < valid, gains, NEG_INF)
 
-    # Merge: repeatedly extract the per-row max of the remaining tile and
-    # insert it into the running sorted top-k — but ONLY while some row can
-    # still improve. In steady state (most tiles beat nobody's k-th best)
-    # a tile costs one row-max pass and the whole loop is skipped; tiles
-    # that do contribute pay one iteration per inserted element and set
-    # `done` as soon as no row improves. Implemented as a static fori_loop
-    # over scratch refs with scalar-only carries (a while_loop carrying the
-    # [TQ, TD] gains tile compiles ~60x slower in Mosaic).
-    row_max = jnp.max(gains, axis=1)
-    need_merge = jnp.any(row_max > run_g[:, k - 1])
+    # --- Software-pipelined merge ---------------------------------------
+    #
+    # Merge work is VPU-only and the matmul is MXU-only, so the kernel
+    # defers each tile's merge by one grid step: while the MXU computes
+    # tile j's gains, the VPU merges tile j-1's (stashed in gains_buf).
+    # Mosaic can overlap the two units because the merge has no data
+    # dependency on the in-flight matmul. The final tile is merged
+    # in-step before emitting.
+    #
+    # Merge algorithm (unchanged semantics): repeatedly extract the
+    # per-row max of the stashed tile and insert it into the running
+    # sorted top-k, stopping as soon as no row can improve; implemented as
+    # a fori_loop with a done flag over scratch refs with scalar-only
+    # carries (a while_loop carrying the [TQ, TD] tile compiles ~60x
+    # slower in Mosaic, and large value carries through cond/fori get
+    # copied per iteration — see module docstring tuning notes).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
-    @pl.when(need_merge)
-    def _merge():
-        gains_buf[:] = gains
+    def merge_stashed(offset):
+        """Merge gains_buf (global col = col + offset) into run_g/run_i."""
         done[0] = 0
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
         def insert_step(t, carry):
             @pl.when(done[0] == 0)
@@ -171,7 +178,7 @@ def _topk_kernel(
                         [cur_g[:, :1], cur_g[:, :-1]], axis=1)
                     sh_i = jnp.concatenate(
                         [cur_i[:, :1], cur_i[:, :-1]], axis=1)
-                    gid = am + j * td
+                    gid = am + offset
                     new_g = jnp.where(
                         lane < pos[:, None], cur_g,
                         jnp.where(lane == pos[:, None], m[:, None], sh_g))
@@ -191,6 +198,17 @@ def _topk_kernel(
         # <= k iterations: each improving row inserts one element per
         # iteration and a row can absorb at most k new entries per tile.
         jax.lax.fori_loop(0, k, insert_step, 0)
+
+    @pl.when(j > 0)
+    def _merge_prev():
+        merge_stashed((j - 1) * td)
+
+    # stash this tile for the next grid step (or the in-step final merge)
+    gains_buf[:] = gains
+
+    @pl.when(j == n_doc_tiles - 1)
+    def _merge_last():
+        merge_stashed(j * td)
 
     @pl.when(j == n_doc_tiles - 1)
     def _emit():
@@ -244,6 +262,8 @@ def pallas_topk(
 
     if b_pad != bsz:
         q = jnp.pad(q, ((0, b_pad - bsz), (0, 0)))
+    if docs.dtype != q.dtype:
+        q = q.astype(docs.dtype)
     if n_pad != n:
         docs = jnp.pad(docs, ((0, n_pad - n), (0, 0)))
         b = jnp.pad(b, (0, n_pad - n))

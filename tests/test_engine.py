@@ -154,3 +154,29 @@ def test_resolve_doc_ids():
     src_name, payload = resolved[0]
     assert payload == {"source": f"{src_name}_chunk0",
                        "index": int(out.merged_local[0, 0])}
+
+
+def test_compaction_matches_uncompacted():
+    """Bucketed batch compaction must not change any routed query's results."""
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world("medrag", docs_per_source=700,
+                               num_queries=32, seed=11, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(2),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    eng_on = FederatedSearchEngine(shard_set, params, bank, impl="exact",
+                                   compaction=True, seed=7)
+    eng_off = FederatedSearchEngine(shard_set, params, bank, impl="exact",
+                                    compaction=False, seed=7)
+    a = eng_on.search(syn.query_embs, strategy="ragroute")
+    b = eng_off.search(syn.query_embs, strategy="ragroute")
+    np.testing.assert_array_equal(a.mask, b.mask)
+    # some shard must have actually taken the compact path
+    assert (a.mask.sum(axis=0) <= 16).any(), a.mask.sum(axis=0)
+    np.testing.assert_array_equal(a.merged_shard, b.merged_shard)
+    np.testing.assert_array_equal(a.merged_local, b.merged_local)
+    np.testing.assert_allclose(a.merged_score, b.merged_score, rtol=1e-6)
