@@ -104,3 +104,26 @@ def test_sharded_step_ragroute_strategy():
     np.testing.assert_array_equal(
         np.asarray(mask),
         np.asarray(probs) > syn.world.router_threshold)
+
+
+def test_sharded_feb4rag_heterogeneous():
+    """13 corpora with 768/1024/4096-d encoders each doc-sharded over idx."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("feb4rag", docs_per_source=512,
+                               num_queries=4, seed=9, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    out = sharded.search(syn.query_embs, strategy="all")
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ref = engine.search(syn.query_embs, strategy="all")
+    for qi in range(4):
+        got = set(zip(np.asarray(out[5])[qi].tolist(),
+                      np.asarray(out[6])[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.9 * syn.world.k)

@@ -229,3 +229,23 @@ def test_stats_endpoint_aggregates():
             await server.stop()
 
     asyncio.run(run())
+
+
+def test_batcher_bounded_queue():
+    """The batcher queue is bounded like the reference's router queue
+    (MAX_QUEUE_SIZE=100, config.py:13); submit blocks rather than grows."""
+    from ragroute_tpu.engine.batcher import QueryBatcher
+
+    async def run():
+        syn, server = make_server(strategy="all")
+        b = QueryBatcher(server.engine, strategy="all", max_queue=2)
+        assert b.queue.maxsize == 2
+        # without a worker running, the 3rd put must block
+        import numpy as np
+        embs = {e: np.zeros(768, np.float32)
+                for e in syn.world.encoders}
+        await b.queue.put((embs, None))
+        await b.queue.put((embs, None))
+        assert b.queue.full()
+
+    asyncio.run(run())
