@@ -147,5 +147,17 @@ def main():
     }))
 
 
+def _main_with_fallback():
+    try:
+        main()
+    except Exception as e:  # degrade rather than report nothing
+        log(f"bench failed at full scale ({e!r}); retrying at half scale")
+        os.environ["RAGROUTE_BENCH_DOCS"] = str(
+            int(os.environ.get("RAGROUTE_BENCH_DOCS", 1 << 20)) // 2)
+        os.environ["RAGROUTE_BENCH_BATCH"] = str(
+            int(os.environ.get("RAGROUTE_BENCH_BATCH", 1024)) // 2)
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_fallback()

@@ -55,7 +55,7 @@ class QueryBatcher:
         strategy: str = "ragroute",
         window_ms: float = BATCH_WINDOW_MS,
         buckets: Sequence[int] = BATCH_BUCKETS,
-        max_queue: int = MAX_QUEUE_SIZE,
+        max_queue: Optional[int] = None,
         staged: bool = True,
     ):
         self.engine = engine
@@ -63,6 +63,12 @@ class QueryBatcher:
         self.window_s = window_ms / 1e3
         self.buckets = tuple(sorted(buckets))
         self.staged = staged
+        # inbox bound: at least the reference's router-queue bound
+        # (MAX_QUEUE_SIZE=100, config.py:13), but never smaller than two
+        # full device batches — a 100-item bound would cap batch formation
+        # below the largest bucket and throttle throughput.
+        if max_queue is None:
+            max_queue = max(MAX_QUEUE_SIZE, 2 * self.buckets[-1])
         self.queue: asyncio.Queue = asyncio.Queue(maxsize=max_queue)
         self._task: Optional[asyncio.Task] = None
         self._running = False
