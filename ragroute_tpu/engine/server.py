@@ -204,24 +204,34 @@ class FederationServer:
             for i in range(self.world.num_sources) if res.mask[i]
         ]
 
-        # per-source stats with serialized-response message sizes
+        # Per-source stats with serialized-response message sizes. For the
+        # score-merged worlds only the SIZE of the per-source response is
+        # needed (the docs themselves are resolved once, for the merged
+        # top-k) — raw line lengths from the doc store avoid k parses per
+        # source per query; feb4rag resolves fully because the qrels-oracle
+        # rerank consumes per-source candidates.
         ds_stats = {}
         per_source_docs: Dict[str, List] = {}
         per_source_ids: Dict[str, List] = {}
+        need_docs = self.world.name == "feb4rag"
         for si, src in enumerate(self.world.sources):
             if not res.mask[si]:
                 continue
-            ids, docs, scores = self._resolve_source(res, si)
-            per_source_ids[src.name] = ids
-            per_source_docs[src.name] = docs
-            payload = {
-                "query_id": query_id, "client_id": si, "name": src.name,
-                "indices": ids, "docs": docs, "scores": scores,
-                "duration": res.doc_select_time,
-            }
+            if need_docs:
+                ids, docs, scores = self._resolve_source(res, si)
+                per_source_ids[src.name] = ids
+                per_source_docs[src.name] = docs
+                payload = {
+                    "query_id": query_id, "client_id": si, "name": src.name,
+                    "indices": ids, "docs": docs, "scores": scores,
+                    "duration": res.doc_select_time,
+                }
+                msg_size = len(json.dumps(payload, default=str))
+            else:
+                msg_size = self._estimate_message_size(res, si, query_id)
             ds_stats[src.name] = {
                 "duration": res.doc_select_time,
-                "message_size": len(json.dumps(payload, default=str)),
+                "message_size": msg_size,
             }
 
         top_docs = self._merge_top_docs(
@@ -274,6 +284,24 @@ class FederationServer:
             "routing_strategy": self.strategy,
         }
         return response
+
+    def _estimate_message_size(self, res: QueryResult, si: int,
+                               query_id: str) -> int:
+        """Serialized size of the equivalent per-source response without
+        parsing doc payloads: envelope + ids + scores + raw doc bytes."""
+        src = self.world.sources[si]
+        id_table = self.engine.shard_set.doc_ids.get(src.name)
+        size = len(query_id) + len(src.name) + 96  # envelope + keys
+        get_raw = getattr(self.doc_store, "get_raw", None)
+        for r in range(res.shard_ids.shape[1]):
+            local = int(res.shard_ids[si, r])
+            size += 20  # score float repr + separators
+            if id_table:
+                size += len(str(id_table[local])) + 4
+            if get_raw is not None:
+                raw = get_raw(src.name, local)
+                size += (len(raw) if raw else 4) + 2
+        return size
 
     def _resolve_source(self, res: QueryResult, si: int):
         """One source's k candidates as (ids, docs, scores) — the data the
