@@ -117,7 +117,6 @@ def _score_fn(
     """
     some_enc = world.sources[0].encoder
     bsz = query_embs[some_enc].shape[0]
-    half = bsz // 2
 
     per_scores: List[jnp.ndarray] = []
     per_ids: List[jnp.ndarray] = []
@@ -133,11 +132,11 @@ def _score_fn(
                 q, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, impl=impl)
 
-        def compact(q=q, docs=docs, bias=bias, src=src, n=n_docs[i],
-                    routed=routed, worst=worst):
+        def compact_to(cb, q=q, docs=docs, bias=bias, src=src, n=n_docs[i],
+                       routed=routed, worst=worst):
             order = jnp.argsort(
                 jnp.logical_not(routed), stable=True)        # routed first
-            sel = order[:half]
+            sel = order[:cb]
             s_c, i_c = shard_topk(
                 q[sel], docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, impl=impl)
@@ -151,10 +150,22 @@ def _score_fn(
                 jnp.zeros((bsz, k), dtype=jnp.int32),
             )
 
-        if compaction and half >= 8:
+        # compaction tiers: B/4 (e.g. wikipedia's 2-of-10 routing) and B/2
+        # (medrag's 2-of-4); each tier is one extra compiled kernel variant
+        # per shard shape.
+        half, quarter = bsz // 2, bsz // 4
+        if compaction and quarter >= 8:
             s, idx = jax.lax.cond(
                 cnt == 0, skipped,
-                lambda: jax.lax.cond(cnt <= half, compact, full))
+                lambda: jax.lax.cond(
+                    cnt <= quarter, lambda: compact_to(quarter),
+                    lambda: jax.lax.cond(
+                        cnt <= half, lambda: compact_to(half), full)))
+        elif compaction and half >= 8:
+            s, idx = jax.lax.cond(
+                cnt == 0, skipped,
+                lambda: jax.lax.cond(
+                    cnt <= half, lambda: compact_to(half), full))
         else:
             s, idx = jax.lax.cond(cnt > 0, full, skipped)
         per_scores.append(s)

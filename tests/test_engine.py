@@ -180,3 +180,29 @@ def test_compaction_matches_uncompacted():
     np.testing.assert_array_equal(a.merged_shard, b.merged_shard)
     np.testing.assert_array_equal(a.merged_local, b.merged_local)
     np.testing.assert_allclose(a.merged_score, b.merged_score, rtol=1e-6)
+
+
+def test_quarter_tier_compaction_wikipedia():
+    """Wikipedia random routing (2 of 10) lands in the B/4 tier and must
+    match the uncompacted engine exactly."""
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world("wikipedia", docs_per_source=600,
+                               num_queries=64, seed=13, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(2),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    eng_on = FederatedSearchEngine(shard_set, params, bank, impl="exact",
+                                   compaction=True, seed=3)
+    eng_off = FederatedSearchEngine(shard_set, params, bank, impl="exact",
+                                    compaction=False, seed=3)
+    a = eng_on.search(syn.query_embs, strategy="random")
+    b = eng_off.search(syn.query_embs, strategy="random")
+    np.testing.assert_array_equal(a.mask, b.mask)
+    # 2-of-10 routing at B=64: per-shard counts ~12-14 <= 16 (quarter tier)
+    assert (a.mask.sum(axis=0) <= 16).any(), a.mask.sum(axis=0)
+    np.testing.assert_array_equal(a.merged_shard, b.merged_shard)
+    np.testing.assert_array_equal(a.merged_local, b.merged_local)
