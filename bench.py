@@ -12,7 +12,8 @@ Prints ONE JSON line:
 BASELINE.md). Everything else goes to stderr.
 
 Env knobs:
-    RAGROUTE_BENCH_DOCS    total docs across the 4 shards (default 1,048,576)
+    RAGROUTE_BENCH_WORLD   medrag | feb4rag | wikipedia   (default medrag)
+    RAGROUTE_BENCH_DOCS    total docs across all shards   (default 1,048,576)
     RAGROUTE_BENCH_BATCH   query batch size               (default 1024)
     RAGROUTE_BENCH_REPS    timed batches                  (default 16)
     RAGROUTE_BENCH_DTYPE   bfloat16 | float32             (default bfloat16)
@@ -44,6 +45,7 @@ def main():
     from ragroute_tpu.index import ShardSet, make_synthetic_world
     from ragroute_tpu.router import RouterBank, init_router_params
 
+    world_name = os.environ.get("RAGROUTE_BENCH_WORLD", "medrag")
     total_docs = int(os.environ.get("RAGROUTE_BENCH_DOCS", 1 << 20))
     batch = int(os.environ.get("RAGROUTE_BENCH_BATCH", 1024))
     reps = int(os.environ.get("RAGROUTE_BENCH_REPS", 16))
@@ -53,15 +55,24 @@ def main():
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    # MedRAG-shaped world: 4 shards, realistic size skew (pubmed dominates,
-    # reference DATA_SOURCES config.py:33), d=768, k=32.
-    weights = {"pubmed": 0.70, "statpearls": 0.10,
-               "textbooks": 0.08, "wikipedia": 0.12}
-    sizes = {n: max(2048, int(total_docs * w)) for n, w in weights.items()}
-    log(f"building synthetic medrag world: {sizes} (dtype={dtype_name})")
+    from ragroute_tpu.config import get_world
+
+    world_cfg = get_world(world_name)
+    if world_name == "medrag":
+        # realistic size skew: pubmed dominates (reference config.py:33)
+        weights = {"pubmed": 0.70, "statpearls": 0.10,
+                   "textbooks": 0.08, "wikipedia": 0.12}
+        sizes = {n: max(2048, int(total_docs * w))
+                 for n, w in weights.items()}
+    else:
+        n_src = world_cfg.num_sources
+        sizes = {s.name: max(2048, total_docs // n_src)
+                 for s in world_cfg.sources}
+    log(f"building synthetic {world_name} world: {sizes} "
+        f"(dtype={dtype_name})")
     t0 = time.time()
     syn = make_synthetic_world(
-        "medrag", docs_per_source_map=sizes, docs_per_source=4096,
+        world_name, docs_per_source_map=sizes, docs_per_source=4096,
         num_queries=batch, seed=0, with_payloads=False)
     log(f"generated in {time.time() - t0:.1f}s")
 
@@ -135,7 +146,9 @@ def main():
         elapsed = time.time() - t0
 
     qps = reps * batch / elapsed
-    flops = 2.0 * batch * sum(n_docs) * 768 * reps
+    dims = [s.embed_dim for s in world.sources]
+    flops = 2.0 * batch * reps * sum(
+        n * d for n, d in zip(n_docs, dims))
     log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s, "
         f"{flops / elapsed / 1e12:.1f} TFLOPS effective")
 
