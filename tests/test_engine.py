@@ -206,3 +206,22 @@ def test_quarter_tier_compaction_wikipedia():
     assert (a.mask.sum(axis=0) <= 16).any(), a.mask.sum(axis=0)
     np.testing.assert_array_equal(a.merged_shard, b.merged_shard)
     np.testing.assert_array_equal(a.merged_local, b.merged_local)
+
+
+def test_fused_step_matches_staged():
+    """staged=False (one fused dispatch) returns the same results as the
+    two-call staged mode; only the timing attribution differs."""
+    syn, eng = build_engine("medrag", docs_per_source=600, num_queries=8,
+                            seed=21)
+    a = eng.search(syn.query_embs, strategy="all", staged=True)
+    b = eng.search(syn.query_embs, strategy="all", staged=False)
+    np.testing.assert_array_equal(a.merged_shard, b.merged_shard)
+    np.testing.assert_array_equal(a.merged_local, b.merged_local)
+    assert b.selection_time == 0.0  # fused: stages not separable
+    assert b.doc_select_time > 0.0
+
+
+def test_search_missing_encoder_errors():
+    syn, eng = build_engine("medrag", docs_per_source=600, num_queries=2)
+    with pytest.raises(KeyError, match="missing query embeddings"):
+        eng.search({}, strategy="all")
