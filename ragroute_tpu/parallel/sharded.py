@@ -45,14 +45,19 @@ def sharded_shard_topk(
     *,
     mode: str = "dot",
     impl: str = "auto",
+    routed: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a doc-axis-sharded corpus.
 
     ``queries [B, d]`` is split over ``dp`` (replicated over ``idx``);
     ``docs [N, d]`` / ``bias [N]`` are split over ``idx`` (replicated over
     ``dp``). Padding rows must carry ``-inf`` bias (ShardSet does this).
-    Returns globally-merged ``(scores [B, k], global_indices [B, k])``,
-    batch-sharded over ``dp``.
+    ``routed [B] bool`` (dp-split) enables routing-aware compaction: when
+    at most half of a device's local batch routes here, only a gathered
+    half batch is scored (per-device ``lax.cond``; safe under SPMD since
+    neither branch contains a collective — the all-gather merge runs
+    unconditionally after). Returns globally-merged
+    ``(scores [B, k], global_indices [B, k])``, batch-sharded over ``dp``.
     """
     n_idx = mesh.shape["idx"]
     n = docs.shape[0]
@@ -60,9 +65,36 @@ def sharded_shard_topk(
         raise ValueError(f"doc axis {n} not divisible by idx={n_idx}")
     n_local = n // n_idx
     l2 = mode == "l2"
+    worst = jnp.inf if l2 else -jnp.inf
 
-    def local_fn(q_l, docs_l, bias_l):
-        s, i = shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l, impl=impl)
+    def local_topk(q_l, docs_l, bias_l, routed_l):
+        if routed_l is None:
+            return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
+                              impl=impl)
+        bsz_l = q_l.shape[0]
+        half = bsz_l // 2
+
+        def full():
+            return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
+                              impl=impl)
+
+        def compact():
+            order = jnp.argsort(jnp.logical_not(routed_l), stable=True)
+            sel = order[:half]
+            s_c, i_c = shard_topk(q_l[sel], docs_l, k, mode=mode,
+                                  bias=bias_l, impl=impl)
+            s = jnp.full((bsz_l, k), worst,
+                         dtype=jnp.float32).at[sel].set(s_c)
+            idx = jnp.zeros((bsz_l, k), dtype=jnp.int32).at[sel].set(i_c)
+            return s, idx
+
+        if half < 8:
+            return full()
+        return jax.lax.cond(routed_l.sum() <= half, compact, full)
+
+    def local_fn(q_l, docs_l, bias_l, *maybe_routed):
+        routed_l = maybe_routed[0] if maybe_routed else None
+        s, i = local_topk(q_l, docs_l, bias_l, routed_l)
         key = -s if l2 else s
         gid = i + jax.lax.axis_index("idx") * n_local
         # all-gather candidate pairs over ICI: [idx, B/dp, k]
@@ -75,16 +107,21 @@ def sharded_shard_topk(
         gi = jnp.take_along_axis(gids, pos, axis=1)
         return (-top if l2 else top), gi
 
+    in_specs = [P("dp", None), P("idx", None), P("idx")]
+    args = [queries, docs, bias]
+    if routed is not None:
+        in_specs.append(P("dp"))
+        args.append(routed)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("dp", None), P("idx", None), P("idx")),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", None), P("dp", None)),
         # outputs ARE replicated over idx (identical merge of the same
         # all-gathered candidates on every idx peer), but the static
         # varying-manual-axes checker can't prove it
         check_vma=False,
-    )(queries, docs, bias)
+    )(*args)
 
 
 class ShardedSearch:
@@ -147,7 +184,7 @@ class ShardedSearch:
                 docs, bias = arrays[i]
                 s, gi = sharded_shard_topk(
                     mesh_, query_embs[src.encoder], docs, bias, k,
-                    mode=src.score_mode, impl=impl__)
+                    mode=src.score_mode, impl=impl__, routed=mask[:, i])
                 per_scores.append(s)
                 per_ids.append(gi)
             return (probs, mask) + gate_and_merge(
