@@ -33,7 +33,11 @@ end to end). Alternatives MEASURED SLOWER on this backend and reverted:
   * read-only lexicographic (value, col) cursor walk (zero VMEM writes):
     28.3 us (Mosaic copies large value carries through cond/fori);
   * unconditional masked body with a single scalar reduction: 15.7 us
-    (the terminal wasted iteration costs more than the branch stalls).
+    (the terminal wasted iteration costs more than the branch stalls);
+  * 4 unrolled masked inserts per sync point (quartering the jnp.any
+    vector->scalar stalls): 21.2 us — wide-pass VMEM traffic, not sync
+    stalls, is the cost, so wasted unconditional extracts lose to the
+    per-insert adaptive exit.
 Merge cost is intrinsic: exact streaming top-k performs ~k*ln(n_tiles)
 inserts per row (~300 here), and each insert is VPU passes over the tile.
 
