@@ -1,6 +1,7 @@
 """Host-layer tests: rerank parity, prompts, templates, answer checkers."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -163,3 +164,33 @@ def test_benchmark_loaders(tmp_path):
                           "answer": "A"}}}))
     b = Benchmark(str(tmp_path), "MIRAGE")
     assert b.benchmark_data["medqa"]["q0"]["answer"] == "A"
+
+
+REFERENCE = "/root/reference"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference snapshot not mounted")
+def test_feb4rag_loader_on_real_reference_data():
+    """Our FeB4RAG loader consumes the reference's actual benchmark file."""
+    b = Benchmark(os.path.join(REFERENCE, "data", "benchmark"), "FeB4RAG")
+    qs = b.benchmark_data["FeB4RAG"]
+    assert len(qs) == 790  # the reference's full query set
+    assert all(isinstance(q["question"], str) and q["options"] == []
+               for q in qs.values())
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                    reason="reference snapshot not mounted")
+def test_question_order_files_compatible():
+    """The reference's frozen question-order files parse as our client
+    expects (run_benchmark.py order reuse)."""
+    path = os.path.join(REFERENCE, "data",
+                        "question_order_FeB4RAG_FeB4RAG.json")
+    with open(path) as f:
+        order = json.load(f)
+    assert isinstance(order, list) and len(order) == 790
+    b = Benchmark(os.path.join(REFERENCE, "data", "benchmark"), "FeB4RAG")
+    qs = b.benchmark_data["FeB4RAG"]
+    matched = [qid for qid in order if qid in qs]
+    assert len(matched) == 790
