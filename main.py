@@ -42,8 +42,10 @@ def parse_args(argv=None):
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["bfloat16", "float32"],
-                        help="On-device index dtype")
+                        choices=["bfloat16", "float32", "int8"],
+                        help="On-device index dtype (int8: per-doc "
+                             "symmetric quantization, 2x capacity over "
+                             "bf16 at ~1.5%% recall@32 cost)")
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact"],
                         help="Top-k kernel implementation")

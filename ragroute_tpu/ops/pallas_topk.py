@@ -99,10 +99,15 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
 
 
 def _topk_kernel(
-    q_ref, docs_ref, bias_ref, out_g_ref, out_i_ref,
-    run_g, run_i, gains_buf, done,
-    *, k: int, td: int, n_doc_tiles: int, valid: int, n_pad: int,
+    q_ref, docs_ref, bias_ref, *rest,
+    k: int, td: int, n_doc_tiles: int, valid: int, n_pad: int,
+    scaled: bool,
 ):
+    if scaled:
+        scale_ref, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
+    else:
+        scale_ref = None
+        out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -112,6 +117,10 @@ def _topk_kernel(
 
     q = q_ref[:]
     docs = docs_ref[:]
+    if docs.dtype == jnp.int8:
+        # int8 index: halve HBM traffic/capacity; dequantize via the fused
+        # per-doc scale epilogue below (MXU runs the bf16 cast of the tile)
+        docs = docs.astype(q.dtype)
     # [TQ, TD] gains on the MXU; f32 accumulation regardless of input dtype.
     # Precision policy (utils.precision): HIGHEST for f32 on CPU parity
     # runs, single-pass DEFAULT on TPU / for bf16 operands.
@@ -124,6 +133,8 @@ def _topk_kernel(
         precision=precision,
         preferred_element_type=jnp.float32,
     )
+    if scaled:
+        gains = gains * scale_ref[:]
     gains = gains + bias_ref[:]
 
     tq = gains.shape[0]
@@ -232,6 +243,7 @@ def pallas_topk(
     mode: str = "dot",
     valid_docs: Optional[int] = None,
     bias: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k of ``score(q, d)`` over a document shard, fused on-chip.
 
@@ -243,6 +255,8 @@ def pallas_topk(
       valid_docs: number of real (non-padding) rows in ``docs``.
       bias: optional precomputed gain-form per-doc bias ``[N]`` (for l2 this
         is ``-|d|^2``; pass it to avoid recomputing per call).
+      scale: optional per-doc dequantization factor ``[N]`` for int8 shards
+        (gain = (q . d_q) * scale + bias), fused into the kernel epilogue.
 
     Returns:
       ``(scores [B, k], indices [B, k])`` in natural score form, best-first.
@@ -266,18 +280,25 @@ def pallas_topk(
 
     if b_pad != bsz:
         q = jnp.pad(q, ((0, b_pad - bsz), (0, 0)))
-    if docs.dtype != q.dtype:
+    if docs.dtype == jnp.int8:
+        q = q.astype(jnp.bfloat16)      # kernel casts int8 docs to bf16
+    elif docs.dtype != q.dtype:
         q = q.astype(docs.dtype)
     if n_pad != n:
         docs = jnp.pad(docs, ((0, n_pad - n), (0, 0)))
         b = jnp.pad(b, (0, n_pad - n))
+        if scale is not None:
+            scale = jnp.pad(scale, (0, n_pad - n))
     bias2d = b.reshape(1, n_pad)
+    scale2d = None if scale is None else \
+        scale.astype(jnp.float32).reshape(1, n_pad)
 
     n_i = b_pad // tq
     n_j = n_pad // td
 
     kernel = functools.partial(
         _topk_kernel, k=k, td=td, n_doc_tiles=n_j, valid=valid, n_pad=n_pad,
+        scaled=scale2d is not None,
     )
 
     flops = 2 * b_pad * n_pad * d
@@ -298,7 +319,9 @@ def pallas_topk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, td), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, td), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)]
+             if scale2d is not None else []),
         out_specs=[
             pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -320,7 +343,7 @@ def pallas_topk(
         # The CPU test mesh has no Mosaic backend; interpret there so the
         # same code path is exercised everywhere.
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(q, docs, bias2d)
+    )(*([q, docs, bias2d] + ([scale2d] if scale2d is not None else [])))
 
     gains = gains[:bsz]
     idx = idx[:bsz]

@@ -90,8 +90,12 @@ def exact_topk(
     mode: str = "dot",
     valid_docs: Optional[int] = None,
     bias: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full-materialization exact top-k (test oracle).
+
+    ``scale``: optional per-doc multiplicative dequantization factor ``[N]``
+    for int8-quantized shards (gain = (q . d_q) * scale + bias).
 
     Returns ``(scores [B, k], indices [B, k])`` with scores in natural form,
     sorted best-first (descending for dot/cos, ascending for l2).
@@ -102,6 +106,8 @@ def exact_topk(
     gains = jnp.dot(q, docs.T.astype(jnp.float32),
                     precision=scoring_precision(jnp.float32),
                     preferred_element_type=jnp.float32)
+    if scale is not None:
+        gains = gains * scale[None, :]
     b = doc_bias(docs, mode) if bias is None else bias
     if b is not None:
         gains = gains + b[None, :]
@@ -136,6 +142,7 @@ def chunked_topk(
     valid_docs: Optional[int] = None,
     chunk: int = 16384,
     bias: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Memory-bounded exact top-k via ``lax.scan`` over document chunks.
 
@@ -158,19 +165,29 @@ def chunked_topk(
     bias_p = None if b is None else jnp.pad(b, (0, n_pad - n))
     docs_c = docs_p.reshape(n_chunks, chunk, d)
     bias_c = None if bias_p is None else bias_p.reshape(n_chunks, chunk)
+    scale_c = None
+    if scale is not None:
+        scale_c = jnp.pad(scale, (0, n_pad - n)).reshape(n_chunks, chunk)
+        if bias_c is None:
+            bias_c = jnp.zeros((n_chunks, chunk), jnp.float32)
 
     col = jnp.arange(chunk, dtype=jnp.int32)
 
     def step(carry, xs):
         run_g, run_i = carry
-        if bias_c is None:
+        svec = None
+        if scale_c is not None:
+            slab, bvec, svec, offset = xs
+        elif bias_c is not None:
+            slab, bvec, offset = xs
+        else:
             slab, offset = xs
             bvec = None
-        else:
-            slab, bvec, offset = xs
         gains = jnp.dot(q, slab.T.astype(q.dtype),
                         precision=scoring_precision(slab.dtype),
                         preferred_element_type=jnp.float32)
+        if svec is not None:
+            gains = gains * svec[None, :]
         if bvec is not None:
             gains = gains + bvec[None, :]
         gidx = offset + col
@@ -184,7 +201,12 @@ def chunked_topk(
         jnp.zeros((bsz, k), dtype=jnp.int32),
     )
     offsets = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    xs = (docs_c, offsets) if bias_c is None else (docs_c, bias_c, offsets)
+    if scale_c is not None:
+        xs = (docs_c, bias_c, scale_c, offsets)
+    elif bias_c is not None:
+        xs = (docs_c, bias_c, offsets)
+    else:
+        xs = (docs_c, offsets)
     (top_gain, top_idx), _ = jax.lax.scan(step, init, xs)
     return gain_to_natural(top_gain, queries, mode), top_idx
 
@@ -197,6 +219,7 @@ def shard_topk(
     mode: str = "dot",
     valid_docs: Optional[int] = None,
     bias: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     chunk: int = 16384,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -216,13 +239,14 @@ def shard_topk(
             impl = "chunked"
     if impl == "exact":
         return exact_topk(queries, docs, k, mode=mode,
-                          valid_docs=valid_docs, bias=bias)
+                          valid_docs=valid_docs, bias=bias, scale=scale)
     if impl == "chunked":
         return chunked_topk(queries, docs, k, mode=mode,
-                            valid_docs=valid_docs, chunk=chunk, bias=bias)
+                            valid_docs=valid_docs, chunk=chunk, bias=bias,
+                            scale=scale)
     if impl == "pallas":
         from ragroute_tpu.ops.pallas_topk import pallas_topk
 
         return pallas_topk(queries, docs, k, mode=mode,
-                           valid_docs=valid_docs, bias=bias)
+                           valid_docs=valid_docs, bias=bias, scale=scale)
     raise ValueError(f"Unknown impl {impl!r}")

@@ -46,6 +46,7 @@ def sharded_shard_topk(
     mode: str = "dot",
     impl: str = "auto",
     routed: Optional[jnp.ndarray] = None,
+    scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a doc-axis-sharded corpus.
 
@@ -67,22 +68,22 @@ def sharded_shard_topk(
     l2 = mode == "l2"
     worst = jnp.inf if l2 else -jnp.inf
 
-    def local_topk(q_l, docs_l, bias_l, routed_l):
+    def local_topk(q_l, docs_l, bias_l, routed_l, scale_l):
         if routed_l is None:
             return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
-                              impl=impl)
+                              scale=scale_l, impl=impl)
         bsz_l = q_l.shape[0]
         half = bsz_l // 2
 
         def full():
             return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
-                              impl=impl)
+                              scale=scale_l, impl=impl)
 
         def compact():
             order = jnp.argsort(jnp.logical_not(routed_l), stable=True)
             sel = order[:half]
             s_c, i_c = shard_topk(q_l[sel], docs_l, k, mode=mode,
-                                  bias=bias_l, impl=impl)
+                                  bias=bias_l, scale=scale_l, impl=impl)
             s = jnp.full((bsz_l, k), worst,
                          dtype=jnp.float32).at[sel].set(s_c)
             idx = jnp.zeros((bsz_l, k), dtype=jnp.int32).at[sel].set(i_c)
@@ -92,9 +93,11 @@ def sharded_shard_topk(
             return full()
         return jax.lax.cond(routed_l.sum() <= half, compact, full)
 
-    def local_fn(q_l, docs_l, bias_l, *maybe_routed):
-        routed_l = maybe_routed[0] if maybe_routed else None
-        s, i = local_topk(q_l, docs_l, bias_l, routed_l)
+    def local_fn(q_l, docs_l, bias_l, *extras):
+        extras = list(extras)
+        routed_l = extras.pop(0) if routed is not None else None
+        scale_l = extras.pop(0) if scale is not None else None
+        s, i = local_topk(q_l, docs_l, bias_l, routed_l, scale_l)
         key = -s if l2 else s
         gid = i + jax.lax.axis_index("idx") * n_local
         # all-gather candidate pairs over ICI: [idx, B/dp, k]
@@ -112,6 +115,9 @@ def sharded_shard_topk(
     if routed is not None:
         in_specs.append(P("dp"))
         args.append(routed)
+    if scale is not None:
+        in_specs.append(P("idx"))
+        args.append(scale)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
@@ -158,16 +164,19 @@ class ShardedSearch:
         self.bank = jax.device_put(bank, repl)
         self.arrays = []
         for s in shard_set.shards:
-            docs, bias = s.docs, s.bias
+            docs, bias, scale = s.docs, s.bias, s.scale
             n = docs.shape[0]
             if n % n_idx != 0:
                 # re-pad to the idx multiple; padding carries -inf bias
                 pad = (-n) % n_idx
                 docs = jnp.pad(docs, ((0, pad), (0, 0)))
                 bias = jnp.pad(bias, (0, pad), constant_values=-jnp.inf)
+                if scale is not None:
+                    scale = jnp.pad(scale, (0, pad))
             self.arrays.append((
                 jax.device_put(docs, docs_sh),
                 jax.device_put(bias, bias_sh),
+                None if scale is None else jax.device_put(scale, bias_sh),
             ))
 
         world = self.world
@@ -181,10 +190,11 @@ class ShardedSearch:
                 world, strategy, params, bank, query_embs, rng, threshold)
             per_scores, per_ids = [], []
             for i, src in enumerate(world.sources):
-                docs, bias = arrays[i]
+                docs, bias, scale = arrays[i]
                 s, gi = sharded_shard_topk(
                     mesh_, query_embs[src.encoder], docs, bias, k,
-                    mode=src.score_mode, impl=impl__, routed=mask[:, i])
+                    mode=src.score_mode, impl=impl__, routed=mask[:, i],
+                    scale=scale)
                 per_scores.append(s)
                 per_ids.append(gi)
             return (probs, mask) + gate_and_merge(

@@ -138,7 +138,8 @@ class ServingSystem:
     def build(self) -> FederationServer:
         import jax.numpy as jnp
 
-        dtype = jnp.bfloat16 if self.dtype_name == "bfloat16" else jnp.float32
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                 "int8": jnp.int8}[self.dtype_name]
 
         if self.simulate:
             # Simulation parity (reference --simulate): tiny synthetic world

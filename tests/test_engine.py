@@ -225,3 +225,28 @@ def test_search_missing_encoder_errors():
     syn, eng = build_engine("medrag", docs_per_source=600, num_queries=2)
     with pytest.raises(KeyError, match="missing query embeddings"):
         eng.search({}, strategy="all")
+
+
+def test_engine_int8_index():
+    """Full engine over an int8-quantized index: near-f32 winners."""
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=23, with_payloads=False)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    ss_f32 = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    ss_int8 = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.int8)
+    assert ss_int8.index_bytes < ss_f32.index_bytes / 2
+    a = FederatedSearchEngine(ss_f32, params, bank, impl="exact").search(
+        syn.query_embs, strategy="all")
+    b = FederatedSearchEngine(ss_int8, params, bank, impl="exact").search(
+        syn.query_embs, strategy="all")
+    k = syn.world.k
+    recalls = []
+    for qi in range(8):
+        got = set(zip(b.merged_shard[qi].tolist(),
+                      b.merged_local[qi].tolist()))
+        want = set(zip(a.merged_shard[qi].tolist(),
+                       a.merged_local[qi].tolist()))
+        recalls.append(len(got & want) / k)
+    assert np.mean(recalls) >= 0.95, recalls

@@ -165,3 +165,26 @@ def test_pallas_same_bin_collision(rng):
     assert list(np.asarray(i)[0]) == [5, 133, 261, 700]
     np.testing.assert_allclose(np.asarray(s)[0, :4], [10, 9.5, 9, 8],
                                rtol=1e-4)
+
+
+def test_int8_scale_topk(rng):
+    """int8-quantized docs with per-doc dequant scales: high recall vs f32."""
+    b, n, d, k = 8, 4096, 64, 32
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    s_row = np.abs(docs).max(axis=1) / 127.0
+    docs_q = np.clip(np.round(docs / s_row[:, None]), -127, 127)
+
+    want_s, want_i = numpy_oracle(q, docs, k, "dot")
+    for impl in IMPLS:
+        got_s, got_i = shard_topk(
+            jnp.asarray(q), jnp.asarray(docs_q, jnp.int8), k, mode="dot",
+            scale=jnp.asarray(s_row, jnp.float32), impl=impl, chunk=512)
+        got_i = np.asarray(got_i)
+        recall = np.mean([
+            len(set(got_i[r]) & set(want_i[r])) / k for r in range(b)])
+        assert recall >= 0.95, (impl, recall)
+        # dequantized scores close to true scores
+        true = np.take_along_axis(q @ docs.T, got_i, axis=1)
+        np.testing.assert_allclose(np.asarray(got_s), true, rtol=0.05,
+                                   atol=0.3)
