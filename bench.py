@@ -78,7 +78,7 @@ def main():
 
     t0 = time.time()
     shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=dtype)
-    for docs, bias in shard_set.arrays():
+    for docs, *_ in shard_set.arrays():
         docs.block_until_ready()
     log(f"uploaded {shard_set.index_bytes / 1e9:.2f} GB index "
         f"({shard_set.total_docs} docs) in {time.time() - t0:.1f}s")
