@@ -31,9 +31,11 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional
 
-# AnglE UAE retrieval prompt (custom_models.py Prompts.C equivalent)
+# AnglE UAE retrieval prompt (custom_models.py Prompts.C equivalent).
+# NOTE: no separator after the colon — the reference concatenates the
+# instruction and query directly ('...passages:' + q).
 ANGLE_QUERY_PROMPT = (
-    "Represent this sentence for searching relevant passages: {text}"
+    "Represent this sentence for searching relevant passages:{text}"
 )
 
 

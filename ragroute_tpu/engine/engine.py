@@ -298,21 +298,24 @@ class FederatedSearchEngine:
         else:
             params, bank = self._dummy_router(self.world.router_input_dim)
 
+        # Timing sync: block_until_ready() does NOT synchronize through
+        # the axon remote-TPU tunnel; a device->host transfer does. The
+        # synced arrays are tiny ([B,N] bools / [B,k] scores).
         if staged:
             t0 = time.perf_counter()
             probs, mask = self._route_step(
                 params, bank, embs, rng, strategy=strategy)
-            mask.block_until_ready()
+            mask = jax.device_get(mask)
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             scored = self._score_step(self._arrays, embs, mask)
-            scored[2].block_until_ready()
+            np.asarray(scored[2])
             doc_t = time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
             out = self._full_step(
                 params, bank, self._arrays, embs, rng, strategy=strategy)
-            out[4].block_until_ready()
+            np.asarray(out[4])
             doc_t = time.perf_counter() - t0
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]

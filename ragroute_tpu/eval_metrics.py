@@ -69,7 +69,8 @@ def evaluate_retrieval(
                 if d in relevant:
                     found += 1
                     ap += found / (i + 1)
-            agg[f"MAP@{k}"].append(ap / min(len(relevant), k))
+            # trec_eval map_cut divides by ALL relevant docs, not min(R, k)
+            agg[f"MAP@{k}"].append(ap / len(relevant))
             # MRR@k
             rr = 0.0
             for i, d in enumerate(top):

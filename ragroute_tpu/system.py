@@ -76,6 +76,29 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
         params, threshold, scaler = load_router_npz(npz_path)
     elif os.path.exists(pth_path):
         params = load_torch_router(pth_path)
+        # Reference torch checkpoints carry only the MLP; the feature
+        # StandardScaler ships as a separate pickle (router.py:121-130).
+        # Loading the MLP without its scaler silently mis-routes every
+        # query on uses_scaler worlds (the net was trained on scaled
+        # features), so search for the companion artifact and refuse to
+        # proceed without it.
+        from ragroute_tpu.router.torch_import import load_sklearn_scaler
+
+        for cand in ("scaler.pkl", "preprocessed_data.pkl"):
+            spath = os.path.join(wroot, cand)
+            if os.path.exists(spath):
+                scaler = load_sklearn_scaler(spath)
+                logger.info("loaded feature scaler from %s", spath)
+                break
+        if scaler is None and world.uses_scaler:
+            raise FileNotFoundError(
+                f"{pth_path} is a reference torch router checkpoint and "
+                f"world {world.name!r} scales router features, but no "
+                f"scaler.pkl/preprocessed_data.pkl found under {wroot}; "
+                "routing would be silently wrong. Place the reference "
+                "scaler pickle next to the checkpoint or retrain with "
+                "scripts/train_router.py (which embeds the scaler in "
+                "router.npz).")
     else:
         logger.warning(
             "no router checkpoint under %s; initializing fresh params "

@@ -63,8 +63,16 @@ def test_load_sklearn_scaler_variants(tmp_path, rng):
     np.testing.assert_allclose(scale2, scaler.scale_, rtol=1e-6)
 
 
-def test_system_loads_torch_pth(tmp_path, torch_ckpt):
-    """load_world_artifacts picks up a reference-format router.pth."""
+def test_system_loads_torch_pth(tmp_path, torch_ckpt, rng):
+    """load_world_artifacts picks up a reference-format router.pth AND its
+    companion scaler pickle; on uses_scaler worlds a bare pth without any
+    scaler artifact must fail loudly (the MLP was trained on scaled
+    features — identity scaling would silently mis-route)."""
+    import pickle
+    import shutil
+
+    from sklearn.preprocessing import StandardScaler
+
     from ragroute_tpu.config import get_world
     from ragroute_tpu.index.synthetic import make_synthetic_world, save_world
     from ragroute_tpu.system import load_world_artifacts
@@ -73,10 +81,20 @@ def test_system_loads_torch_pth(tmp_path, torch_ckpt):
     root = str(tmp_path / "data")
     syn = make_synthetic_world("medrag", docs_per_source=600, num_queries=2)
     save_world(syn, root)
-    import shutil
-
     shutil.copy(ckpt_path, os.path.join(root, "medrag", "router.pth"))
+
+    # medrag uses_scaler: pth without scaler artifact → loud failure
+    with pytest.raises(FileNotFoundError, match="scaler"):
+        load_world_artifacts(root, get_world("medrag"))
+
+    scaler = StandardScaler().fit(
+        rng.standard_normal((40, 1540)).astype(np.float64))
+    with open(os.path.join(root, "medrag", "scaler.pkl"), "wb") as f:
+        pickle.dump(scaler, f)
     (shard_set, params, bank, provider, store, rel, thr) = \
         load_world_artifacts(root, get_world("medrag"))
     assert thr is None  # pth carries no threshold; config default applies
     assert params["fc1"]["w"].shape == (1540, 256)
+    np.testing.assert_allclose(
+        np.asarray(bank.scaler_mean), scaler.mean_.astype(np.float32),
+        rtol=1e-6)
