@@ -129,6 +129,60 @@ def test_sharded_feb4rag_heterogeneous():
         assert len(got & want) >= int(0.9 * syn.world.k)
 
 
+def test_sharded_wikipedia_l2():
+    """wikipedia's L2 shards over the mesh: squared-distance scores and
+    winner sets must match the single-chip engine."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("wikipedia", docs_per_source=512,
+                               num_queries=4, seed=11, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    out = sharded.search(syn.query_embs, strategy="all")
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ref = engine.search(syn.query_embs, strategy="all")
+    # l2 scores are FAISS-style squared distances — must be non-negative
+    m_score = np.asarray(out[4])
+    n_valid = np.asarray(out[7])
+    for qi in range(4):
+        assert (m_score[qi, :n_valid[qi]] >= -1e-4).all()
+    for qi in range(4):
+        got = set(zip(np.asarray(out[5])[qi].tolist(),
+                      np.asarray(out[6])[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.9 * syn.world.k)
+
+
+def test_sharded_int8():
+    """int8-quantized medrag shards over the mesh: identical quantization
+    on both paths -> winner sets must match the single-chip int8 engine."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=12, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.int8)
+    assert all(s.scale is not None for s in shard_set.shards)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    out = sharded.search(syn.query_embs, strategy="all")
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ref = engine.search(syn.query_embs, strategy="all")
+    for qi in range(8):
+        got = set(zip(np.asarray(out[5])[qi].tolist(),
+                      np.asarray(out[6])[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
+
+
 def test_sharded_compaction_matches_engine():
     """Per-device compaction on the mesh matches single-chip results with
     sparse (random 2-of-4) routing."""
