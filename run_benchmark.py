@@ -1,40 +1,238 @@
 """Benchmark client for the federated search server.
 
-Behavioral parity with the reference clients (``run_benchmark.py`` and
-``run_benchmark_parallel.py``): iterates question banks in a frozen,
-persisted order (``data/question_order_*.json``), resumes by skipping
-question ids already logged, sends batches of ``--parallel`` concurrent
-HTTP GETs, scores answers online, and appends four log files with
-identical schemas:
+Keeps the reference clients' on-disk contract (``run_benchmark.py:45-58``,
+``run_benchmark_parallel.py:104``) — same URL query protocol, same four log
+files with byte-identical schemas, frozen persisted question orders,
+resume-by-skip, and ``--shard/--num-shards`` striping — but is built
+differently: the client first materializes a work plan (ordered, striped,
+resume-filtered question list per bank), then drains it through a bounded
+pool of async workers. Unlike the reference's gather-per-chunk loop, the
+pool keeps exactly ``--parallel`` requests in flight at all times, so one
+slow query never stalls its whole chunk.
 
-* ``benchmark_<B>_<R>[_<Q>].csv``  — per-question row: benchmark, dataset,
-  model, qid, correct, data_sources, num_data_sources, selection/embedding/
-  doc_select/generate/e2e times, docs_tokens (reference run_benchmark.py:45)
-* ``ds_stats_<B>_<R>[_<Q>].csv``   — per-(question, source): duration,
-  msg_size (reference :49)
-* ``answers_*.jsonl`` and ``top_docs_*.jsonl``
+Log files (append-only, header written once):
 
-``--shard/--num-shards`` stripes questions across client instances
-(reference run_benchmark_parallel.py:104).
+* ``benchmark_<B>_<R>[_<Q>].csv``  — one row per question: correctness,
+  routing fan-out, and per-stage times.
+* ``ds_stats_<B>_<R>[_<Q>].csv``   — one row per (question, source).
+* ``answers_<...>.jsonl`` / ``top_docs_<...>.jsonl`` — raw model output.
 """
+
+from __future__ import annotations
 
 import argparse
 import asyncio
+import dataclasses
 import json
 import os
+import urllib.parse
+from typing import Iterator, Optional, TextIO, Tuple
 
 import aiohttp
 
 from ragroute_tpu.benchmark import Benchmark
 
+BENCHMARK_HEADER = (
+    "benchmark,dataset,model,question_id,correct,data_sources,"
+    "num_data_sources,selection_time,embedding_time,doc_select_time,"
+    "generate_time,e2e_time,docs_tokens\n")
+DS_STATS_HEADER = (
+    "benchmark,dataset,question_id,data_source,duration,msg_size\n")
 
-async def fetch_answer(session, url):
-    async with session.get(url) as response:
-        if response.status == 200:
-            return await response.json()
-        print(f"Failed to fetch data: {response.status} - "
-              f"{await response.text()}")
-        return None
+# benchmarks whose answers are scored online and worth a progress line
+SCORED_LIVE = ("MIRAGE", "SYNTHETIC")
+
+
+@dataclasses.dataclass
+class WorkItem:
+    """One question to ask the server."""
+
+    bank: str
+    qid: str
+    data: dict
+
+
+@dataclasses.dataclass
+class LogSink:
+    """The four append-only log files; owns header creation and the
+    resume set parsed from a previous run's benchmark CSV."""
+
+    benchmark_csv: TextIO
+    ds_stats_csv: TextIO
+    answers: TextIO
+    top_docs: TextIO
+    seen_qids: set
+
+    @classmethod
+    def open(cls, logs_dir: str, suffix: str) -> "LogSink":
+        os.makedirs(logs_dir, exist_ok=True)
+
+        def path(stem: str, ext: str) -> str:
+            return os.path.join(logs_dir, f"{stem}_{suffix}.{ext}")
+
+        seen = set()
+        bench_path = path("benchmark", "csv")
+        if os.path.exists(bench_path):
+            with open(bench_path) as f:
+                for row in list(f)[1:]:
+                    cells = row.rstrip("\n").split(",")
+                    if len(cells) > 3:
+                        seen.add(cells[3])
+
+        def appender(p: str, header: Optional[str]) -> TextIO:
+            fresh = not os.path.exists(p)
+            fh = open(p, "a")
+            if fresh and header:
+                fh.write(header)
+                fh.flush()
+            return fh
+
+        return cls(
+            benchmark_csv=appender(bench_path, BENCHMARK_HEADER),
+            ds_stats_csv=appender(path("ds_stats", "csv"), DS_STATS_HEADER),
+            answers=appender(path("answers", "jsonl"), None),
+            top_docs=appender(path("top_docs", "jsonl"), None),
+            seen_qids=seen,
+        )
+
+    def close(self) -> None:
+        for fh in (self.benchmark_csv, self.ds_stats_csv,
+                   self.answers, self.top_docs):
+            fh.close()
+
+    def record(self, benchmark: str, item: WorkItem, correct: bool,
+               reply: dict) -> None:
+        md = reply["metadata"]
+        self.answers.write(json.dumps(
+            {"question_id": item.qid, "answer": reply["answer"]}) + "\n")
+        self.top_docs.write(json.dumps(
+            {"question_id": item.qid, "top_docs": md["top_docs"]}) + "\n")
+        self.benchmark_csv.write(",".join(str(v) for v in (
+            benchmark, item.bank, md["llm"], item.qid, int(correct),
+            ":".join(md["data_sources"]), len(md["data_sources"]),
+            md["selection_time"], md["embedding_time"],
+            md["doc_select_time"], md["generate_time"], md["e2e_time"],
+            md["docs_tokens"],
+        )) + "\n")
+        for source, stats in md["data_sources_stats"].items():
+            self.ds_stats_csv.write(",".join(str(v) for v in (
+                benchmark, item.bank, item.qid, source,
+                stats["duration"], stats["message_size"],
+            )) + "\n")
+        for fh in (self.benchmark_csv, self.ds_stats_csv,
+                   self.answers, self.top_docs):
+            fh.flush()
+
+
+def frozen_order(logs_dir: str, benchmark: str, bank: str,
+                 questions: dict) -> list:
+    """Persist (or reuse) this bank's question order so reruns and striped
+    clients agree on it."""
+    path = os.path.join(
+        logs_dir, f"question_order_{benchmark}_{bank}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            order = [qid for qid in json.load(f) if qid in questions]
+        print(f"Reusing saved question order from {path}")
+    else:
+        order = list(questions)
+        with open(path, "w") as f:
+            json.dump(order, f)
+        print(f"Saved new question order to {path}")
+    return order
+
+
+def build_plan(bench: Benchmark, args, seen: set) -> Iterator[WorkItem]:
+    """Ordered, striped, resume-filtered stream of questions to ask."""
+    banks = sorted(bench.benchmark_data)
+    if args.questions is not None:
+        banks = [args.questions]
+    for bank in banks:
+        questions = bench.benchmark_data[bank]
+        order = frozen_order(args.save_logs_dir, args.benchmark, bank,
+                             questions)
+        for qid in order[args.shard::args.num_shards]:
+            if qid not in seen:
+                yield WorkItem(bank=bank, qid=qid, data=questions[qid])
+
+
+def query_url(server: str, item: WorkItem) -> str:
+    params = urllib.parse.urlencode({
+        "q": item.data["question"],
+        "choices": json.dumps(item.data["options"]),
+        "qid": item.qid,
+    })
+    return f"{server}/query?{params}"
+
+
+class BenchmarkClient:
+    """Drains a work plan through ``parallel`` concurrent HTTP workers."""
+
+    def __init__(self, args):
+        self.args = args
+        self.bench = Benchmark(args.benchmark_path, args.benchmark)
+        self.asked = 0
+        self.correct = 0
+
+    async def _ask(self, session: aiohttp.ClientSession,
+                   item: WorkItem) -> Optional[dict]:
+        async with session.get(query_url(self.args.server, item)) as resp:
+            if resp.status != 200:
+                print(f"Failed to fetch data: {resp.status} - "
+                      f"{await resp.text()}")
+                return None
+            return await resp.json()
+
+    async def _worker(self, session: aiohttp.ClientSession,
+                      queue: "asyncio.Queue[WorkItem]",
+                      sink: LogSink, lock: asyncio.Lock) -> None:
+        while True:
+            item = await queue.get()
+            try:
+                try:
+                    reply = await self._ask(session, item)
+                except aiohttp.ClientError as e:
+                    print(f"Error: request for {item.qid} failed: {e}")
+                    continue
+                if reply is None:
+                    print("Error: No result returned from the server.")
+                    continue
+                is_correct = bool(
+                    self.bench.check(item.data, reply["answer"]))
+                async with lock:
+                    self.asked += 1
+                    self.correct += int(is_correct)
+                    sink.record(self.args.benchmark, item, is_correct,
+                                reply)
+                    if self.args.benchmark in SCORED_LIVE:
+                        print(f"--> Score: {self.correct}/{self.asked}")
+            finally:
+                queue.task_done()
+
+    async def run(self) -> dict:
+        args = self.args
+        suffix = "_".join(
+            p for p in (args.benchmark, args.routing, args.questions) if p)
+        sink = LogSink.open(args.save_logs_dir, suffix)
+        lock = asyncio.Lock()
+        queue: "asyncio.Queue[WorkItem]" = asyncio.Queue(
+            maxsize=2 * args.parallel)
+        try:
+            async with aiohttp.ClientSession() as session:
+                workers = [
+                    asyncio.create_task(
+                        self._worker(session, queue, sink, lock))
+                    for _ in range(max(1, args.parallel))
+                ]
+                for item in build_plan(self.bench, args, sink.seen_qids):
+                    await queue.put(item)
+                await queue.join()
+                for w in workers:
+                    w.cancel()
+        finally:
+            sink.close()
+        return {"questions": self.asked, "correct": self.correct,
+                "benchmark_file": sink.benchmark_csv.name}
 
 
 def parse_args(argv=None):
@@ -62,127 +260,12 @@ def parse_args(argv=None):
 
 
 async def run(args) -> dict:
-    os.makedirs(args.save_logs_dir, exist_ok=True)
-    suffix = (f"{args.benchmark}_{args.routing}_{args.questions}"
-              if args.questions else f"{args.benchmark}_{args.routing}")
-    benchmark_file = os.path.join(args.save_logs_dir, f"benchmark_{suffix}.csv")
-    ds_stats_file = os.path.join(args.save_logs_dir, f"ds_stats_{suffix}.csv")
-    answer_file = os.path.join(args.save_logs_dir, f"answers_{suffix}.jsonl")
-    top_docs_file = os.path.join(args.save_logs_dir, f"top_docs_{suffix}.jsonl")
-
-    if not os.path.exists(benchmark_file):
-        with open(benchmark_file, "w") as f:
-            f.write("benchmark,dataset,model,question_id,correct,"
-                    "data_sources,num_data_sources,selection_time,"
-                    "embedding_time,doc_select_time,generate_time,e2e_time,"
-                    "docs_tokens\n")
-    if not os.path.exists(ds_stats_file):
-        with open(ds_stats_file, "w") as f:
-            f.write("benchmark,dataset,question_id,data_source,duration,"
-                    "msg_size\n")
-
-    # resume-by-skip (reference run_benchmark.py:52-58)
-    existing_question_ids = set()
-    with open(benchmark_file, "r") as f:
-        for line in f.readlines()[1:]:
-            parts = line.strip().split(",")
-            if len(parts) > 3:
-                existing_question_ids.add(parts[3])
-
-    num_questions = 0
-    num_correct = 0
-
-    benchmark = Benchmark(args.benchmark_path, args.benchmark)
-    async with aiohttp.ClientSession() as session:
-        question_banks = sorted(benchmark.benchmark_data.keys())
-        if args.questions is not None:
-            question_banks = [args.questions]
-
-        for question_bank in question_banks:
-            questions = benchmark.benchmark_data[question_bank]
-            # frozen question order (reference run_benchmark.py:75-86)
-            order_dir = os.path.join(args.save_logs_dir, "..")
-            order_path = os.path.join(
-                args.save_logs_dir,
-                f"question_order_{args.benchmark}_{question_bank}.json")
-            if os.path.exists(order_path):
-                with open(order_path) as f:
-                    ordered_ids = json.load(f)
-                question_items = [(qid, questions[qid])
-                                  for qid in ordered_ids if qid in questions]
-                print(f"Reusing saved question order from {order_path}")
-            else:
-                question_items = list(questions.items())
-                with open(order_path, "w") as f:
-                    json.dump([qid for qid, _ in question_items], f)
-                print(f"Saved new question order to {order_path}")
-
-            # stripe across client instances (run_benchmark_parallel.py:104)
-            question_items = question_items[args.shard::args.num_shards]
-
-            for i in range(0, len(question_items), args.parallel):
-                raw_batch = question_items[i:i + args.parallel]
-                batch = [(qid, qd) for qid, qd in raw_batch
-                         if qid not in existing_question_ids]
-                if not batch:
-                    continue
-
-                tasks = []
-                for question_id, question_data in batch:
-                    question = question_data["question"]
-                    options = question_data["options"]
-                    enc_q = aiohttp.helpers.quote(question)
-                    enc_o = aiohttp.helpers.quote(json.dumps(options))
-                    url = (f"{args.server}/query?q={enc_q}"
-                           f"&choices={enc_o}&qid={question_id}")
-                    tasks.append(fetch_answer(session, url))
-                results = await asyncio.gather(*tasks)
-
-                for (question_id, question_data), result in zip(batch, results):
-                    if not result:
-                        print("Error: No result returned from the server.")
-                        continue
-                    is_correct = benchmark.check(
-                        question_data, result["answer"])
-                    num_questions += 1
-                    num_correct += int(bool(is_correct))
-
-                    with open(answer_file, "a") as f:
-                        f.write(json.dumps({
-                            "question_id": question_id,
-                            "answer": result["answer"]}) + "\n")
-                    with open(top_docs_file, "a") as f:
-                        f.write(json.dumps({
-                            "question_id": question_id,
-                            "top_docs": result["metadata"]["top_docs"],
-                        }) + "\n")
-
-                    md = result["metadata"]
-                    data_sources = ":".join(md["data_sources"])
-                    with open(benchmark_file, "a") as f:
-                        f.write(
-                            f"{args.benchmark},{question_bank},{md['llm']},"
-                            f"{question_id},{int(bool(is_correct))},"
-                            f"{data_sources},{len(md['data_sources'])},"
-                            f"{md['selection_time']},{md['embedding_time']},"
-                            f"{md['doc_select_time']},{md['generate_time']},"
-                            f"{md['e2e_time']},{md['docs_tokens']}\n")
-                    with open(ds_stats_file, "a") as f:
-                        for ds, stats in md["data_sources_stats"].items():
-                            f.write(f"{args.benchmark},{question_bank},"
-                                    f"{question_id},{ds},{stats['duration']},"
-                                    f"{stats['message_size']}\n")
-
-                    if args.benchmark in ("MIRAGE", "SYNTHETIC"):
-                        print(f"--> Score: {num_correct}/{num_questions}")
-
-    return {"questions": num_questions, "correct": num_correct,
-            "benchmark_file": benchmark_file}
+    """Drive a full client run inside an existing event loop."""
+    return await BenchmarkClient(args).run()
 
 
 def main(argv=None):
-    args = parse_args(argv)
-    return asyncio.run(run(args))
+    return asyncio.run(BenchmarkClient(parse_args(argv)).run())
 
 
 if __name__ == "__main__":

@@ -16,31 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-
-def exact_oracle(world, embeddings, query_embs, k, mask=None):
-    """Exact f32 global top-k (set per query) with reference semantics."""
-    nq = next(iter(query_embs.values())).shape[0]
-    out = []
-    for qi in range(nq):
-        cands = []
-        for si, src in enumerate(world.sources):
-            if mask is not None and not mask[qi, si]:
-                continue
-            q = query_embs[src.encoder][qi].astype(np.float32)
-            docs = np.asarray(embeddings[src.name], np.float32)
-            if src.score_mode == "cos":
-                dn = docs / np.maximum(
-                    np.linalg.norm(docs, axis=1, keepdims=True), 1e-12)
-                s = dn @ (q / max(np.linalg.norm(q), 1e-12))
-            elif src.score_mode == "l2":
-                s = -((docs - q) ** 2).sum(1)
-            else:
-                s = docs @ q
-            order = np.argsort(-s, kind="stable")[:k]
-            cands.extend((float(s[li]), si, int(li)) for li in order)
-        cands.sort(key=lambda t: -t[0])
-        out.append({(si, li) for _, si, li in cands[:k]})
-    return out
+from ragroute_tpu.oracle import engine_recall, exact_oracle
 
 
 def main(argv=None):
@@ -50,7 +26,7 @@ def main(argv=None):
     parser.add_argument("--strategies", nargs="+",
                         default=["all", "ragroute", "random"])
     parser.add_argument("--dtype", default="bfloat16",
-                        choices=["bfloat16", "float32"])
+                        choices=["bfloat16", "float32", "int8"])
     parser.add_argument("--num-queries", type=int, default=128)
     args = parser.parse_args(argv)
 
@@ -62,7 +38,8 @@ def main(argv=None):
 
     root = args.data_root or data_root()
     world = get_world(args.dataset)
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.int8}[args.dtype]
     (shard_set, params, bank, provider, _, _, threshold) = \
         load_world_artifacts(root, world, dtype=dtype)
     engine = FederatedSearchEngine(shard_set, params, bank,
@@ -88,16 +65,8 @@ def main(argv=None):
         mask = out.mask if strategy != "all" else None
         oracle = exact_oracle(world, embeddings, query_embs, world.k,
                               mask=mask)
-        recalls = []
-        for qi in range(len(qids)):
-            got = {
-                (int(s), int(l))
-                for s, l in zip(out.merged_shard[qi], out.merged_local[qi])
-                if s >= 0
-            }
-            want = oracle[qi]
-            recalls.append(len(got & want) / max(len(want), 1))
-        report["recall"][strategy] = round(float(np.mean(recalls)), 4)
+        report["recall"][strategy] = round(
+            engine_recall(world, out, oracle), 4)
     print(json.dumps(report))
 
 
