@@ -17,13 +17,17 @@ Query-side behaviors replicated:
 * UAE-Large-V1 (AnglE) — CLS pooling, L2 normalize, retrieval prompt
   (custom_models.py:19-86).
 * all-mpnet-base-v2 — MPNet arch: mean pooling, normalize (BEIR
-  SentenceBERT path, model_zoo.py:58-118); torch fallback (non-BERT).
+  SentenceBERT path, model_zoo.py:58-118); pure-JAX forward in
+  :mod:`ragroute_tpu.encoders.mpnet`.
 * ember-v1 / gte-base — BERT SentenceBERT: mean pooling (gte), cls
   (ember), normalize.
 * SGPT-5.8B — GPT-family, weighted-mean pooling with the [SOS]/{SOS}
-  bracket scheme (custom_models.py:183-229); torch fallback.
-* INSTRUCTOR — T5-encoder with instruction-masked mean pooling
-  (instructor/instructor_model.py); torch fallback.
+  bracket-token scheme (custom_models.py:183-229), implemented in
+  :mod:`ragroute_tpu.encoders.custom` (specb_tokenize + SGPTEncoder).
+* INSTRUCTOR — T5-encoder with instruction-masked mean pooling and the
+  per-(model, dataset, side) instruction table
+  (instructor/instructor_model.py:223-386), implemented in
+  :mod:`ragroute_tpu.encoders.custom` (InstructorEncoder).
 """
 
 from __future__ import annotations

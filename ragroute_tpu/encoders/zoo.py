@@ -133,6 +133,60 @@ def _load_jax_bert(spec: EncoderSpec) -> JaxBertEncoder:
     return JaxBertEncoder(spec, params, cfg, tok)
 
 
+class JaxMPNetEncoder:
+    """MPNet encoder running in JAX (relative-position-bias attention)."""
+
+    backend = "jax"
+
+    def __init__(self, spec: EncoderSpec, params, cfg, tokenizer):
+        import jax
+        import jax.numpy as jnp
+
+        from ragroute_tpu.encoders.mpnet import mpnet_encode
+
+        self.spec = spec
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+
+        @jax.jit
+        def _encode(params, ids, mask):
+            outs = mpnet_encode(params, cfg, ids, mask)
+            emb = pool(outs, mask, spec.pooling)
+            if spec.normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            return emb
+
+        self._encode = _encode
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        batch = self.tokenizer(
+            [self.spec.format_query(t) for t in texts],
+            return_tensors="np", padding="max_length", truncation=True,
+            max_length=self.spec.max_length)
+        emb = self._encode(
+            self.params,
+            jnp.asarray(batch["input_ids"], jnp.int32),
+            jnp.asarray(batch["attention_mask"], jnp.int32))
+        return np.asarray(emb)
+
+
+def _load_jax_mpnet(spec: EncoderSpec) -> JaxMPNetEncoder:
+    from transformers import AutoConfig, AutoModel, AutoTokenizer
+
+    from ragroute_tpu.encoders import mpnet as mp
+
+    hf_cfg = AutoConfig.from_pretrained(spec.hf_name, local_files_only=True)
+    tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
+    model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
+    cfg = mp.config_from_hf(hf_cfg)
+    params = mp.params_from_torch_mpnet(model.state_dict(), cfg)
+    return JaxMPNetEncoder(spec, params, cfg, tok)
+
+
 class EncoderZoo:
     """All distinct encoders for a world, best-available backend each."""
 
@@ -156,12 +210,24 @@ class EncoderZoo:
     def _load(self, spec: EncoderSpec, prefer: str):
         if prefer == "hash":
             return HashEncoder(spec)
-        if spec.family == "bert" and prefer == "jax":
-            try:
-                return _load_jax_bert(spec)
-            except Exception as e:
-                logger.warning("JAX load failed for %s (%s)", spec.name, e)
+        if prefer == "jax":
+            loader = {"bert": _load_jax_bert,
+                      "mpnet": _load_jax_mpnet}.get(spec.family)
+            if loader is not None:
+                try:
+                    return loader(spec)
+                except Exception as e:
+                    logger.warning("JAX load failed for %s (%s)",
+                                   spec.name, e)
         try:
+            if spec.family == "gpt" and "specb" in spec.name:
+                from ragroute_tpu.encoders.custom import SGPTEncoder
+
+                return SGPTEncoder(spec)
+            if spec.family == "t5":
+                from ragroute_tpu.encoders.custom import InstructorEncoder
+
+                return InstructorEncoder(spec)
             return TorchEncoder(spec)
         except Exception as e:
             logger.warning(

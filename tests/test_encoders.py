@@ -129,3 +129,201 @@ def test_hash_encoder_normalization():
     enc = HashEncoder(spec)
     v = enc.encode(["a", "b"])
     np.testing.assert_allclose(np.linalg.norm(v, axis=1), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# MPNet (JAX) vs torch MPNetModel
+# ---------------------------------------------------------------------------
+
+def test_mpnet_matches_torch(rng):
+    import torch
+    from transformers import MPNetConfig as HFMPNetConfig, MPNetModel
+
+    from ragroute_tpu.encoders import mpnet as mp
+
+    torch.manual_seed(1)
+    hf_cfg = HFMPNetConfig(
+        vocab_size=120, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, relative_attention_num_buckets=32)
+    model = MPNetModel(hf_cfg)
+    model.eval()
+
+    cfg = mp.config_from_hf(hf_cfg)
+    params = mp.params_from_torch_mpnet(model.state_dict(), cfg)
+
+    bsz, seq = 3, 18
+    ids = rng.integers(2, 120, (bsz, seq)).astype(np.int64)
+    mask = np.ones((bsz, seq), np.int64)
+    mask[0, 12:] = 0
+    mask[1, 7:] = 0
+    ids[mask == 0] = 1  # pad token id (MPNet padding_idx)
+
+    with torch.no_grad():
+        want = model(input_ids=torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask))
+    outs = mp.mpnet_encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                           jnp.asarray(mask, jnp.int32))
+    got_h = np.asarray(outs["last_hidden"])
+    want_h = want.last_hidden_state.numpy()
+    for b in range(bsz):
+        n = mask[b].sum()
+        np.testing.assert_allclose(
+            got_h[b, :n], want_h[b, :n], rtol=1e-3, atol=1e-4)
+
+
+def test_mpnet_relative_position_bucket_matches_hf():
+    import torch
+    from transformers.models.mpnet.modeling_mpnet import MPNetEncoder
+
+    from ragroute_tpu.encoders.mpnet import relative_position_bucket
+
+    rel = np.arange(-300, 301).reshape(1, -1)
+    want = MPNetEncoder.relative_position_bucket(
+        torch.from_numpy(rel), num_buckets=32, max_distance=128).numpy()
+    got = np.asarray(relative_position_bucket(jnp.asarray(rel), 32, 128))
+    np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# SGPT specb scheme + INSTRUCTOR masked pooling (reference
+# custom_models.py:183-229, instructor/instructor_model.py:223-386)
+# ---------------------------------------------------------------------------
+
+def _make_local_tokenizer(with_eos: bool = False):
+    """Byte-level BPE built offline (no network) as a stand-in HF tokenizer."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+    from tokenizers.processors import TemplateProcessing
+    from transformers import PreTrainedTokenizerFast
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    trainer = trainers.BpeTrainer(
+        vocab_size=300, special_tokens=["<pad>", "</s>", "<unk>"])
+    corpus = ["what is diabetes", "the [quick] {brown} fox",
+              "represent the question for retrieving documents",
+              "a b c d e f g h i j k l m n o p q r s t u v w x y z"] * 4
+    tok.train_from_iterator(corpus, trainer)
+    if with_eos:
+        tok.post_processor = TemplateProcessing(
+            single="$A </s>", pair="$A </s> $B </s>",
+            special_tokens=[("</s>", tok.token_to_id("</s>"))])
+    return PreTrainedTokenizerFast(
+        tokenizer_object=tok, pad_token="<pad>", eos_token="</s>",
+        unk_token="<unk>")
+
+
+def test_sgpt_specb_token_scheme():
+    from ragroute_tpu.encoders.custom import specb_bracket_ids, specb_tokenize
+
+    tok = _make_local_tokenizer()
+    qo, qc, do, dc = specb_bracket_ids(tok)
+    assert len({qo, qc, do, dc}) == 4
+
+    batch = specb_tokenize(tok, ["what is diabetes", "fox"], is_query=True)
+    ids, mask = batch["input_ids"], batch["attention_mask"]
+    for r in range(2):
+        n = mask[r].sum()
+        assert ids[r, 0] == qo              # leading "[" token
+        assert ids[r, n - 1] == qc          # trailing "]" token
+        # interior equals the plain tokenization (no bracket merging)
+        inner = tok.encode(["what is diabetes", "fox"][r],
+                           add_special_tokens=False)
+        assert ids[r, 1:n - 1].tolist() == inner
+
+    dbatch = specb_tokenize(tok, ["doc text"], is_query=False)
+    n = dbatch["attention_mask"][0].sum()
+    assert dbatch["input_ids"][0, 0] == do
+    assert dbatch["input_ids"][0, n - 1] == dc
+
+
+def test_sgpt_encoder_weighted_mean(rng):
+    import torch
+    from transformers import GPT2Config, GPT2Model
+
+    from ragroute_tpu.encoders.custom import SGPTEncoder, specb_tokenize
+    from ragroute_tpu.encoders.registry import EncoderSpec
+
+    tok = _make_local_tokenizer()
+    torch.manual_seed(2)
+    model = GPT2Model(GPT2Config(
+        vocab_size=tok.vocab_size + 10, n_positions=64, n_embd=16,
+        n_layer=1, n_head=2))
+    spec = EncoderSpec("sgpt-tiny-specb", "gpt", "local", 16,
+                       "weightedmean", normalize=False)
+    enc = SGPTEncoder(spec, model=model, tokenizer=tok)
+    emb = enc.encode(["what is diabetes", "fox"])
+    assert emb.shape == (2, 16)
+
+    # independent recomputation of the SGPT formula
+    batch = specb_tokenize(tok, ["what is diabetes", "fox"])
+    with torch.no_grad():
+        h = model(input_ids=torch.from_numpy(batch["input_ids"]),
+                  attention_mask=torch.from_numpy(batch["attention_mask"])
+                  ).last_hidden_state.numpy()
+    m = batch["attention_mask"]
+    for r in range(2):
+        n = m[r].sum()
+        w = np.arange(1, n + 1, dtype=np.float64)[:, None]
+        want = (h[r, :n] * w).sum(0) / w.sum()
+        np.testing.assert_allclose(emb[r], want, rtol=1e-4, atol=1e-5)
+
+
+def test_instructor_context_mask_semantics():
+    from ragroute_tpu.encoders.custom import instructor_tokenize
+
+    tok = _make_local_tokenizer(with_eos=True)
+    instruction = "represent the question for retrieving documents "
+    batch = instructor_tokenize(tok, instruction, ["what is diabetes"])
+    # reference semantics: context_len = sum(attn(tok(instruction))) - 1
+    ctx_ids = tok([instruction], return_tensors="np")
+    want_ctx = int(ctx_ids["attention_mask"].sum()) - 1
+    pool, attn = batch["pool_mask"][0], batch["attention_mask"][0]
+    assert pool[:want_ctx].sum() == 0          # instruction masked out
+    assert (pool[want_ctx:] == attn[want_ctx:]).all()
+    assert attn[:want_ctx].sum() == want_ctx   # model still SEES it
+
+
+def test_instructor_encoder(rng):
+    import torch
+    from transformers import T5Config, T5EncoderModel
+
+    from ragroute_tpu.encoders.custom import (
+        InstructorEncoder,
+        instructor_instruction,
+        masked_mean_pool,
+    )
+    from ragroute_tpu.encoders.registry import EncoderSpec
+
+    # the vendored instruction table has all 3 instructor model sizes and
+    # the feb4rag datasets, query+corpus sides
+    ins = instructor_instruction("hkunlp/instructor-large",
+                                 "trec-covid", "query")
+    assert ins.startswith("Represent the")
+    assert instructor_instruction("instructor-xl", "scifact", "corpus")
+
+    tok = _make_local_tokenizer(with_eos=True)
+    torch.manual_seed(3)
+    model = T5EncoderModel(T5Config(
+        vocab_size=tok.vocab_size + 10, d_model=16, d_kv=8, d_ff=32,
+        num_layers=1, num_heads=2))
+    spec = EncoderSpec("instructor-tiny", "t5", "hkunlp/instructor-large",
+                       16, "mean", normalize=True)
+    enc = InstructorEncoder(spec, model=model, tokenizer=tok)
+    emb = enc.encode(["what is diabetes", "fox"], dataset="nq")
+    assert emb.shape == (2, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+    # pooled value excludes instruction tokens: recompute independently
+    from ragroute_tpu.encoders.custom import instructor_tokenize
+
+    instruction = instructor_instruction(
+        "hkunlp/instructor-large", "nq", "query")
+    batch = instructor_tokenize(tok, instruction, ["what is diabetes"])
+    with torch.no_grad():
+        h = model(input_ids=torch.from_numpy(batch["input_ids"]),
+                  attention_mask=torch.from_numpy(batch["attention_mask"])
+                  ).last_hidden_state.numpy()
+    want = masked_mean_pool(h, batch["pool_mask"])[0]
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(emb[0], want, rtol=1e-4, atol=1e-5)
