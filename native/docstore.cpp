@@ -100,6 +100,26 @@ const char* ds_get(void* h, int64_t idx, int64_t* len_out) {
   return ds->data + start;
 }
 
+// Fill out[i] with the byte length of line i (newline-stripped) for
+// i in [0, n). Lets the serving layer build response-size tables with one
+// call instead of one ctypes round trip per document.
+int64_t ds_lengths(void* h, int32_t* out, int64_t n) {
+  if (h == nullptr || out == nullptr) return -1;
+  auto* ds = static_cast<DocStore*>(h);
+  int64_t count = static_cast<int64_t>(ds->offsets.size()) - 1;
+  if (n > count) n = count;
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t start = ds->offsets[i];
+    uint64_t stop = ds->offsets[i + 1];
+    while (stop > start &&
+           (ds->data[stop - 1] == '\n' || ds->data[stop - 1] == '\r')) {
+      --stop;
+    }
+    out[i] = static_cast<int32_t>(stop - start);
+  }
+  return n;
+}
+
 void ds_close(void* h) {
   if (h == nullptr) return;
   auto* ds = static_cast<DocStore*>(h);

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -56,12 +57,20 @@ class QueryBatcher:
         window_ms: float = BATCH_WINDOW_MS,
         buckets: Sequence[int] = BATCH_BUCKETS,
         max_queue: Optional[int] = None,
-        staged: bool = True,
+        staged: Optional[bool] = None,
     ):
         self.engine = engine
         self.strategy = strategy
         self.window_s = window_ms / 1e3
         self.buckets = tuple(sorted(buckets))
+        # Default: ONE fused device dispatch per batch (routing + scoring
+        # in a single jitted step). Staged timing costs a second dispatch
+        # per batch — ~27 ms each through the remote-TPU tunnel — so it is
+        # opt-in for parity/measurement runs (RAGROUTE_STAGED_TIMING=1 or
+        # staged=True); the warmup-measured per-bucket device times in
+        # GET /stats cover the per-stage observability instead.
+        if staged is None:
+            staged = os.environ.get("RAGROUTE_STAGED_TIMING", "0") == "1"
         self.staged = staged
         # inbox bound: at least the reference's router-queue bound
         # (MAX_QUEUE_SIZE=100, config.py:13), but never smaller than two

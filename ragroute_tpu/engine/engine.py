@@ -315,22 +315,28 @@ class FederatedSearchEngine:
             t0 = time.perf_counter()
             out = self._full_step(
                 params, bank, self._arrays, embs, rng, strategy=strategy)
-            np.asarray(out[4])
-            doc_t = time.perf_counter() - t0
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
 
-        (shard_scores, shard_ids, merged_score, merged_shard,
-         merged_local, merged_valid) = scored
+        # ONE device->host fetch for the whole output pytree: sequential
+        # np.asarray per field costs a full round trip each (~27 ms on the
+        # remote tunnel, x8 fields dominated serving latency); a single
+        # device_get batches them into one transfer. In fused mode this
+        # fetch IS the sync, so it closes the doc_select timer.
+        (probs, mask, shard_scores, shard_ids, merged_score, merged_shard,
+         merged_local, merged_valid) = jax.device_get(
+            (probs, mask) + tuple(scored))
+        if not staged:
+            doc_t = time.perf_counter() - t0
         return SearchOutput(
-            probs=np.asarray(probs),
+            probs=probs,
             mask=np.asarray(mask),
-            shard_scores=np.asarray(shard_scores),
-            shard_ids=np.asarray(shard_ids),
-            merged_score=np.asarray(merged_score),
-            merged_shard=np.asarray(merged_shard),
-            merged_local=np.asarray(merged_local),
-            merged_valid=np.asarray(merged_valid),
+            shard_scores=shard_scores,
+            shard_ids=shard_ids,
+            merged_score=merged_score,
+            merged_shard=merged_shard,
+            merged_local=merged_local,
+            merged_valid=merged_valid,
             selection_time=sel_t,
             doc_select_time=doc_t,
         )

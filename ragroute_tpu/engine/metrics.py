@@ -52,6 +52,14 @@ class ServerMetrics:
         self.batch_sizes = StageStat()
         self.queries = 0
         self.errors = 0
+        # warmup-measured steady-state device step time per batch bucket
+        # (live stage timings include host+dispatch; this is the honest
+        # device-side number — see FederationServer._warmup)
+        self.device_step_ms: Dict[int, float] = {}
+
+    def set_device_step_ms(self, per_bucket: Dict[int, float]) -> None:
+        with self._lock:
+            self.device_step_ms = dict(per_bucket)
 
     def observe_query(self, *, embedding: float, selection: float,
                       doc_select: float, generate: float, e2e: float,
@@ -78,4 +86,5 @@ class ServerMetrics:
                 "stages_s": {s: st.snapshot()
                              for s, st in self.stages.items()},
                 "batch_size": self.batch_sizes.snapshot(),
+                "device_step_ms": dict(self.device_step_ms),
             }

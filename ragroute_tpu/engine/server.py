@@ -91,6 +91,16 @@ class FederationServer:
         self._runner: Optional[web.AppRunner] = None
         self._site: Optional[web.TCPSite] = None
         self.metrics = ServerMetrics()
+        self._size_cache: Dict[int, tuple] = {}
+        # parsed-doc LRU: hot docs repeat across queries; parsing the same
+        # jsonl line per query was a measured host hot path
+        if doc_store is not None:
+            import functools
+
+            self._get_doc = functools.lru_cache(maxsize=65536)(
+                doc_store.get)
+        else:
+            self._get_doc = None
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -98,15 +108,28 @@ class FederationServer:
         """Compile the engine for every batch bucket before serving (the
         reference warms its router with a dummy forward, router.py:172-175;
         here a cold bucket would otherwise pay XLA compile inside a live
-        query's timeout budget)."""
+        query's timeout budget).
+
+        The second, compile-free pass of each bucket is timed with a real
+        device->host sync and recorded as that bucket's steady-state
+        device step time. Live per-query timings necessarily include
+        dispatch overhead (e.g. the remote-tunnel ~27 ms); GET /stats
+        exposes both so serving metrics survive deployment comparisons."""
         dims = {s.encoder: s.embed_dim for s in self.world.sources}
+        device_ms = {}
         for b in self.batcher.buckets:
             embs = {
                 enc: np.zeros((b, d), dtype=np.float32)
                 for enc, d in dims.items()
             }
-            self.engine.search(embs, strategy=self.strategy)
-        logger.info("engine warmed for buckets %s", self.batcher.buckets)
+            self.engine.search(embs, strategy=self.strategy)  # compile
+            t0 = time.perf_counter()
+            self.engine.search(embs, strategy=self.strategy)  # steady state
+            device_ms[b] = (time.perf_counter() - t0) * 1e3
+        self.metrics.set_device_step_ms(device_ms)
+        logger.info("engine warmed for buckets %s (device step ms: %s)",
+                    self.batcher.buckets,
+                    {b: round(v, 2) for b, v in device_ms.items()})
 
     async def start(self) -> None:
         if self.warmup:
@@ -285,22 +308,50 @@ class FederationServer:
         }
         return response
 
+    def _size_tables(self, si: int):
+        """Lazily-built per-source int32 length tables: raw doc line bytes
+        and id-string bytes, indexed by local doc id. Turns the per-query
+        message-size estimate into one numpy fancy-index instead of k
+        doc-store calls (measured host hot path at high load)."""
+        tab = self._size_cache.get(si)
+        if tab is None:
+            src = self.world.sources[si]
+            n = self.engine.shard_set.shards[si].n_docs
+            raw_lengths = getattr(self.doc_store, "raw_lengths", None)
+            rawl = None
+            if raw_lengths is not None:
+                rawl = raw_lengths(src.name)
+            if rawl is None and hasattr(self.doc_store, "get_raw"):
+                get_raw = self.doc_store.get_raw
+                rawl = np.fromiter(
+                    (len(r) if (r := get_raw(src.name, i)) else 4
+                     for i in range(n)), dtype=np.int32, count=n)
+            id_table = self.engine.shard_set.doc_ids.get(src.name)
+            idl = None
+            if id_table:
+                idl = np.fromiter(
+                    (len(str(x)) + 4 for x in id_table),
+                    dtype=np.int32, count=len(id_table))
+            tab = (rawl, idl)
+            self._size_cache[si] = tab
+        return tab
+
     def _estimate_message_size(self, res: QueryResult, si: int,
                                query_id: str) -> int:
         """Serialized size of the equivalent per-source response without
         parsing doc payloads: envelope + ids + scores + raw doc bytes."""
         src = self.world.sources[si]
-        id_table = self.engine.shard_set.doc_ids.get(src.name)
-        size = len(query_id) + len(src.name) + 96  # envelope + keys
-        get_raw = getattr(self.doc_store, "get_raw", None)
-        for r in range(res.shard_ids.shape[1]):
-            local = int(res.shard_ids[si, r])
-            size += 20  # score float repr + separators
-            if id_table:
-                size += len(str(id_table[local])) + 4
-            if get_raw is not None:
-                raw = get_raw(src.name, local)
-                size += (len(raw) if raw else 4) + 2
+        rawl, idl = self._size_tables(si)
+        ids = res.shard_ids[si]
+        k = ids.shape[0]
+        size = len(query_id) + len(src.name) + 96 + 20 * k
+        if idl is not None:
+            size += int(idl[ids].sum())
+        if rawl is not None:
+            n = rawl.shape[0]
+            clipped = np.clip(ids, 0, max(n - 1, 0))
+            per = np.where((ids >= 0) & (ids < n), rawl[clipped], 4)
+            size += int(per.sum()) + 2 * k
         return size
 
     def _resolve_source(self, res: QueryResult, si: int):
@@ -312,8 +363,8 @@ class FederationServer:
         for r in range(res.shard_ids.shape[1]):
             local = int(res.shard_ids[si, r])
             ids.append(id_table[local] if id_table else local)
-            docs.append(self.doc_store.get(src.name, local)
-                        if self.doc_store else None)
+            docs.append(self._get_doc(src.name, local)
+                        if self._get_doc else None)
             scores.append(float(res.shard_scores[si, r]))
         if self.world.name == "feb4rag":
             scores = []  # parity: no scores for FeB4RAG (data_source.py:163)
@@ -339,8 +390,8 @@ class FederationServer:
                 continue
             src = self.world.sources[si]
             local = int(res.merged_local[j])
-            docs.append(self.doc_store.get(src.name, local)
-                        if self.doc_store else
+            docs.append(self._get_doc(src.name, local)
+                        if self._get_doc else
                         {"source": src.name, "index": local})
         return docs
 

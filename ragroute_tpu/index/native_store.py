@@ -67,6 +67,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ds_get.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                ctypes.POINTER(ctypes.c_int64)]
         lib.ds_get.restype = ctypes.c_void_p
+        lib.ds_lengths.argtypes = [ctypes.c_void_p,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int64]
+        lib.ds_lengths.restype = ctypes.c_int64
         lib.ds_close.argtypes = [ctypes.c_void_p]
         lib.ds_close.restype = None
         _lib = lib
@@ -118,6 +122,20 @@ class NativeJsonlDocStore:
         if raw is None:
             return None
         return json.loads(raw)
+
+    def raw_lengths(self, source: str):
+        """All line lengths of a source as one int32 numpy array (one
+        native call — used to precompute response-size tables)."""
+        import numpy as np
+
+        h = self._handle(source)
+        if not h:
+            return None
+        n = int(self._lib.ds_count(h))
+        out = np.zeros(max(n, 1), dtype=np.int32)
+        got = self._lib.ds_lengths(
+            h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n)
+        return out[:max(int(got), 0)]
 
     def close(self) -> None:
         for h in self._handles.values():

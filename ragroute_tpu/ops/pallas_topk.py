@@ -24,9 +24,27 @@ Two properties make this fast:
 Ties break toward the lower document index (first-argmax + insert-after-
 equals), matching FAISS flat-index ordering.
 
-Tuning notes (v5e, 735k docs x 768d, B=1024, k=32; matmul-only floor is
-4.3 us/step at 186 TFLOPS): this design runs 13.9 us/step (58-61 TFLOPS
-end to end). Alternatives MEASURED SLOWER on this backend and reverted:
+Tuning notes (v5e, 734k docs x 768d, B=1024, k=32, bf16, measured via
+scripts/bench_kernel.py --reps 32, one dispatch, random data; matmul-only
+floor on the same harness is 4.82 us/step / 167 TFLOPS): this design runs
+14.05 us/step / 57 TFLOPS. Round-2 A/B history on the identical harness:
+  * round-1 kernel (stash every tile + iterative extract-insert,
+    software-pipelined one grid step behind): 16.57 us/step;
+  * + stashed per-row tile max to skip the merge's wide check read:
+    17.09 us (skip never fires at TQ=512 — any-of-512-rows improves on
+    nearly every tile — so it only added overhead);
+  * in-step conditional stash (pl.when(improves) around stash+merge):
+    16.89 us — predication also blocks epilogue fusion;
+  * epilogue top-R ladder (this design) R=1: 14.54, R=2: 14.05 (best),
+    R=3: 15.78; gating the ladder behind an improves-check: 16.15 us
+    micro / 33.1k engine q/s (slower everywhere, see kernel body);
+  * materializing the per-rank knocked-out [TQ, TD] copies OOMed scoped
+    VMEM at td=1024 (16.16M > 16M) — hence the masked-reduce form.
+The remaining 9 us/step over the matmul floor is ~6 unavoidable wide VPU
+traversals per tile (max/argmin per rank + next-max); Mosaic does not
+overlap VPU merge work with the MXU matmul (pipelining the merge one grid
+step behind measured +-2% in round 1 and +0.5 us here).
+Round-1 alternatives, also MEASURED SLOWER and reverted:
   * 128-lane bin-max candidate view + narrow insert loop + exactness
     rebuild: 15.7 us (per-tile rebuild + extra scalar reductions eat the
     narrower iteration savings);
@@ -67,6 +85,11 @@ from ragroute_tpu.ops.topk import (
 # Total VMEM budget for all kernel buffers (defaults to ~16 MB per core;
 # keep headroom for the compiler's own staging).
 _VMEM_BUDGET = 13 * 1024 * 1024
+
+# How many per-row tile maxima the fused epilogue extracts+inserts before
+# falling back to the stash+iterate slow path (see kernel body).
+EPILOGUE_RANKS = int(__import__("os").environ.get(
+    "RAGROUTE_EPILOGUE_RANKS", "2"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -144,39 +167,60 @@ def _topk_kernel(
         gidx = col + j * td
         gains = jnp.where(gidx < valid, gains, NEG_INF)
 
-    # --- Epilogue skip check + in-step merge ----------------------------
+    # --- Epilogue fast-path insert + rare full merge ---------------------
     #
-    # The per-row tile max is computed as a fused epilogue of the matmul,
-    # on the live gains value (no VMEM round trip). Tiles whose max beats
-    # no row's current k-th best — after warm-up, almost all of them —
-    # skip BOTH the [TQ, TD] stash write and every merge pass, so the
-    # steady-state grid step is just the matmul + one fused reduction.
-    # (The previous design stashed every tile and re-read it to run this
-    # same check one grid step later: ~4 MB of pure-overhead VMEM traffic
-    # per skipped tile, which was the entire 61-vs-186-TFLOPS gap.)
+    # In steady state a doc tile contributes AT MOST ONE new top-k entry
+    # per query row (expected new entries at tile j ~ k/j), so the merge
+    # is split:
     #
-    # Merge algorithm (unchanged semantics): repeatedly extract the
-    # per-row max of the stashed tile and insert it into the running
-    # sorted top-k, stopping as soon as no row can improve; implemented as
-    # a fori_loop with a done flag over scratch refs with scalar-only
-    # carries (a while_loop carrying the [TQ, TD] tile compiles ~60x
-    # slower in Mosaic, and large value carries through cond/fori get
-    # copied per iteration — see module docstring tuning notes).
+    # 1. Fast path, fused into the matmul epilogue on the LIVE gains
+    #    value: per-row (max, lowest-index argmax, second-max) in three
+    #    wide passes, then a single predicated [TQ, k] sorted insert of
+    #    the max. No [TQ, TD] stash write, no re-read, one scalar sync.
+    # 2. Slow path, only when some row's SECOND-best tile element still
+    #    beats its (post-insert) k-th best: stash the knocked-out tile
+    #    and run the iterative extract-insert loop (same algorithm as
+    #    before; a fori_loop with a done flag over scratch refs — a
+    #    while_loop carrying the [TQ, TD] tile compiles ~60x slower in
+    #    Mosaic, and large value carries through cond/fori get copied per
+    #    iteration, see module docstring).
+    #
+    # This cuts the per-tile VMEM traffic from ~5 wide passes (stash +
+    # check read + ~3 insert passes) to the three fused epilogue passes
+    # for ~all tiles.
     lane = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
+    def insert_one(m, gid, do_ins):
+        """Predicated sorted insert of one (gain, global id) per row.
+
+        Insert position is AFTER equal-score entries (index-ascending
+        among ties — FAISS flat parity; gid of a tile max is always
+        larger than any previously inserted tied id because the doc axis
+        streams in index order)."""
+        cur_g = run_g[:]
+        cur_i = run_i[:]
+        pos = jnp.sum((cur_g >= m[:, None]).astype(jnp.int32), axis=1)
+        sh_g = jnp.concatenate([cur_g[:, :1], cur_g[:, :-1]], axis=1)
+        sh_i = jnp.concatenate([cur_i[:, :1], cur_i[:, :-1]], axis=1)
+        new_g = jnp.where(
+            lane < pos[:, None], cur_g,
+            jnp.where(lane == pos[:, None], m[:, None], sh_g))
+        new_i = jnp.where(
+            lane < pos[:, None], cur_i,
+            jnp.where(lane == pos[:, None], gid[:, None], sh_i))
+        run_g[:] = jnp.where(do_ins[:, None], new_g, cur_g)
+        run_i[:] = jnp.where(do_ins[:, None], new_i, cur_i)
+
     def merge_stashed(offset):
-        """Merge gains_buf (global col = col + offset) into run_g/run_i."""
+        """Iteratively drain gains_buf into run_g/run_i (slow path)."""
         done[0] = 0
 
         def insert_step(t, carry):
             @pl.when(done[0] == 0)
             def _():
                 g = gains_buf[:]
-                cur_g = run_g[:]
-                cur_i = run_i[:]
                 m = jnp.max(g, axis=1)                   # [TQ]
-                kth = cur_g[:, k - 1]
-                do_ins = m > kth                         # [TQ]
+                do_ins = m > run_g[:, k - 1]             # [TQ]
 
                 @pl.when(jnp.logical_not(jnp.any(do_ins)))
                 def _stop():
@@ -187,23 +231,7 @@ def _topk_kernel(
                     # First (lowest-index) argmax — FAISS tie-break parity.
                     am = jnp.min(
                         jnp.where(g == m[:, None], col, td), axis=1)
-                    # Insert after equal-score entries (index-ascending).
-                    pos = jnp.sum(
-                        (cur_g >= m[:, None]).astype(jnp.int32), axis=1)
-                    # Shift right one lane (lane 0 dummy, never selected).
-                    sh_g = jnp.concatenate(
-                        [cur_g[:, :1], cur_g[:, :-1]], axis=1)
-                    sh_i = jnp.concatenate(
-                        [cur_i[:, :1], cur_i[:, :-1]], axis=1)
-                    gid = am + offset
-                    new_g = jnp.where(
-                        lane < pos[:, None], cur_g,
-                        jnp.where(lane == pos[:, None], m[:, None], sh_g))
-                    new_i = jnp.where(
-                        lane < pos[:, None], cur_i,
-                        jnp.where(lane == pos[:, None], gid[:, None], sh_i))
-                    run_g[:] = jnp.where(do_ins[:, None], new_g, cur_g)
-                    run_i[:] = jnp.where(do_ins[:, None], new_i, cur_i)
+                    insert_one(m, am + offset, do_ins)
                     # Knock out the taken element; mask rows that can no
                     # longer improve so they stop winning the row max.
                     g2 = jnp.where(col == am[:, None], NEG_INF, g)
@@ -216,12 +244,38 @@ def _topk_kernel(
         # iteration and a row can absorb at most k new entries per tile.
         jax.lax.fori_loop(0, k, insert_step, 0)
 
-    tile_max = jnp.max(gains, axis=1)                    # fused epilogue
-    improves = jnp.any(tile_max > run_g[:, k - 1])
+    # fast path (fused epilogue): statically-unrolled per-row top-R
+    # extract+insert on the live gains value. R bounds how many new
+    # top-k entries per row a tile can contribute before the slow path
+    # kicks in (expected entries at tile j ~ k/j, so rows wanting > R
+    # from one tile become vanishingly rare as the stream progresses).
+    # Every rank is a masked reduce over the ORIGINAL gains with an
+    # accumulated exclusion mask — no knocked-out [TQ, TD] copy is ever
+    # materialized (each copy is 2 MB of scoped VMEM; materializing per
+    # rank OOMed at td=1024), only the rare slow-path stash writes one.
+    # The ladder runs unconditionally: gating it behind a did-any-row-
+    # improve pl.when measured SLOWER on both random and clustered data
+    # (16.2 vs 14.0 us/step micro, 33.1k vs 37.3k engine q/s) — Mosaic
+    # predication forces the gains value to materialize and the check
+    # rarely skips at TQ=512 (any-of-512-rows fires nearly every tile).
+    m, excl = jnp.max(gains, axis=1), None
+    for r in range(EPILOGUE_RANKS):
+        tie_cols = jnp.where(gains == m[:, None], col, td)
+        if excl is not None:
+            tie_cols = jnp.where(excl, td, tie_cols)
+        a = jnp.min(tie_cols, axis=1)
+        insert_one(m, a + j * td, m > run_g[:, k - 1])
+        hit = col == a[:, None]
+        excl = hit if excl is None else (excl | hit)
+        m = jnp.max(jnp.where(excl, NEG_INF, gains), axis=1)
 
-    @pl.when(improves)
-    def _merge():
-        gains_buf[:] = gains
+    # slow path only if some row's (R+1)-th tile element still beats
+    # its (post-inserts) k-th best
+    need_more = jnp.any(m > run_g[:, k - 1])
+
+    @pl.when(need_more)
+    def _merge_rest():
+        gains_buf[:] = jnp.where(excl, NEG_INF, gains)
         merge_stashed(j * td)
 
     @pl.when(j == n_doc_tiles - 1)

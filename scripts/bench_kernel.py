@@ -66,11 +66,14 @@ def main():
     print(f"tiles: tq={tq} td={td} grid=({n_i},{n_j}) steps={steps} "
           f"backend={jax.default_backend()}", file=sys.stderr)
 
+    # docs/scale MUST be jit arguments, not closure captures: captured
+    # device arrays become HLO constants, and the remote-compile request
+    # then ships the entire index (413 over ~hundreds of MB).
     if args.matmul_floor:
         # bare matmul at identical tiling via a k=1 max (XLA reduces over
         # the same [B, N] product without materializing it)
         @jax.jit
-        def run(qs):
+        def run(qs, docs, scale):
             def body(c, q):
                 qq = q.astype(docs.dtype) if args.dtype != "int8" \
                     else q.astype(jnp.bfloat16)
@@ -84,7 +87,7 @@ def main():
             return out
     else:
         @jax.jit
-        def run(qs):
+        def run(qs, docs, scale):
             def body(c, q):
                 s, i = pallas_topk(q, docs, args.k, mode=args.mode,
                                    valid_docs=args.docs, scale=scale)
@@ -93,10 +96,10 @@ def main():
             return out
 
     t0 = time.time()
-    float(run(qs))
+    float(run(qs, docs, scale))
     print(f"compiled in {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
-    float(run(qs))
+    float(run(qs, docs, scale))
     el = time.time() - t0
 
     us_per_step = el * 1e6 / (args.reps * steps)

@@ -188,3 +188,60 @@ def test_int8_scale_topk(rng):
         true = np.take_along_axis(q @ docs.T, got_i, axis=1)
         np.testing.assert_allclose(np.asarray(got_s), true, rtol=0.05,
                                    atol=0.3)
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_topk_float_ties_across_tiles(rng, impl, mode):
+    """Real float embeddings with bit-identical duplicate docs scattered
+    across chunk/tile boundaries: tie groups return lowest-index-first
+    (FAISS IndexFlat semantics, reference data_source.py:69-80).
+    Identical rows produce bit-identical f32 scores under any fixed
+    contraction order, so this is exact even for floats. faiss-cpu is not
+    installed in this image; the documented lowest-index tie-break IS the
+    parity gate."""
+    b, n, d, k = 2, 4096, 32, 16
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    # a clearly-winning duplicate group scattered across distant tiles
+    group = [37, 900, 2055, 3500]
+    proto = (q[0] / np.linalg.norm(q[0])) * 7.3
+    for i in group:
+        docs[i] = proto
+    _, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode=mode, impl=impl,
+        chunk=512)
+    got0 = list(np.asarray(got_i)[0])
+    pos = [got0.index(i) for i in group]
+    assert pos == sorted(pos), (got0, group)
+    if mode == "dot":
+        assert got0[:4] == group  # top scores → first four, index order
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_topk_float_tie_group_straddles_k_boundary(impl):
+    """A 5-way float tie where only 3 slots remain in the top-k must
+    return exactly the 3 lowest indices of the group (FAISS heap
+    semantics with lowest-index preference)."""
+    n, d, k = 2048, 16, 16
+    q = np.ones((1, d), np.float32)
+    docs = np.zeros((n, d), np.float32)
+    rng = np.random.default_rng(7)
+    # 13 distinct clear winners
+    winners = rng.choice(n, size=13, replace=False)
+    for rank, i in enumerate(sorted(winners)):
+        docs[i, 0] = 30.0 - rank
+    # 5-way tie at score 5.3 — only 3 fit in k=16
+    tie_group = [11, 600, 1025, 1500, 2000]
+    tie_group = [i for i in tie_group if i not in set(winners.tolist())]
+    for i in tie_group[:5]:
+        docs[i, 0] = 5.3
+    _, got_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(docs), k, mode="dot", impl=impl,
+        chunk=512)
+    got = set(np.asarray(got_i)[0].tolist())
+    n_fit = k - 13
+    want_in = set(tie_group[:n_fit])
+    want_out = set(tie_group[n_fit:])
+    assert want_in <= got and not (want_out & got), (
+        sorted(got), tie_group)
