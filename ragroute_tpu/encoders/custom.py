@@ -64,9 +64,10 @@ def specb_bracket_ids(tokenizer) -> Tuple[int, int, int, int]:
 
 def specb_tokenize(
     tokenizer, texts: Sequence[str], *, is_query: bool = True,
-    max_length: int = 512,
+    max_length: int = 512, pad_to: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
-    """Tokenize with the specb bracket scheme, padded to the batch max.
+    """Tokenize with the specb bracket scheme, padded to the batch max
+    (or to a fixed ``pad_to`` length for jit-stable shapes).
 
     Returns ``{"input_ids", "attention_mask"}`` numpy int arrays.
     """
@@ -79,7 +80,7 @@ def specb_tokenize(
                                truncation=True, max_length=max_length - 2)
         seqs.append([open_id] + list(ids) + [close_id])
 
-    longest = max(len(s) for s in seqs)
+    longest = pad_to or max(len(s) for s in seqs)
     pad_id = tokenizer.pad_token_id
     if pad_id is None:
         pad_id = 0
@@ -105,7 +106,7 @@ def weighted_mean_pool(hidden: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 def instructor_tokenize(
     tokenizer, instruction: str, texts: Sequence[str], *,
-    max_length: int = 512,
+    max_length: int = 512, pad_to: Optional[int] = None,
 ) -> Dict[str, np.ndarray]:
     """Tokenize instruction+text pairs with per-row context masks.
 
@@ -115,8 +116,9 @@ def instructor_tokenize(
     visible) is what the model forward must use.
     """
     joined = [instruction + t.strip() for t in texts]
-    batch = tokenizer(joined, padding=True, truncation=True,
-                      max_length=max_length, return_tensors="np")
+    pad = ("max_length" if pad_to else True)
+    batch = tokenizer(joined, padding=pad, truncation=True,
+                      max_length=pad_to or max_length, return_tensors="np")
     ctx = tokenizer([instruction], padding=True, truncation=True,
                     max_length=max_length, return_tensors="np")
     context_len = int(ctx["attention_mask"].sum()) - 1
@@ -140,6 +142,96 @@ def masked_mean_pool(hidden: np.ndarray, pool_mask: np.ndarray) -> np.ndarray:
 # torch encoder classes (fallback execution, mirrors the reference's own
 # host-side execution model)
 # ---------------------------------------------------------------------------
+
+class JaxSGPTEncoder:
+    """TPU-native SGPT: pure-JAX GPT-J forward + specb scheme +
+    position-weighted mean pooling, all jitted at a fixed length."""
+
+    backend = "jax"
+
+    def __init__(self, spec, params, cfg, tokenizer, pad_to: int = 128):
+        import jax
+        import jax.numpy as jnp
+
+        from ragroute_tpu.encoders.gptj import gptj_encode
+
+        self.spec = spec
+        self.params = params
+        self.tokenizer = tokenizer
+        self.pad_to = pad_to
+
+        @jax.jit
+        def _encode(params, ids, mask):
+            outs = gptj_encode(params, cfg, ids, mask)
+            from ragroute_tpu.encoders.bert import pool
+
+            emb = pool(outs, mask, "weightedmean")
+            if spec.normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            return emb
+
+        self._encode = _encode
+
+    def encode(self, texts: List[str], *, is_query: bool = True) -> np.ndarray:
+        import jax.numpy as jnp
+
+        batch = specb_tokenize(self.tokenizer, texts, is_query=is_query,
+                               max_length=self.spec.max_length,
+                               pad_to=self.pad_to)
+        emb = self._encode(self.params,
+                           jnp.asarray(batch["input_ids"], jnp.int32),
+                           jnp.asarray(batch["attention_mask"], jnp.int32))
+        return np.asarray(emb, np.float32)
+
+
+class JaxInstructorEncoder:
+    """TPU-native INSTRUCTOR: pure-JAX T5 encoder + instruction-masked
+    mean pooling (model attends to the instruction; pooling excludes it)."""
+
+    backend = "jax"
+
+    def __init__(self, spec, params, cfg, tokenizer,
+                 default_dataset: str = "msmarco", pad_to: int = 128):
+        import jax
+        import jax.numpy as jnp
+
+        from ragroute_tpu.encoders.t5 import t5_encode
+
+        self.spec = spec
+        self.params = params
+        self.tokenizer = tokenizer
+        self.default_dataset = default_dataset
+        self.pad_to = pad_to
+
+        @jax.jit
+        def _encode(params, ids, attn_mask, pool_mask):
+            outs = t5_encode(params, cfg, ids, attn_mask)
+            m = pool_mask.astype(jnp.float32)[:, :, None]
+            emb = (outs["last_hidden"] * m).sum(1) / jnp.maximum(
+                m.sum(1), 1e-9)
+            if spec.normalize:
+                emb = emb / jnp.maximum(
+                    jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+            return emb
+
+        self._encode = _encode
+
+    def encode(self, texts: List[str], *, dataset: Optional[str] = None,
+               side: str = "query") -> np.ndarray:
+        import jax.numpy as jnp
+
+        instruction = instructor_instruction(
+            self.spec.hf_name, dataset or self.default_dataset, side)
+        batch = instructor_tokenize(self.tokenizer, instruction, texts,
+                                    max_length=self.spec.max_length,
+                                    pad_to=self.pad_to)
+        emb = self._encode(self.params,
+                           jnp.asarray(batch["input_ids"], jnp.int32),
+                           jnp.asarray(batch["attention_mask"], jnp.int32),
+                           jnp.asarray(batch["pool_mask"], jnp.int32))
+        return np.asarray(emb, np.float32)
+
 
 class SGPTEncoder:
     """GPT-family encoder with the specb scheme + weighted-mean pooling."""

@@ -22,12 +22,15 @@ Query-side behaviors replicated:
 * ember-v1 / gte-base — BERT SentenceBERT: mean pooling (gte), cls
   (ember), normalize.
 * SGPT-5.8B — GPT-family, weighted-mean pooling with the [SOS]/{SOS}
-  bracket-token scheme (custom_models.py:183-229), implemented in
-  :mod:`ragroute_tpu.encoders.custom` (specb_tokenize + SGPTEncoder).
+  bracket-token scheme (custom_models.py:183-229): pure-JAX GPT-J
+  forward (:mod:`ragroute_tpu.encoders.gptj`) via JaxSGPTEncoder, torch
+  SGPTEncoder fallback; scheme in :mod:`ragroute_tpu.encoders.custom`.
 * INSTRUCTOR — T5-encoder with instruction-masked mean pooling and the
   per-(model, dataset, side) instruction table
-  (instructor/instructor_model.py:223-386), implemented in
-  :mod:`ragroute_tpu.encoders.custom` (InstructorEncoder).
+  (instructor/instructor_model.py:223-386): pure-JAX T5 encoder
+  (:mod:`ragroute_tpu.encoders.t5`) via JaxInstructorEncoder, torch
+  InstructorEncoder fallback; pooling in
+  :mod:`ragroute_tpu.encoders.custom`.
 """
 
 from __future__ import annotations

@@ -187,6 +187,33 @@ def _load_jax_mpnet(spec: EncoderSpec) -> JaxMPNetEncoder:
     return JaxMPNetEncoder(spec, params, cfg, tok)
 
 
+def _load_jax_gptj(spec: EncoderSpec):
+    from transformers import AutoModel, AutoTokenizer
+
+    from ragroute_tpu.encoders import gptj as gj
+    from ragroute_tpu.encoders.custom import JaxSGPTEncoder
+
+    tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
+    model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
+    cfg = gj.config_from_hf(model.config)
+    params = gj.params_from_torch_gptj(model.state_dict(), cfg)
+    return JaxSGPTEncoder(spec, params, cfg, tok)
+
+
+def _load_jax_t5(spec: EncoderSpec):
+    from transformers import AutoTokenizer, T5EncoderModel
+
+    from ragroute_tpu.encoders import t5 as t5m
+    from ragroute_tpu.encoders.custom import JaxInstructorEncoder
+
+    tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
+    model = T5EncoderModel.from_pretrained(spec.hf_name,
+                                           local_files_only=True)
+    cfg = t5m.config_from_hf(model.config)
+    params = t5m.params_from_torch_t5(model.state_dict(), cfg)
+    return JaxInstructorEncoder(spec, params, cfg, tok)
+
+
 class EncoderZoo:
     """All distinct encoders for a world, best-available backend each."""
 
@@ -212,7 +239,9 @@ class EncoderZoo:
             return HashEncoder(spec)
         if prefer == "jax":
             loader = {"bert": _load_jax_bert,
-                      "mpnet": _load_jax_mpnet}.get(spec.family)
+                      "mpnet": _load_jax_mpnet,
+                      "gpt": _load_jax_gptj,
+                      "t5": _load_jax_t5}.get(spec.family)
             if loader is not None:
                 try:
                     return loader(spec)

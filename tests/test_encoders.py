@@ -327,3 +327,149 @@ def test_instructor_encoder(rng):
     want = masked_mean_pool(h, batch["pool_mask"])[0]
     want /= np.linalg.norm(want)
     np.testing.assert_allclose(emb[0], want, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# GPT-J (JAX) vs torch GPTJModel / T5 encoder (JAX) vs torch T5EncoderModel
+# ---------------------------------------------------------------------------
+
+def test_gptj_matches_torch(rng):
+    import torch
+    from transformers import GPTJConfig as HFGPTJConfig, GPTJModel
+
+    from ragroute_tpu.encoders import gptj as gj
+
+    torch.manual_seed(4)
+    hf_cfg = HFGPTJConfig(
+        vocab_size=96, n_positions=64, n_embd=32, n_layer=2, n_head=4,
+        rotary_dim=4, n_inner=None, activation_function="gelu_new",
+        attn_pdrop=0.0, resid_pdrop=0.0, embd_pdrop=0.0)
+    model = GPTJModel(hf_cfg)
+    model.eval()
+    cfg = gj.config_from_hf(hf_cfg)
+    params = gj.params_from_torch_gptj(model.state_dict(), cfg)
+
+    bsz, seq = 3, 12
+    ids = rng.integers(0, 96, (bsz, seq)).astype(np.int64)
+    mask = np.ones((bsz, seq), np.int64)
+    mask[0, 8:] = 0
+    mask[1, 5:] = 0
+
+    with torch.no_grad():
+        want = model(input_ids=torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask))
+    outs = gj.gptj_encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                          jnp.asarray(mask, jnp.int32))
+    got_h = np.asarray(outs["last_hidden"])
+    want_h = want.last_hidden_state.numpy()
+    for b in range(bsz):
+        n = mask[b].sum()
+        np.testing.assert_allclose(
+            got_h[b, :n], want_h[b, :n], rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_t5_encoder_matches_torch(rng, gated):
+    import torch
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    from ragroute_tpu.encoders import t5 as t5m
+
+    torch.manual_seed(5)
+    hf_cfg = HFT5Config(
+        vocab_size=96, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu" if gated else "relu",
+        is_encoder_decoder=False)
+    model = T5EncoderModel(hf_cfg)
+    model.eval()
+    cfg = t5m.config_from_hf(hf_cfg)
+    assert cfg.gated_act == gated
+    params = t5m.params_from_torch_t5(model.state_dict(), cfg)
+
+    bsz, seq = 3, 14
+    ids = rng.integers(0, 96, (bsz, seq)).astype(np.int64)
+    mask = np.ones((bsz, seq), np.int64)
+    mask[0, 9:] = 0
+    mask[2, 4:] = 0
+
+    with torch.no_grad():
+        want = model(input_ids=torch.from_numpy(ids),
+                     attention_mask=torch.from_numpy(mask))
+    outs = t5m.t5_encode(params, cfg, jnp.asarray(ids, jnp.int32),
+                         jnp.asarray(mask, jnp.int32))
+    got_h = np.asarray(outs["last_hidden"])
+    want_h = want.last_hidden_state.numpy()
+    for b in range(bsz):
+        n = mask[b].sum()
+        np.testing.assert_allclose(
+            got_h[b, :n], want_h[b, :n], rtol=1e-3, atol=1e-4)
+
+
+def test_jax_sgpt_matches_torch_sgpt(rng):
+    """JaxSGPTEncoder (pure-JAX GPT-J + specb + weightedmean) vs the torch
+    SGPTEncoder on the SAME tiny checkpoint: independent stacks, same
+    embeddings."""
+    import torch
+    from transformers import GPTJConfig as HFGPTJConfig, GPTJModel
+
+    from ragroute_tpu.encoders import gptj as gj
+    from ragroute_tpu.encoders.custom import JaxSGPTEncoder, SGPTEncoder
+    from ragroute_tpu.encoders.registry import EncoderSpec
+
+    tok = _make_local_tokenizer()
+    torch.manual_seed(6)
+    model = GPTJModel(HFGPTJConfig(
+        vocab_size=tok.vocab_size + 10, n_positions=64, n_embd=16,
+        n_layer=1, n_head=2, rotary_dim=4, activation_function="gelu_new",
+        attn_pdrop=0.0, resid_pdrop=0.0, embd_pdrop=0.0))
+    model.eval()
+    spec = EncoderSpec("sgpt-tiny-specb", "gpt", "local", 16,
+                       "weightedmean", normalize=False)
+
+    torch_enc = SGPTEncoder(spec, model=model, tokenizer=tok)
+    cfg = gj.config_from_hf(model.config)
+    params = gj.params_from_torch_gptj(model.state_dict(), cfg)
+    jax_enc = JaxSGPTEncoder(spec, params, cfg, tok, pad_to=32)
+
+    texts = ["what is diabetes", "the [quick] {brown} fox"]
+    np.testing.assert_allclose(
+        jax_enc.encode(texts), torch_enc.encode(texts),
+        rtol=1e-3, atol=1e-4)
+    # doc-side brackets too
+    np.testing.assert_allclose(
+        jax_enc.encode(texts, is_query=False),
+        torch_enc.encode(texts, is_query=False), rtol=1e-3, atol=1e-4)
+
+
+def test_jax_instructor_matches_torch_instructor(rng):
+    import torch
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    from ragroute_tpu.encoders import t5 as t5m
+    from ragroute_tpu.encoders.custom import (
+        InstructorEncoder,
+        JaxInstructorEncoder,
+    )
+    from ragroute_tpu.encoders.registry import EncoderSpec
+
+    tok = _make_local_tokenizer(with_eos=True)
+    torch.manual_seed(7)
+    model = T5EncoderModel(HFT5Config(
+        vocab_size=tok.vocab_size + 10, d_model=16, d_kv=8, d_ff=32,
+        num_layers=1, num_heads=2, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", is_encoder_decoder=False))
+    model.eval()
+    spec = EncoderSpec("instructor-tiny", "t5", "hkunlp/instructor-large",
+                       16, "mean", normalize=True)
+
+    torch_enc = InstructorEncoder(spec, model=model, tokenizer=tok)
+    cfg = t5m.config_from_hf(model.config)
+    params = t5m.params_from_torch_t5(model.state_dict(), cfg)
+    jax_enc = JaxInstructorEncoder(spec, params, cfg, tok, pad_to=48)
+
+    texts = ["what is diabetes", "fox"]
+    np.testing.assert_allclose(
+        jax_enc.encode(texts, dataset="nq"),
+        torch_enc.encode(texts, dataset="nq"), rtol=1e-3, atol=1e-4)
