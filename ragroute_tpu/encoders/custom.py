@@ -74,10 +74,11 @@ def specb_tokenize(
     q_open, q_close, d_open, d_close = specb_bracket_ids(tokenizer)
     open_id, close_id = (q_open, q_close) if is_query else (d_open, d_close)
 
+    limit = min(max_length, pad_to) if pad_to else max_length
     seqs = []
     for t in texts:
         ids = tokenizer.encode(t, add_special_tokens=False,
-                               truncation=True, max_length=max_length - 2)
+                               truncation=True, max_length=limit - 2)
         seqs.append([open_id] + list(ids) + [close_id])
 
     longest = pad_to or max(len(s) for s in seqs)

@@ -122,9 +122,10 @@ class FederationServer:
                 enc: np.zeros((b, d), dtype=np.float32)
                 for enc, d in dims.items()
             }
-            self.engine.search(embs, strategy=self.strategy)  # compile
+            staged = self.batcher.staged  # compile the SERVING path
+            self.engine.search(embs, strategy=self.strategy, staged=staged)
             t0 = time.perf_counter()
-            self.engine.search(embs, strategy=self.strategy)  # steady state
+            self.engine.search(embs, strategy=self.strategy, staged=staged)
             device_ms[b] = (time.perf_counter() - t0) * 1e3
         self.metrics.set_device_step_ms(device_ms)
         logger.info("engine warmed for buckets %s (device step ms: %s)",

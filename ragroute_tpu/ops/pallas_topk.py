@@ -88,8 +88,8 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 # How many per-row tile maxima the fused epilogue extracts+inserts before
 # falling back to the stash+iterate slow path (see kernel body).
-EPILOGUE_RANKS = int(__import__("os").environ.get(
-    "RAGROUTE_EPILOGUE_RANKS", "2"))
+EPILOGUE_RANKS = max(1, int(__import__("os").environ.get(
+    "RAGROUTE_EPILOGUE_RANKS", "2")))
 
 
 def _round_up(x: int, m: int) -> int:

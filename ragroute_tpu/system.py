@@ -84,12 +84,13 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
         # proceed without it.
         from ragroute_tpu.router.torch_import import load_sklearn_scaler
 
-        for cand in ("scaler.pkl", "preprocessed_data.pkl"):
-            spath = os.path.join(wroot, cand)
-            if os.path.exists(spath):
-                scaler = load_sklearn_scaler(spath)
-                logger.info("loaded feature scaler from %s", spath)
-                break
+        if world.uses_scaler:
+            for cand in ("scaler.pkl", "preprocessed_data.pkl"):
+                spath = os.path.join(wroot, cand)
+                if os.path.exists(spath):
+                    scaler = load_sklearn_scaler(spath)
+                    logger.info("loaded feature scaler from %s", spath)
+                    break
         if scaler is None and world.uses_scaler:
             raise FileNotFoundError(
                 f"{pth_path} is a reference torch router checkpoint and "

@@ -189,16 +189,21 @@ class BenchmarkClient:
         while True:
             item = await queue.get()
             try:
+                # a worker must survive ANY per-item failure (timeout,
+                # malformed reply, scorer error): a dead worker would
+                # leave the queue undrained and hang queue.join() forever
                 try:
                     reply = await self._ask(session, item)
-                except aiohttp.ClientError as e:
-                    print(f"Error: request for {item.qid} failed: {e}")
+                    if reply is None:
+                        print("Error: No result returned from the server.")
+                        continue
+                    is_correct = bool(
+                        self.bench.check(item.data, reply["answer"]))
+                except asyncio.CancelledError:
+                    raise
+                except Exception as e:
+                    print(f"Error: question {item.qid} failed: {e!r}")
                     continue
-                if reply is None:
-                    print("Error: No result returned from the server.")
-                    continue
-                is_correct = bool(
-                    self.bench.check(item.data, reply["answer"]))
                 async with lock:
                     self.asked += 1
                     self.correct += int(is_correct)

@@ -56,8 +56,6 @@ def main():
         rng.standard_normal((args.reps, args.batch, args.dim)),
         dtype=jnp.float32)
 
-    doc_bytes = 2 if args.dtype == "int8" else dt.dtype.itemsize \
-        if hasattr(dt, "dtype") else jnp.dtype(dt).itemsize
     tq, td = _pick_tiles(_round_up(args.batch, 8), args.dim,
                          jnp.dtype(dt).itemsize)
     n_i = _round_up(args.batch, tq) // tq

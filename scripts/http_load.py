@@ -21,7 +21,6 @@ CHOICES = json.dumps({"A": "x", "B": "y"})
 
 
 async def worker(session, server, qids, stop_at, lat, counts):
-    i = counts["launched"]
     while time.time() < stop_at:
         counts["launched"] += 1
         qid = qids[counts["launched"] % len(qids)]
