@@ -39,7 +39,16 @@ floor on the same harness is 4.82 us/step / 167 TFLOPS): this design runs
     R=3: 15.78; gating the ladder behind an improves-check: 16.15 us
     micro / 33.1k engine q/s (slower everywhere, see kernel body);
   * materializing the per-rank knocked-out [TQ, TD] copies OOMed scoped
-    VMEM at td=1024 (16.16M > 16M) — hence the masked-reduce form.
+    VMEM at td=1024 (16.16M > 16M) — hence the masked-reduce form;
+  * folding padded-doc masking into a NEG_INF bias tail + skipping the
+    bias add when identically zero (current form): 14.04 us — neutral on
+    the micro (the iota+compare+where fused into existing traversals)
+    but strictly fewer VPU ops, kept for the padded/l2 configs.
+The merge is VMEM-bandwidth-bound, not ALU-bound: R=2 -> R=3 adds ~2
+gains traversals and costs +1.7 us, i.e. ~2.4 TB/s effective VMEM read
+rate; the design is already near the traversal minimum (matmul write +
+max/argmax/next-max reads per rank), so further op-shaving inside the
+epilogue does not move the total.
 The remaining 9 us/step over the matmul floor is ~6 unavoidable wide VPU
 traversals per tile (max/argmin per rank + next-max); Mosaic does not
 overlap VPU merge work with the MXU matmul (pipelining the merge one grid
@@ -122,15 +131,15 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
 
 
 def _topk_kernel(
-    q_ref, docs_ref, bias_ref, *rest,
-    k: int, td: int, n_doc_tiles: int, valid: int, n_pad: int,
-    scaled: bool,
+    q_ref, docs_ref, *rest,
+    k: int, td: int, n_doc_tiles: int, scaled: bool, biased: bool,
 ):
+    bias_ref = scale_ref = None
+    if biased:
+        bias_ref, rest = rest[0], rest[1:]
     if scaled:
-        scale_ref, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
-    else:
-        scale_ref = None
-        out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
+        scale_ref, rest = rest[0], rest[1:]
+    out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -158,14 +167,14 @@ def _topk_kernel(
     )
     if scaled:
         gains = gains * scale_ref[:]
-    gains = gains + bias_ref[:]
+    if biased:
+        # The wrapper folds padded/invalid-doc masking into the bias
+        # (NEG_INF tail), so no per-tile iota+compare+where runs here; a
+        # dot/cos shard with no padding skips this add entirely.
+        gains = gains + bias_ref[:]
 
     tq = gains.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, td), 1)
-    if valid < n_pad:
-        # Padded / out-of-range documents can never win.
-        gidx = col + j * td
-        gains = jnp.where(gidx < valid, gains, NEG_INF)
 
     # --- Epilogue fast-path insert + rare full merge ---------------------
     #
@@ -322,8 +331,6 @@ def pallas_topk(
     q = _prepare_queries(queries, mode)
     if bias is None:
         b = doc_bias(docs, mode)
-        if b is None:
-            b = jnp.zeros((n,), dtype=jnp.float32)
     else:
         b = bias.astype(jnp.float32)
 
@@ -339,10 +346,18 @@ def pallas_topk(
         q = q.astype(docs.dtype)
     if n_pad != n:
         docs = jnp.pad(docs, ((0, n_pad - n), (0, 0)))
-        b = jnp.pad(b, (0, n_pad - n))
+        if b is not None:
+            b = jnp.pad(b, (0, n_pad - n))
         if scale is not None:
             scale = jnp.pad(scale, (0, n_pad - n))
-    bias2d = b.reshape(1, n_pad)
+    if valid < n_pad:
+        # Fold padded/invalid-doc masking into the bias: a NEG_INF tail
+        # means those docs can never win, and the kernel's hot loop needs
+        # no per-tile iota+compare+where (3 wide VPU ops saved per tile).
+        if b is None:
+            b = jnp.zeros((n_pad,), dtype=jnp.float32)
+        b = jnp.where(jnp.arange(n_pad) < valid, b, NEG_INF)
+    bias2d = None if b is None else b.reshape(1, n_pad)
     scale2d = None if scale is None else \
         scale.astype(jnp.float32).reshape(1, n_pad)
 
@@ -350,8 +365,8 @@ def pallas_topk(
     n_j = n_pad // td
 
     kernel = functools.partial(
-        _topk_kernel, k=k, td=td, n_doc_tiles=n_j, valid=valid, n_pad=n_pad,
-        scaled=scale2d is not None,
+        _topk_kernel, k=k, td=td, n_doc_tiles=n_j,
+        scaled=scale2d is not None, biased=bias2d is not None,
     )
 
     flops = 2 * b_pad * n_pad * d
@@ -370,11 +385,9 @@ def pallas_topk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((td, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, td), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec((1, td), lambda i, j: (0, j),
-                           memory_space=pltpu.VMEM)]
-             if scale2d is not None else []),
+        ] + [pl.BlockSpec((1, td), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+             for arr in (bias2d, scale2d) if arr is not None],
         out_specs=[
             pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -396,7 +409,7 @@ def pallas_topk(
         # The CPU test mesh has no Mosaic backend; interpret there so the
         # same code path is exercised everywhere.
         interpret=jax.default_backend() not in ("tpu", "axon"),
-    )(*([q, docs, bias2d] + ([scale2d] if scale2d is not None else [])))
+    )(*([q, docs] + [a for a in (bias2d, scale2d) if a is not None]))
 
     gains = gains[:bsz]
     idx = idx[:bsz]
