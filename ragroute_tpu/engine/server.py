@@ -46,6 +46,12 @@ from ragroute_tpu.engine.rerank import rerank_feb4rag
 
 logger = logging.getLogger("server")
 
+# compact separators: responses embed k full doc payloads, so the default
+# ", "/": " padding is measurable bytes+CPU at high load
+import functools as _functools
+
+_dumps = _functools.partial(json.dumps, separators=(",", ":"))
+
 
 class FederationServer:
     """aiohttp front-end over the batched TPU engine."""
@@ -137,7 +143,11 @@ class FederationServer:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(None, self._warmup)
         await self.batcher.start()
-        self._runner = web.AppRunner(self.app)
+        # no per-request access-log line: formatting + stderr I/O per
+        # request was a measured host cost at high load (reference serves
+        # without aiohttp access logs too — it builds its own app runner
+        # with default logging only at the app level)
+        self._runner = web.AppRunner(self.app, access_log=None)
         await self._runner.setup()
         self._site = web.TCPSite(self._runner, self.host, self.port)
         await self._site.start()
@@ -200,7 +210,7 @@ class FederationServer:
             result = await asyncio.wait_for(
                 self._process(query, choices, question_id),
                 timeout=QUERY_TIMEOUT_S)
-            return web.json_response(result)
+            return web.json_response(result, dumps=_dumps)
         except asyncio.TimeoutError:
             logger.error("Query timed out")
             return web.Response(text="Search timed out", status=504)
