@@ -16,8 +16,12 @@ Env knobs:
     RAGROUTE_BENCH_DOCS    total docs across all shards   (default 1,048,576)
     RAGROUTE_BENCH_BATCH   query batch size               (default 1024)
     RAGROUTE_BENCH_REPS    timed batches                  (default 16)
-    RAGROUTE_BENCH_DTYPE   bfloat16 | float32             (default bfloat16)
+    RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8      (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
+    RAGROUTE_BENCH_IMPL    auto | ivf                     (default auto/exact)
+    RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
+    RAGROUTE_BENCH_SUBCLUSTERS  within-source topic clusters (default 1;
+                           IVF rows use a topical corpus, see BENCHMARKS.md)
 """
 
 import json
@@ -51,7 +55,10 @@ def main():
     reps = int(os.environ.get("RAGROUTE_BENCH_REPS", 16))
     dtype_name = os.environ.get("RAGROUTE_BENCH_DTYPE", "bfloat16")
     strategy = os.environ.get("RAGROUTE_BENCH_STRATEGY", "ragroute")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    impl = os.environ.get("RAGROUTE_BENCH_IMPL", "auto")
+    nprobe = int(os.environ.get("RAGROUTE_BENCH_NPROBE", "0")) or None
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.int8}[dtype_name]
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
@@ -73,15 +80,22 @@ def main():
     t0 = time.time()
     syn = make_synthetic_world(
         world_name, docs_per_source_map=sizes, docs_per_source=4096,
-        num_queries=batch, seed=0, with_payloads=False)
+        num_queries=batch, seed=0, with_payloads=False,
+        subclusters=int(os.environ.get("RAGROUTE_BENCH_SUBCLUSTERS", "1")))
     log(f"generated in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=dtype)
+    shard_set = ShardSet.build(
+        syn.world, syn.embeddings, dtype=dtype,
+        ivf_clusters=-1 if impl == "ivf" else None)
     for docs, *_ in shard_set.arrays():
         docs.block_until_ready()
     log(f"uploaded {shard_set.index_bytes / 1e9:.2f} GB index "
         f"({shard_set.total_docs} docs) in {time.time() - t0:.1f}s")
+    if impl == "ivf":
+        log("ivf layouts: " + ", ".join(
+            f"{s.name}: C={s.ivf.n_clusters} S={s.ivf.capacity}"
+            for s in shard_set.shards))
 
     world = shard_set.world
     params = init_router_params(jax.random.key(0), world.router_input_dim)
@@ -104,18 +118,24 @@ def main():
         ])
         embs_r[enc] = jnp.asarray(reps_q, dtype=jnp.float32)
 
-    def one_step(params, bank, arrays, query_embs, rng_key):
+    # ivf arrays are jit ARGUMENTS for the same reason as `arrays`:
+    # closure-captured device arrays become HLO constants and the remote
+    # compile would ship the whole clustered index
+    ivf_arrays = shard_set.ivf_arrays() if impl == "ivf" else None
+
+    def one_step(params, bank, arrays, ivf_arrays, query_embs, rng_key):
         probs, mask = _route_fn(
             world, strategy, params, bank, query_embs, rng_key)
-        out = _score_fn(world, world.k, "auto", n_docs, arrays,
-                        query_embs, mask)
+        out = _score_fn(world, world.k, impl, n_docs, arrays,
+                        query_embs, mask, ivf_arrays=ivf_arrays,
+                        nprobe=nprobe)
         return out[2], out[3]  # merged scores/shards
 
     @jax.jit
-    def loop(params, bank, arrays, query_embs_r, keys):
+    def loop(params, bank, arrays, ivf_arrays, query_embs_r, keys):
         def body(carry, xs):
             qe, key = xs
-            s, sh = one_step(params, bank, arrays, qe, key)
+            s, sh = one_step(params, bank, arrays, ivf_arrays, qe, key)
             return carry + s.sum() + sh.sum(), None
         out, _ = jax.lax.scan(body, jnp.float32(0), (query_embs_r, keys))
         return out
@@ -125,7 +145,7 @@ def main():
     t0 = time.time()
     # float() forces a device->host transfer: block_until_ready alone does
     # not synchronize through the axon remote-TPU tunnel
-    float(loop(params, bank, arrays, embs_r, keys))
+    float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
     log(f"compiled in {time.time() - t0:.1f}s; timing {reps} batches of "
         f"{batch}...")
 
@@ -142,7 +162,7 @@ def main():
 
     with ctx:
         t0 = time.time()
-        float(loop(params, bank, arrays, embs_r, keys))
+        float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
         elapsed = time.time() - t0
 
     qps = reps * batch / elapsed

@@ -99,6 +99,8 @@ def _score_fn(
     query_embs,
     mask,
     compaction: bool = True,
+    ivf_arrays=None,
+    nprobe: Optional[int] = None,
 ):
     """Score all shards and merge, with routing-aware batch compaction.
 
@@ -114,6 +116,10 @@ def _score_fn(
       worst-score placeholders, which the mask gating drops anyway). At
       the reference's medrag selectivity (2 of 4 sources per query) this
       halves the dominant matmul.
+
+    ``impl="ivf"`` swaps the exact scan for the cluster-probed
+    approximate search (:mod:`ragroute_tpu.ops.ivf_topk`) on shards that
+    carry a balanced-IVF layout; compaction and skip compose unchanged.
     """
     some_enc = world.sources[0].encoder
     bsz = query_embs[some_enc].shape[0]
@@ -122,25 +128,33 @@ def _score_fn(
     per_ids: List[jnp.ndarray] = []
     for i, src in enumerate(world.sources):
         docs, bias, scale, center = shard_arrays[i]
+        ivf = ivf_arrays[i] if (impl == "ivf" and ivf_arrays) else None
         q = query_embs[src.encoder]
         routed = mask[:, i]
         cnt = routed.sum()
         worst = jnp.inf if src.score_mode == "l2" else -jnp.inf
 
-        def full(q=q, docs=docs, bias=bias, scale=scale, src=src,
-                 center=center, n=n_docs[i]):
-            return shard_topk(
-                q, docs, k, mode=src.score_mode, valid_docs=n,
-                bias=bias, scale=scale, center=center, impl=impl)
+        def score(qq, docs=docs, bias=bias, scale=scale, src=src,
+                  center=center, n=n_docs[i], ivf=ivf):
+            if ivf is not None:
+                from ragroute_tpu.ops.ivf_topk import ivf_topk
 
-        def compact_to(cb, q=q, docs=docs, bias=bias, scale=scale, src=src,
-                       center=center, n=n_docs[i], routed=routed, worst=worst):
+                return ivf_topk(
+                    qq, ivf, k, mode=src.score_mode, center=center,
+                    nprobe=nprobe or max(1, ivf.n_clusters // 8))
+            return shard_topk(
+                qq, docs, k, mode=src.score_mode, valid_docs=n,
+                bias=bias, scale=scale, center=center,
+                impl="auto" if impl == "ivf" else impl)
+
+        def full(q=q, score=score):
+            return score(q)
+
+        def compact_to(cb, q=q, score=score, routed=routed, worst=worst):
             order = jnp.argsort(
                 jnp.logical_not(routed), stable=True)        # routed first
             sel = order[:cb]
-            s_c, i_c = shard_topk(
-                q[sel], docs, k, mode=src.score_mode, valid_docs=n,
-                bias=bias, scale=scale, center=center, impl=impl)
+            s_c, i_c = score(q[sel])
             s = jnp.full((bsz, k), worst, dtype=jnp.float32).at[sel].set(s_c)
             idx = jnp.zeros((bsz, k), dtype=jnp.int32).at[sel].set(i_c)
             return s, idx
@@ -183,7 +197,11 @@ class FederatedSearchEngine:
       router_params: gating MLP parameters (imported or trained); may be
         ``None`` if only all/random/none strategies are used.
       bank: router feature bank (centroids, one-hots, scaler).
-      impl: top-k implementation ("auto" → Pallas on TPU).
+      impl: top-k implementation ("auto" → Pallas on TPU; "ivf" → the
+        cluster-probed approximate search, requires shards built with
+        ``ivf_clusters``).
+      nprobe: clusters probed per query in ivf mode (default C/8 per
+        shard).
     """
 
     def __init__(
@@ -196,6 +214,7 @@ class FederatedSearchEngine:
         seed: int = 0,
         threshold: float = None,
         compaction: bool = True,
+        nprobe: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
@@ -204,14 +223,22 @@ class FederatedSearchEngine:
         self.impl = impl
         self.threshold = threshold
         self.compaction = compaction
+        self.nprobe = nprobe
         self._key = jax.random.key(seed)
         n_docs = tuple(s.n_docs for s in shard_set.shards)
+        if impl == "ivf":
+            missing = [s.name for s in shard_set.shards if s.ivf is None]
+            if missing:
+                raise ValueError(
+                    f"impl='ivf' needs shards built with ivf_clusters; "
+                    f"missing balanced-IVF layout for {missing}")
 
         world = self.world
         k = world.k
         impl_ = impl
         thr = threshold
         compaction_ = compaction
+        nprobe_ = nprobe
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
         def route_step(params, bank, query_embs, rng, *, strategy: str):
@@ -219,25 +246,26 @@ class FederatedSearchEngine:
                              thr)
 
         @jax.jit
-        def score_step(shard_arrays, query_embs, mask):
+        def score_step(shard_arrays, ivf_arrays, query_embs, mask):
             return _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_)
+                compaction_, ivf_arrays, nprobe_)
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
-        def full_step(params, bank, shard_arrays, query_embs, rng,
-                      *, strategy: str):
+        def full_step(params, bank, shard_arrays, ivf_arrays, query_embs,
+                      rng, *, strategy: str):
             probs, mask = _route_fn(
                 world, strategy, params, bank, query_embs, rng, thr)
             scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_)
+                compaction_, ivf_arrays, nprobe_)
             return (probs, mask) + scored
 
         self._route_step = route_step
         self._score_step = score_step
         self._full_step = full_step
         self._arrays = shard_set.arrays()
+        self._ivf = shard_set.ivf_arrays() if impl == "ivf" else None
 
     # ------------------------------------------------------------------
 
@@ -308,13 +336,14 @@ class FederatedSearchEngine:
             mask = jax.device_get(mask)
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
-            scored = self._score_step(self._arrays, embs, mask)
+            scored = self._score_step(self._arrays, self._ivf, embs, mask)
             np.asarray(scored[2])
             doc_t = time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
             out = self._full_step(
-                params, bank, self._arrays, embs, rng, strategy=strategy)
+                params, bank, self._arrays, self._ivf, embs, rng,
+                strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
 

@@ -1,0 +1,255 @@
+"""TPU-native IVF (cluster-probed approximate) index build.
+
+Beyond-reference capability: the reference searches every FAISS flat
+index exhaustively (``ragroute/data_source.py:158``). This module adds an
+opt-in approximate mode that probes only the ``nprobe`` nearest document
+clusters per query, cutting scoring FLOPs by ~``C/nprobe`` at a measured
+recall cost (see ``tests/test_ivf.py`` and BENCHMARKS.md).
+
+Design — a TPU-first re-think of FAISS IVF, not a port:
+
+* FAISS keeps ragged inverted lists and scans them with per-query CPU
+  loops. Ragged anything is poison for XLA, so the build here produces a
+  dense ``[C, S, d]`` cluster-major layout with **balanced clusters**:
+  k-means learns the centroids, then documents are assigned to their
+  nearest cluster *subject to a fixed capacity* ``S ≈ (n/C) * slack``
+  (greedy by preference rank, like capacity-constrained MoE routing).
+  Every cluster fits the same static slab; padding slots carry a -inf
+  gain bias so they can never win.
+* Search (:mod:`ragroute_tpu.ops.ivf_topk`) then becomes an MoE-style
+  dispatch problem — queries are tokens, clusters are experts — and the
+  whole probe→score→merge runs as one static-shape XLA program on the
+  MXU.
+
+k-means runs on device (jitted Lloyd iterations, chunked assignment so
+the ``[n, C]`` distance matrix never materializes); the capacity-greedy
+assignment is a tiny host pass over the top-R cluster preferences.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+logger = logging.getLogger("ivf")
+
+
+@struct.dataclass
+class IVFData:
+    """Device arrays of one balanced-IVF shard (cluster-major layout)."""
+
+    centroids: jnp.ndarray            # [C, d] f32, gain-form probe targets
+    cbias: jnp.ndarray                # [C] f32 (-|c|^2 for l2, zeros else)
+    docs: jnp.ndarray                 # [C, S, d] f32 / bf16 / int8
+    bias: jnp.ndarray                 # [C, S] f32 gain bias, -inf at pads
+    scale: Optional[jnp.ndarray]      # [C, S] f32 dequant factors (int8)
+    perm: jnp.ndarray                 # [C, S] int32 original local doc id
+    n_clusters: int = struct.field(pytree_node=False)
+    capacity: int = struct.field(pytree_node=False)
+
+
+def default_n_clusters(n: int) -> int:
+    """FAISS-style sizing: ~4*sqrt(n), rounded to a power of two and
+    bounded so each cluster keeps a useful number of docs."""
+    c = 1 << max(4, int(round(math.log2(4.0 * math.sqrt(max(n, 16))))))
+    return int(min(c, max(16, n // 32), 4096))
+
+
+def _kmeans_device(emb: np.ndarray, n_clusters: int, iters: int,
+                   seed: int, chunk: int = 8192) -> np.ndarray:
+    """Jitted Lloyd iterations; returns [C, d] float32 centroids.
+
+    Assignment is chunked over documents (``lax.scan``) so peak memory is
+    ``[chunk, C]`` scores instead of ``[n, C]``.
+    """
+    n, d = emb.shape
+    n_pad = -(-n // chunk) * chunk
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = emb
+    wt = np.zeros((n_pad,), np.float32)
+    wt[:n] = 1.0
+    xc = jnp.asarray(x.reshape(n_pad // chunk, chunk, d))
+    wc = jnp.asarray(wt.reshape(n_pad // chunk, chunk))
+
+    rng = np.random.default_rng(seed)
+    init = jnp.asarray(emb[rng.choice(n, n_clusters, replace=False)])
+
+    # docs are jit ARGUMENTS: closure-captured device arrays become HLO
+    # constants and the remote-compile request would ship the whole corpus
+    @functools.partial(jax.jit, static_argnames=("n_iters",))
+    def run(cent0, xc, wc, n_iters):
+        def assign_chunk(carry, xs):
+            sums, counts, cent = carry
+            xb, wb = xs
+            # nearest centroid in l2 == argmax of x.c - |c|^2/2
+            sc = xb @ cent.T - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
+            a = jnp.argmax(sc, axis=1)
+            onehot = (jax.nn.one_hot(a, n_clusters, dtype=jnp.float32)
+                      * wb[:, None])
+            sums = sums + onehot.T @ xb
+            counts = counts + onehot.sum(axis=0)
+            return (sums, counts, cent), None
+
+        def lloyd(cent, _):
+            (sums, counts, _), _ = jax.lax.scan(
+                assign_chunk,
+                (jnp.zeros((n_clusters, d), jnp.float32),
+                 jnp.zeros((n_clusters,), jnp.float32), cent),
+                (xc, wc))
+            new = jnp.where(counts[:, None] > 0,
+                            sums / jnp.maximum(counts, 1.0)[:, None], cent)
+            return new, None
+
+        cent, _ = jax.lax.scan(lloyd, cent0, None, length=n_iters)
+        return cent
+
+    return np.asarray(run(init, xc, wc, iters), dtype=np.float32)
+
+
+def _top_r_choices(emb: np.ndarray, cent: np.ndarray, r: int,
+                   chunk: int = 8192) -> np.ndarray:
+    """[n, r] cluster-preference ranking per doc (nearest first).
+
+    Runs on device (chunked scan) — at production scale this is a
+    multi-TFLOP matmul the 1-core host cannot afford.
+    """
+    n, d = emb.shape
+    n_pad = -(-n // chunk) * chunk
+    x = np.zeros((n_pad, d), np.float32)
+    x[:n] = emb
+    xc = jnp.asarray(x.reshape(n_pad // chunk, chunk, d))
+
+    @functools.partial(jax.jit, static_argnames=("rr",))
+    def run(xc, cent, rr):
+        cb = -0.5 * jnp.sum(cent * cent, axis=1)
+
+        def step(carry, xb):
+            sc = xb @ cent.T + cb[None, :]
+            top = jax.lax.top_k(sc, rr)[1]
+            return carry, top.astype(jnp.int32)
+
+        _, tops = jax.lax.scan(step, 0, xc)
+        return tops.reshape(n_pad, rr)
+
+    return np.asarray(run(xc, jnp.asarray(cent), r))[:n]
+
+
+def _balanced_assign(choices: np.ndarray, n_clusters: int,
+                     capacity: int) -> np.ndarray:
+    """Capacity-constrained greedy assignment: every doc goes to its
+    best-ranked cluster that still has room (rank by rank, vectorized
+    per cluster); stragglers fill any remaining slots. Returns [n]
+    cluster ids. Always succeeds because C*capacity >= n."""
+    n, r = choices.shape
+    assign = np.full(n, -1, np.int32)
+    counts = np.zeros(n_clusters, np.int64)
+    for rank in range(r):
+        unass = np.flatnonzero(assign < 0)
+        if unass.size == 0:
+            break
+        want = choices[unass, rank]
+        order = np.argsort(want, kind="stable")
+        docs_sorted = unass[order]
+        want_sorted = want[order]
+        first = np.searchsorted(want_sorted, np.arange(n_clusters), "left")
+        last = np.searchsorted(want_sorted, np.arange(n_clusters), "right")
+        room = np.minimum(last - first, capacity - counts[:n_clusters])
+        take_mask = np.zeros(docs_sorted.size, bool)
+        for c in np.flatnonzero(room > 0):
+            take_mask[first[c]:first[c] + room[c]] = True
+        taken = docs_sorted[take_mask]
+        assign[taken] = want_sorted[take_mask]
+        np.add.at(counts, want_sorted[take_mask], 1)
+    unass = np.flatnonzero(assign < 0)
+    if unass.size:
+        free = np.repeat(np.arange(n_clusters),
+                         (capacity - counts).clip(min=0))
+        assign[unass] = free[:unass.size]
+    return assign
+
+
+def build_ivf(
+    emb: np.ndarray,
+    mode: str,
+    *,
+    dtype=jnp.bfloat16,
+    n_clusters: Optional[int] = None,
+    capacity_slack: float = 1.25,
+    kmeans_iters: int = 10,
+    kmeans_rank: int = 8,
+    seed: int = 0,
+) -> IVFData:
+    """Build a balanced-IVF layout for one shard.
+
+    Args:
+      emb: ``[n, d]`` float32 document embeddings, already in the same
+        space as the flat shard stores (cos-normalized / mean-centered).
+      mode: "dot" | "cos" | "l2" — sets the gain-form probe bias and the
+        per-doc gain bias, matching :mod:`ragroute_tpu.ops.topk`.
+      dtype: on-device doc storage dtype (f32 / bf16 / int8-with-scales).
+      n_clusters: cluster count C (default ~4*sqrt(n), power of two).
+      capacity_slack: S = ceil(n/C * slack); docs overflowing their
+        nearest cluster spill to their next-preferred one (measured
+        recall cost, tests/test_ivf.py).
+    """
+    emb = np.asarray(emb, np.float32)
+    n, d = emb.shape
+    c = n_clusters or default_n_clusters(n)
+    c = int(max(1, min(c, n)))
+    cap = max(-(-n // c), int(-(-n // c) * capacity_slack))
+    cap = max(8, -(-cap // 8) * 8)
+
+    if c == 1:
+        cent = emb.mean(axis=0, keepdims=True)
+        assign = np.zeros(n, np.int32)
+    else:
+        cent = _kmeans_device(emb, c, kmeans_iters, seed)
+        choices = _top_r_choices(emb, cent, min(kmeans_rank, c))
+        assign = _balanced_assign(choices, c, cap)
+
+    # cluster-major dense layout
+    order = np.argsort(assign, kind="stable")
+    cl_sorted = assign[order]
+    docs = np.zeros((c, cap, d), np.float32)
+    bias = np.full((c, cap), -np.inf, np.float32)
+    perm = np.zeros((c, cap), np.int32)
+    first = np.searchsorted(cl_sorted, np.arange(c), "left")
+    last = np.searchsorted(cl_sorted, np.arange(c), "right")
+    for ci in range(c):
+        rows = order[first[ci]:last[ci]]
+        m = rows.size
+        docs[ci, :m] = emb[rows]
+        perm[ci, :m] = rows
+        if mode == "l2":
+            bias[ci, :m] = -np.sum(emb[rows] * emb[rows], axis=1)
+        else:
+            bias[ci, :m] = 0.0
+
+    scale = None
+    if dtype == jnp.int8:
+        s_row = np.abs(docs).max(axis=2) / 127.0       # [C, S]
+        s_row = np.where(s_row == 0.0, 1.0, s_row)
+        docs = np.clip(np.round(docs / s_row[:, :, None]), -127, 127)
+        scale = jnp.asarray(s_row, np.float32)
+
+    cbias = (-np.sum(cent * cent, axis=1) if mode == "l2"
+             else np.zeros(c, np.float32))
+    logger.info("ivf build: n=%d C=%d S=%d (slack %.2f, %.0f%% pad)",
+                n, c, cap, capacity_slack, 100.0 * (c * cap - n) / max(n, 1))
+    return IVFData(
+        centroids=jnp.asarray(cent, jnp.float32),
+        cbias=jnp.asarray(cbias, jnp.float32),
+        docs=jnp.asarray(docs, dtype=dtype),
+        bias=jnp.asarray(bias, jnp.float32),
+        scale=scale,
+        perm=jnp.asarray(perm, jnp.int32),
+        n_clusters=c,
+        capacity=cap,
+    )

@@ -21,7 +21,10 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Mapping, Optional, Sequence
+from typing import TYPE_CHECKING, Dict, List, Mapping, Optional, Sequence
+
+if TYPE_CHECKING:  # annotation only; runtime import stays lazy
+    from ragroute_tpu.index.ivf import IVFData
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +51,7 @@ class DeviceShard:
     bias: jnp.ndarray                 # [n_pad] f32 gain-form bias (zeros ok)
     scale: Optional[jnp.ndarray]      # [n_pad] f32 dequant factors (int8)
     center: Optional[jnp.ndarray]     # [d] f32 mean subtracted from docs
+    ivf: Optional["IVFData"]          # balanced-IVF layout (approx mode)
     n_docs: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False)
     score_mode: str = struct.field(pytree_node=False)
@@ -71,6 +75,8 @@ class ShardSet:
         dtype=jnp.bfloat16,
         normalize_cos: bool = True,
         device=None,
+        ivf_clusters: Optional[int] = None,
+        ivf_seed: int = 0,
     ) -> "ShardSet":
         """Upload per-source embedding matrices to HBM.
 
@@ -86,6 +92,12 @@ class ShardSet:
             further small recall cost).
           normalize_cos: L2-normalize docs of cos-mode shards at build time
             (the reference's cos_sim models index normalized embeddings).
+          ivf_clusters: also build a balanced-IVF layout per shard for the
+            approximate cluster-probed search mode (``impl="ivf"``).
+            ``0``/``None`` skips it; ``-1`` uses the per-shard default
+            cluster count (~4*sqrt(n)); any positive value is the cluster
+            count C. The flat exact layout is always kept (the exact path
+            and parity gates stay available).
         """
         shards: List[DeviceShard] = []
         ids: Dict[str, Optional[list]] = {}
@@ -120,6 +132,14 @@ class ShardSet:
                 mu = emb.mean(axis=0, dtype=np.float64).astype(np.float32)
                 emb = emb - mu
                 center = jnp.asarray(mu)
+            ivf = None
+            if ivf_clusters:
+                from ragroute_tpu.index.ivf import build_ivf
+
+                ivf = build_ivf(
+                    emb, src.score_mode, dtype=dtype,
+                    n_clusters=(None if ivf_clusters < 0 else ivf_clusters),
+                    seed=ivf_seed)
             n = emb.shape[0]
             n_pad = _round_up(max(n, SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
             if n_pad != n:
@@ -151,8 +171,8 @@ class ShardSet:
                 if center is not None:
                     center = jax.device_put(center, device)
             shards.append(DeviceShard(
-                docs=docs, bias=b, scale=scale, center=center, n_docs=n,
-                name=src.name, score_mode=src.score_mode))
+                docs=docs, bias=b, scale=scale, center=center, ivf=ivf,
+                n_docs=n, name=src.name, score_mode=src.score_mode))
             ids[src.name] = (
                 list(doc_ids[src.name]) if doc_ids and src.name in doc_ids
                 else None)
@@ -173,6 +193,12 @@ class ShardSet:
         per shard; scale is None for non-quantized shards, center is None
         for non-centered shards)."""
         return [(s.docs, s.bias, s.scale, s.center) for s in self.shards]
+
+    def ivf_arrays(self):
+        """Per-shard balanced-IVF pytrees (None where not built); kept
+        separate from :meth:`arrays` so exact-path callers never see a
+        tuple-arity change."""
+        return [s.ivf for s in self.shards]
 
     # -- persistence --------------------------------------------------------
 

@@ -83,7 +83,15 @@ def make_synthetic_world(
     noise: float = 0.35,
     docs_per_source_map: Optional[Dict[str, int]] = None,
     with_payloads: bool = True,
+    subclusters: int = 1,
 ) -> SyntheticWorld:
+    """``subclusters > 1`` adds within-source topical structure: each
+    source's docs sample from a mixture of topic centers around the
+    source center (total per-source variance preserved), and each query
+    targets a random topic of each relevant source. Real corpora are
+    topically clustered like this; the default (1) keeps the original
+    single-blob-per-source generator bit-for-bit (the worst case for
+    cluster-probed search — see BENCHMARKS.md on IVF recall)."""
     world = get_world(world_name)
     rng = np.random.default_rng(seed)
     n_src = world.num_sources
@@ -103,10 +111,21 @@ def make_synthetic_world(
     centroids: Dict[str, np.ndarray] = {}
     doc_payloads: Dict[str, list] = {}
     doc_ids: Dict[str, list] = {}
+    topic_centers: Dict[int, np.ndarray] = {}
     for si, src in enumerate(world.sources):
         n = (docs_per_source_map or {}).get(src.name, docs_per_source)
-        z = centers[si] + noise * rng.standard_normal(
-            (n, LATENT_DIM)).astype(np.float32)
+        if subclusters > 1:
+            # mixture of topics: scatter^2 + local^2 == noise^2 keeps the
+            # source-level variance (and router separability) unchanged
+            topics = centers[si] + (0.9 * noise) * rng.standard_normal(
+                (subclusters, LATENT_DIM)).astype(np.float32)
+            topic_centers[si] = topics
+            which = rng.integers(0, subclusters, n)
+            z = topics[which] + (0.436 * noise) * rng.standard_normal(
+                (n, LATENT_DIM)).astype(np.float32)
+        else:
+            z = centers[si] + noise * rng.standard_normal(
+                (n, LATENT_DIM)).astype(np.float32)
         emb = z @ proj[src.encoder]
         embeddings[src.name] = emb.astype(np.float32)
         centroids[src.name] = emb.mean(axis=0).astype(np.float32)
@@ -126,7 +145,13 @@ def make_synthetic_world(
         n_rel = int(rng.integers(1, min(3, n_src) + 1))
         chosen = rng.choice(n_src, size=n_rel, replace=False)
         relevant[qi, chosen] = True
-        mix = centers[chosen].mean(axis=0)
+        if subclusters > 1:
+            # queries target a topic per relevant source, like real ones
+            mix = np.mean([
+                topic_centers[si][rng.integers(0, subclusters)]
+                for si in chosen], axis=0)
+        else:
+            mix = centers[chosen].mean(axis=0)
         latents[qi] = mix + 0.5 * noise * rng.standard_normal(LATENT_DIM)
 
     query_embs = {

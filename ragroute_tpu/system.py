@@ -43,13 +43,15 @@ logger = logging.getLogger("system")
 WATCHDOG_POLL_S = 1.0  # reference ragroute.py:72
 
 
-def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
+def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
+                         ivf_clusters=None):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
     (or by importers of real corpora). Missing pieces degrade gracefully:
     no router checkpoint → fresh params (warning), no query table → hash
-    embeddings.
+    embeddings. ``ivf_clusters`` additionally builds the balanced-IVF
+    layouts for the approximate search mode.
     """
     import jax
     import jax.numpy as jnp
@@ -57,7 +59,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None):
     dtype = dtype or jnp.bfloat16
     wroot = os.path.join(root, world.name)
 
-    shard_set = ShardSet.load(root, world, dtype=dtype)
+    shard_set = ShardSet.load(root, world, dtype=dtype,
+                              ivf_clusters=ivf_clusters)
 
     cent_path = os.path.join(wroot, "centroids.json")
     if os.path.exists(cent_path):

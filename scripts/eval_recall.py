@@ -28,6 +28,16 @@ def main(argv=None):
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32", "int8"])
     parser.add_argument("--num-queries", type=int, default=128)
+    parser.add_argument("--impl", default="auto",
+                        choices=["auto", "exact", "chunked", "pallas",
+                                 "ivf"],
+                        help="'ivf' measures the cluster-probed "
+                             "approximate mode against the same oracle")
+    parser.add_argument("--ivf-clusters", type=int, default=-1,
+                        help="clusters per shard for --impl ivf "
+                             "(-1 = ~4*sqrt(n) default)")
+    parser.add_argument("--nprobe", type=int, default=0,
+                        help="clusters probed per query (0 = C/8)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -41,9 +51,12 @@ def main(argv=None):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "int8": jnp.int8}[args.dtype]
     (shard_set, params, bank, provider, _, _, threshold) = \
-        load_world_artifacts(root, world, dtype=dtype)
+        load_world_artifacts(
+            root, world, dtype=dtype,
+            ivf_clusters=args.ivf_clusters if args.impl == "ivf" else None)
     engine = FederatedSearchEngine(shard_set, params, bank,
-                                   threshold=threshold)
+                                   threshold=threshold, impl=args.impl,
+                                   nprobe=args.nprobe or None)
 
     # raw embeddings for the oracle + the precomputed query table
     wroot = os.path.join(root, world.name)
@@ -59,7 +72,12 @@ def main(argv=None):
     }
 
     report = {"dataset": world.name, "k": world.k, "dtype": args.dtype,
-              "num_queries": len(qids), "recall": {}}
+              "impl": args.impl, "num_queries": len(qids), "recall": {}}
+    if args.impl == "ivf":
+        report["ivf"] = {
+            s.name: {"C": s.ivf.n_clusters, "S": s.ivf.capacity,
+                     "nprobe": args.nprobe or max(1, s.ivf.n_clusters // 8)}
+            for s in shard_set.shards}
     for strategy in args.strategies:
         out = engine.search(query_embs, strategy=strategy)
         mask = out.mask if strategy != "all" else None

@@ -29,6 +29,10 @@ def main(argv=None):
     parser.add_argument("--num-queries", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data-root", type=str, default=None)
+    parser.add_argument("--subclusters", type=int, default=1,
+                        help="within-source topic clusters (>1 makes the "
+                             "corpus topically structured like real data; "
+                             "used to evaluate the IVF approximate mode)")
     args = parser.parse_args(argv)
 
     root = args.data_root or data_root()
@@ -39,6 +43,7 @@ def main(argv=None):
         docs_per_source=args.docs_per_source,
         num_queries=args.num_queries,
         seed=args.seed,
+        subclusters=args.subclusters,
     )
     out = save_world(syn, root)
     print(f"Saved to {out}")

@@ -1,0 +1,166 @@
+"""Balanced-IVF build + cluster-probed approximate search.
+
+The exactness anchor: with ``nprobe == n_clusters`` and enough dispatch
+capacity every query scores every document, so ivf_topk must reproduce
+the exact oracle; smaller nprobe trades recall for FLOPs (measured here
+on clustered data).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ragroute_tpu.index.ivf import build_ivf, default_n_clusters
+from ragroute_tpu.ops.ivf_topk import ivf_topk
+from ragroute_tpu.ops.topk import exact_topk
+
+K = 16
+
+
+def _clustered(n, d, n_blobs, seed=0, spread=0.25):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_blobs, d)).astype(np.float32) * 2.0
+    which = rng.integers(0, n_blobs, n)
+    x = centers[which] + spread * rng.standard_normal((n, d)).astype(
+        np.float32)
+    return x.astype(np.float32)
+
+
+def _recall(ids_a, ids_b):
+    hits = sum(
+        len(set(map(int, a)) & set(map(int, b)))
+        for a, b in zip(ids_a, ids_b))
+    return hits / ids_a.size
+
+
+def test_build_is_a_partition():
+    emb = _clustered(3000, 32, 12)
+    ivf = build_ivf(emb, "dot", dtype=jnp.float32, n_clusters=64, seed=1)
+    assert ivf.docs.shape == (64, ivf.capacity, 32)
+    assert 64 * ivf.capacity >= 3000
+    valid = np.asarray(ivf.bias) > -np.inf
+    perm = np.asarray(ivf.perm)
+    seen = perm[valid]
+    assert seen.size == 3000
+    assert sorted(seen.tolist()) == list(range(3000))  # each doc once
+    # stored rows match the source embedding they claim to be
+    c, s = np.nonzero(valid)
+    np.testing.assert_allclose(
+        np.asarray(ivf.docs)[c[:50], s[:50]], emb[seen[:50]], rtol=1e-6)
+
+
+def test_default_sizing_monotone():
+    assert default_n_clusters(1000) <= default_n_clusters(100000)
+    for n in (100, 5000, 1 << 20):
+        c = default_n_clusters(n)
+        assert 1 <= c <= max(16, n // 32) or c == 16
+
+
+def test_exact_when_probing_every_cluster():
+    emb = _clustered(2000, 48, 8, seed=2)
+    q = _clustered(64, 48, 8, seed=3)
+    ivf = build_ivf(emb, "dot", dtype=jnp.float32, n_clusters=32, seed=2)
+    s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
+    s_ivf, i_ivf = ivf_topk(
+        jnp.asarray(q), ivf, K, mode="dot", nprobe=32, capacity_factor=64.0)
+    np.testing.assert_allclose(
+        np.asarray(s_ivf), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+    assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) == 1.0
+
+
+def test_exact_full_probe_cos_and_l2():
+    for mode in ("cos", "l2"):
+        emb = _clustered(1500, 24, 6, seed=4)
+        if mode == "cos":
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        q = _clustered(32, 24, 6, seed=5)
+        ivf = build_ivf(emb, mode, dtype=jnp.float32, n_clusters=16, seed=4)
+        s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K,
+                                  mode=mode)
+        s_ivf, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode=mode,
+                                nprobe=16, capacity_factor=64.0)
+        assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) == 1.0, mode
+        np.testing.assert_allclose(
+            np.asarray(s_ivf), np.asarray(s_ref), rtol=1e-4, atol=1e-4)
+        if mode == "l2":  # natural form ascending
+            sv = np.asarray(s_ivf)
+            assert (np.diff(sv, axis=1) >= -1e-5).all()
+
+
+def test_partial_probe_recall_on_clustered_data():
+    emb = _clustered(6000, 32, 24, seed=6)
+    q = _clustered(64, 32, 24, seed=7)
+    ivf = build_ivf(emb, "dot", dtype=jnp.float32, n_clusters=48, seed=6)
+    _, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
+    _, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=12)
+    r = _recall(np.asarray(i_ivf), np.asarray(i_ref))
+    assert r >= 0.9, f"recall@{K} {r} with nprobe=12/48 on clustered data"
+    # fewer probes -> can only lose recall (same build)
+    _, i_few = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=2)
+    assert _recall(np.asarray(i_few), np.asarray(i_ref)) <= r + 1e-9
+
+
+def test_int8_ivf():
+    emb = _clustered(2000, 32, 8, seed=8)
+    q = _clustered(32, 32, 8, seed=9)
+    ivf = build_ivf(emb, "dot", dtype=jnp.int8, n_clusters=16, seed=8)
+    assert ivf.docs.dtype == jnp.int8 and ivf.scale is not None
+    _, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
+    _, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=16,
+                        capacity_factor=64.0)
+    assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) >= 0.9
+
+
+def test_engine_ivf_impl_end_to_end():
+    import jax
+
+    from ragroute_tpu.engine.engine import FederatedSearchEngine
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world(
+        "medrag", docs_per_source=1024, num_queries=16, seed=11)
+    shard_set = ShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.float32, ivf_clusters=16)
+    params = init_router_params(
+        jax.random.key(0), syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    exact = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    # full probe == exact engine results
+    ivf_full = FederatedSearchEngine(
+        shard_set, params, bank, impl="ivf", nprobe=16)
+    embs = {e: syn.query_embs[e] for e in syn.world.encoders}
+    o_ref = exact.search(embs, strategy="all")
+    o_ivf = ivf_full.search(embs, strategy="all")
+    for b in range(16):
+        ref_pairs = {(int(s), int(l)) for s, l in zip(
+            o_ref.merged_shard[b], o_ref.merged_local[b]) if s >= 0}
+        ivf_pairs = {(int(s), int(l)) for s, l in zip(
+            o_ivf.merged_shard[b], o_ivf.merged_local[b]) if s >= 0}
+        assert len(ref_pairs & ivf_pairs) / len(ref_pairs) == 1.0
+
+    # partial probe: valid output shape/ids, decent overlap
+    ivf_part = FederatedSearchEngine(
+        shard_set, params, bank, impl="ivf", nprobe=4)
+    o_p = ivf_part.search(embs, strategy="ragroute")
+    assert o_p.merged_local.shape == o_ref.merged_local.shape
+    assert (o_p.merged_local >= 0).all()
+    assert (o_p.merged_local < 1024).all()
+
+
+def test_engine_ivf_requires_layout():
+    import jax
+    import pytest
+
+    from ragroute_tpu.engine.engine import FederatedSearchEngine
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world(
+        "medrag", docs_per_source=256, num_queries=4, seed=12)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    params = init_router_params(
+        jax.random.key(0), syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    with pytest.raises(ValueError, match="ivf_clusters"):
+        FederatedSearchEngine(shard_set, params, bank, impl="ivf")
