@@ -47,8 +47,17 @@ def parse_args(argv=None):
                              "symmetric quantization, 2x capacity over "
                              "bf16 at ~1.5%% recall@32 cost)")
     parser.add_argument("--impl", type=str, default="auto",
-                        choices=["auto", "pallas", "chunked", "exact"],
-                        help="Top-k kernel implementation")
+                        choices=["auto", "pallas", "chunked", "exact",
+                                 "ivf"],
+                        help="Top-k implementation; 'ivf' serves the "
+                             "cluster-probed approximate mode (builds "
+                             "balanced-IVF layouts at startup)")
+    parser.add_argument("--nprobe", type=int, default=None,
+                        help="Clusters probed per query with --impl ivf "
+                             "(default C/8 per shard)")
+    parser.add_argument("--ivf-clusters", type=int, default=-1,
+                        help="Clusters per shard with --impl ivf "
+                             "(-1 = ~4*sqrt(n))")
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
                         help="Batch bucket sizes (each is compiled at "
                              "startup; default 1 8 32 128 512)")

@@ -157,6 +157,8 @@ class ServingSystem:
         self.port: int = getattr(args, "port", None) or cfg.HTTP_PORT
         self.dtype_name: str = getattr(args, "dtype", "bfloat16")
         self.impl: str = getattr(args, "impl", "auto")
+        self.nprobe = getattr(args, "nprobe", None)
+        self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
         self.server: Optional[FederationServer] = None
         self._watchdog: Optional[asyncio.Task] = None
@@ -176,7 +178,9 @@ class ServingSystem:
                 self.dataset, docs_per_source=SHARD_PAD_MULTIPLE,
                 num_queries=4)
             shard_set = ShardSet.build(
-                syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype)
+                syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype,
+                ivf_clusters=(self.ivf_clusters if self.impl == "ivf"
+                              else None))
             import jax
 
             params = init_router_params(
@@ -189,10 +193,13 @@ class ServingSystem:
         else:
             (shard_set, params, bank, provider, doc_store,
              relevance, threshold) = load_world_artifacts(
-                self.data_root, self.world, dtype=dtype)
+                self.data_root, self.world, dtype=dtype,
+                ivf_clusters=(self.ivf_clusters if self.impl == "ivf"
+                              else None))
 
         engine = FederatedSearchEngine(
-            shard_set, params, bank, impl=self.impl, threshold=threshold)
+            shard_set, params, bank, impl=self.impl, threshold=threshold,
+            nprobe=self.nprobe)
         # simulate mode routes to all sources (reference router.py:222-223)
         strategy = "all" if self.simulate else self.routing
         llm = LLMClient(
