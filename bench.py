@@ -22,8 +22,11 @@ Env knobs:
     RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
     RAGROUTE_BENCH_SUBCLUSTERS  within-source topic clusters (default 1;
                            IVF rows use a topical corpus, see BENCHMARKS.md)
+    RAGROUTE_BENCH_RECALL  1 = also measure recall@k of the selected impl
+                           vs the exact path on one batch (stderr)
 """
 
+import functools
 import json
 import os
 import sys
@@ -164,6 +167,34 @@ def main():
         t0 = time.time()
         float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
         elapsed = time.time() - t0
+
+    if os.environ.get("RAGROUTE_BENCH_RECALL") == "1":
+        # recall@k of the selected impl vs the exact path, same mask
+        @jax.jit
+        def route_once(params, bank, query_embs, key):
+            return _route_fn(world, strategy, params, bank, query_embs, key)
+
+        @functools.partial(jax.jit, static_argnames=("use",))
+        def score_once(arrays, ivf_arrays, query_embs, mask, use):
+            return _score_fn(world, world.k, use, n_docs, arrays,
+                             query_embs, mask, ivf_arrays=ivf_arrays,
+                             nprobe=nprobe)
+
+        embs0 = {e: embs_r[e][0] for e in embs_r}
+        _, mask0 = route_once(params, bank, embs0, keys[0])
+        o_sel = score_once(arrays, ivf_arrays, embs0, mask0, impl)
+        o_ref = score_once(arrays, None, embs0, mask0, "auto")
+        sh_a, lo_a = np.asarray(o_sel[3]), np.asarray(o_sel[4])
+        sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
+        hits = tot = 0
+        for b in range(batch):
+            ref = {(int(s), int(l)) for s, l in zip(sh_b[b], lo_b[b])
+                   if s >= 0}
+            got = {(int(s), int(l)) for s, l in zip(sh_a[b], lo_a[b])
+                   if s >= 0}
+            hits += len(ref & got)
+            tot += len(ref)
+        log(f"recall@{world.k} vs exact (same routing): {hits / tot:.4f}")
 
     qps = reps * batch / elapsed
     dims = [s.embed_dim for s in world.sources]

@@ -43,11 +43,15 @@ logger = logging.getLogger("ivf")
 
 @struct.dataclass
 class IVFData:
-    """Device arrays of one balanced-IVF shard (cluster-major layout)."""
+    """Device arrays of one balanced-IVF shard (cluster-major layout).
+
+    ``docs`` is stored ``[C, d, S]`` — the rhs layout of
+    ``jax.lax.ragged_dot`` (contract on the middle axis), so search never
+    transposes the index."""
 
     centroids: jnp.ndarray            # [C, d] f32, gain-form probe targets
     cbias: jnp.ndarray                # [C] f32 (-|c|^2 for l2, zeros else)
-    docs: jnp.ndarray                 # [C, S, d] f32 / bf16 / int8
+    docs: jnp.ndarray                 # [C, d, S] f32 / bf16 / int8
     bias: jnp.ndarray                 # [C, S] f32 gain bias, -inf at pads
     scale: Optional[jnp.ndarray]      # [C, S] f32 dequant factors (int8)
     perm: jnp.ndarray                 # [C, S] int32 original local doc id
@@ -228,10 +232,10 @@ def build_ivf(
         del xc, wc
         assign = _balanced_assign(choices, c, cap)
 
-    # cluster-major dense layout
+    # cluster-major dense layout, docs transposed to ragged_dot's rhs form
     order = np.argsort(assign, kind="stable")
     cl_sorted = assign[order]
-    docs = np.zeros((c, cap, d), np.float32)
+    docs = np.zeros((c, d, cap), np.float32)
     bias = np.full((c, cap), -np.inf, np.float32)
     perm = np.zeros((c, cap), np.int32)
     first = np.searchsorted(cl_sorted, np.arange(c), "left")
@@ -239,7 +243,7 @@ def build_ivf(
     for ci in range(c):
         rows = order[first[ci]:last[ci]]
         m = rows.size
-        docs[ci, :m] = emb[rows]
+        docs[ci, :, :m] = emb[rows].T
         perm[ci, :m] = rows
         if mode == "l2":
             bias[ci, :m] = -np.sum(emb[rows] * emb[rows], axis=1)
@@ -248,9 +252,9 @@ def build_ivf(
 
     scale = None
     if dtype == jnp.int8:
-        s_row = np.abs(docs).max(axis=2) / 127.0       # [C, S]
+        s_row = np.abs(docs).max(axis=1) / 127.0       # [C, S]
         s_row = np.where(s_row == 0.0, 1.0, s_row)
-        docs = np.clip(np.round(docs / s_row[:, :, None]), -127, 127)
+        docs = np.clip(np.round(docs / s_row[:, None, :]), -127, 127)
         scale = jnp.asarray(s_row, np.float32)
 
     cbias = (-np.sum(cent * cent, axis=1) if mode == "l2"

@@ -85,13 +85,16 @@ def make_synthetic_world(
     with_payloads: bool = True,
     subclusters: int = 1,
 ) -> SyntheticWorld:
-    """``subclusters > 1`` adds within-source topical structure: each
-    source's docs sample from a mixture of topic centers around the
-    source center (total per-source variance preserved), and each query
-    targets a random topic of each relevant source. Real corpora are
-    topically clustered like this; the default (1) keeps the original
-    single-blob-per-source generator bit-for-bit (the worst case for
-    cluster-probed search — see BENCHMARKS.md on IVF recall)."""
+    """``subclusters > 1`` adds within-source topical structure: a single
+    set of topic offsets is drawn in latent space and SHARED across
+    sources (real federated corpora are topically aligned — a medical
+    query hits the pharmacology region of every medical corpus), each
+    source's docs sample from its center plus a topic offset (total
+    per-source variance preserved, so router separability is unchanged),
+    and each query targets ONE topic across its relevant sources. The
+    default (1) keeps the original single-blob-per-source generator
+    bit-for-bit — the worst case for cluster-probed search, see
+    BENCHMARKS.md on IVF recall."""
     world = get_world(world_name)
     rng = np.random.default_rng(seed)
     n_src = world.num_sources
@@ -111,18 +114,19 @@ def make_synthetic_world(
     centroids: Dict[str, np.ndarray] = {}
     doc_payloads: Dict[str, list] = {}
     doc_ids: Dict[str, list] = {}
-    topic_centers: Dict[int, np.ndarray] = {}
+    topic_offsets = None
+    if subclusters > 1:
+        # shared topic offsets: scatter^2 + local^2 == noise^2 keeps the
+        # source-level variance (and router separability) unchanged
+        topic_offsets = (0.9 * noise) * rng.standard_normal(
+            (subclusters, LATENT_DIM)).astype(np.float32)
     for si, src in enumerate(world.sources):
         n = (docs_per_source_map or {}).get(src.name, docs_per_source)
         if subclusters > 1:
-            # mixture of topics: scatter^2 + local^2 == noise^2 keeps the
-            # source-level variance (and router separability) unchanged
-            topics = centers[si] + (0.9 * noise) * rng.standard_normal(
-                (subclusters, LATENT_DIM)).astype(np.float32)
-            topic_centers[si] = topics
             which = rng.integers(0, subclusters, n)
-            z = topics[which] + (0.436 * noise) * rng.standard_normal(
-                (n, LATENT_DIM)).astype(np.float32)
+            z = (centers[si] + topic_offsets[which]
+                 + (0.436 * noise) * rng.standard_normal(
+                     (n, LATENT_DIM)).astype(np.float32))
         else:
             z = centers[si] + noise * rng.standard_normal(
                 (n, LATENT_DIM)).astype(np.float32)
@@ -146,10 +150,9 @@ def make_synthetic_world(
         chosen = rng.choice(n_src, size=n_rel, replace=False)
         relevant[qi, chosen] = True
         if subclusters > 1:
-            # queries target a topic per relevant source, like real ones
-            mix = np.mean([
-                topic_centers[si][rng.integers(0, subclusters)]
-                for si in chosen], axis=0)
+            # a query is about ONE topic, spanning its relevant sources
+            mix = (centers[chosen].mean(axis=0)
+                   + topic_offsets[rng.integers(0, subclusters)])
         else:
             mix = centers[chosen].mean(axis=0)
         latents[qi] = mix + 0.5 * noise * rng.standard_normal(LATENT_DIM)

@@ -1,29 +1,33 @@
-"""Cluster-probed approximate top-k as an MoE-style dispatch program.
+"""Cluster-probed approximate top-k as a grouped-GEMM (MoE) program.
 
 Beyond-reference capability (the reference scans its FAISS flat indexes
 exhaustively, ``ragroute/data_source.py:158``): probe only the ``nprobe``
 nearest balanced clusters per query, for ~``C/nprobe``-fold fewer scoring
 FLOPs at a measured recall cost.
 
-The TPU framing: queries are tokens, clusters are experts, ``nprobe`` is
-the router top-k, and the per-cluster query slots are expert capacity.
-One static-shape XLA program does:
+The TPU framing: queries are tokens and clusters are experts, so probing
+is MoE routing and scoring is the MoE expert matmul. The (query, probed
+cluster) pairs are stably sorted by cluster and scored with
+``jax.lax.ragged_dot`` — the grouped-GEMM primitive XLA provides for
+MoE — against the dense ``[C, d, S]`` cluster slabs:
 
 1. **Probe** — a tiny ``[B, C]`` matmul against the centroids (gain form,
    so dot/cos/l2 all reduce to top-``nprobe``).
-2. **Dispatch** — invert the ``[B, nprobe]`` probe lists into per-cluster
-   query slots ``[C, Qc]`` with static capacity ``Qc`` (stable sort of
-   the flattened pairs + a cummax run-start trick gives each pair its
-   slot; pairs overflowing a cluster's capacity are dropped, counted,
-   and bounded by the ``capacity_factor``).
-3. **Score** — one batched ``einsum('cqd,csd->cqs')`` on the MXU over the
-   dense ``[C, S, d]`` cluster slabs (bias/dequant fused as epilogues).
-4. **Collect** — per-slot ``top_k`` over the slab, gather each query's
-   ``nprobe`` candidate lists back, final ``top_k``, and remap winners
-   through the cluster permutation to original local doc ids.
+2. **Sort** — flatten the ``[B, nprobe]`` probe lists, stable-sort by
+   cluster id; per-cluster pair counts become ragged_dot group sizes.
+   No per-cluster capacity and NO dropped pairs: an earlier design
+   dispatched into fixed ``[C, Qc]`` query slots (classic capacity-factor
+   MoE), but real query streams concentrate on hot topics and the
+   overflow drops crushed recall (0.45 -> 0.87 at nprobe=16/512 on the
+   topical synthetic corpus just by lifting the caps).
+3. **Score** — ``ragged_dot`` computes each pair row against its own
+   cluster slab (bias/dequant epilogues gathered per row).
+4. **Collect** — per-row ``top_k`` over the slab, scatter rows back to
+   ``[B, nprobe, k]``, final ``top_k``, and remap winners through the
+   cluster permutation to original local doc ids.
 
-Exactness property: with ``nprobe == C`` and enough capacity every
-query scores every document, so results match the exact path (gated by
+Exactness property: with ``nprobe == C`` every query scores every
+document, so results match the exact path (gated by
 ``tests/test_ivf.py``); smaller ``nprobe`` trades recall for speed.
 """
 
@@ -40,16 +44,7 @@ from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, _validate, \
     gain_to_natural
 
 
-def dispatch_capacity(bsz: int, nprobe: int, n_clusters: int,
-                      capacity_factor: float = 2.0) -> int:
-    """Static per-cluster query-slot count: mean load x capacity_factor."""
-    mean = max(1, -(-bsz * nprobe // n_clusters))
-    qc = int(mean * capacity_factor)
-    return max(8, -(-qc // 8) * 8)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("k", "mode", "nprobe", "capacity_factor"))
+@functools.partial(jax.jit, static_argnames=("k", "mode", "nprobe"))
 def ivf_topk(
     queries: jnp.ndarray,
     ivf: IVFData,
@@ -57,7 +52,6 @@ def ivf_topk(
     *,
     mode: str = "dot",
     nprobe: int = 8,
-    capacity_factor: float = 2.0,
     center: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate top-k over a balanced-IVF shard.
@@ -65,17 +59,15 @@ def ivf_topk(
     Returns ``(scores [B, k], indices [B, k])`` in natural score form with
     ORIGINAL local doc indices (same contract as
     :func:`ragroute_tpu.ops.topk.shard_topk`). Entries beyond the number
-    of reachable docs come back with -inf gain (nan natural score for l2).
+    of reachable docs come back with -inf gain (+inf distance for l2).
     """
     _validate(mode)
     if center is not None:
         queries = queries.astype(jnp.float32) - center
     bsz = queries.shape[0]
-    c, s, d = ivf.docs.shape
-    p = int(min(max(nprobe, -(-k // min(k, s))), c))
-    qc = dispatch_capacity(bsz, p, c, capacity_factor)
-    qc = min(qc, bsz)
+    c, d, s = ivf.docs.shape
     k1 = min(k, s)
+    p = int(min(max(nprobe, -(-k // k1)), c))
 
     q = _prepare_queries(queries, mode)                    # [B, d] f32
 
@@ -83,49 +75,40 @@ def ivf_topk(
     cg = q @ ivf.centroids.T + ivf.cbias[None, :]          # [B, C]
     _, probe = jax.lax.top_k(cg, p)                        # [B, P] int32
 
-    # 2. dispatch: per-cluster query slots with static capacity
+    # 2. sort pairs by cluster; counts become ragged_dot group sizes
     e = bsz * p
     flat_c = probe.reshape(e)
-    order = jnp.argsort(flat_c, stable=True)               # pairs by cluster
-    sc = flat_c[order]
-    iota = jnp.arange(e, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sc[1:] != sc[:-1]])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, iota, 0))
-    pos = iota - run_start                                 # slot in cluster
-    ok = pos < qc
-    pair_q = (order // p).astype(jnp.int32)                # query of pair
-    disp_q = jnp.zeros((c, qc), jnp.int32).at[
-        sc, jnp.where(ok, pos, qc)].set(pair_q, mode="drop")
-    # map back to original pair order: slot + validity per (b, probe)
-    pair_slot = jnp.zeros((e,), jnp.int32).at[order].set(pos).reshape(bsz, p)
-    pair_ok = jnp.zeros((e,), bool).at[order].set(ok).reshape(bsz, p)
+    order = jnp.argsort(flat_c, stable=True)
+    sc = flat_c[order]                                     # [E] sorted
+    group_sizes = jnp.zeros((c,), jnp.int32).at[flat_c].add(1)
+    pair_q = (order // p).astype(jnp.int32)                # query per row
 
-    # 3. score: one batched matmul over the probed slabs
+    # 3. grouped GEMM: each pair row vs its own cluster slab
     docs = ivf.docs
     if docs.dtype == jnp.int8:
         docs = docs.astype(jnp.bfloat16)
-    qd = q.astype(docs.dtype)[disp_q]                      # [C, Qc, d]
     from ragroute_tpu.utils.precision import scoring_precision
 
-    gains = jnp.einsum("cqd,csd->cqs", qd, docs,
-                       precision=scoring_precision(docs.dtype),
-                       preferred_element_type=jnp.float32)
+    qd = q.astype(docs.dtype)[pair_q]                      # [E, d]
+    gains = jax.lax.ragged_dot(
+        qd, docs, group_sizes,
+        precision=scoring_precision(docs.dtype),
+        preferred_element_type=jnp.float32)                # [E, S]
     if ivf.scale is not None:
-        gains = gains * ivf.scale[:, None, :]
-    gains = gains + ivf.bias[:, None, :]                   # -inf pads
+        gains = gains * ivf.scale[sc]
+    gains = gains + ivf.bias[sc]                           # -inf pads
 
-    # 4. collect: per-slot candidates -> per-query candidates -> top-k
-    g1, s1 = jax.lax.top_k(gains, k1)                      # [C, Qc, k1]
-    pg = g1[probe, pair_slot]                              # [B, P, k1]
-    pg = jnp.where(pair_ok[:, :, None], pg, NEG_INF)
-    ps = s1[probe, pair_slot]                              # slab slot ids
-    gf, posf = jax.lax.top_k(pg.reshape(bsz, -1), k)
+    # 4. collect: per-row candidates -> per-query candidates -> top-k
+    g1, s1 = jax.lax.top_k(gains, k1)                      # [E, k1]
+    pair_g = jnp.zeros((e, k1), g1.dtype).at[order].set(g1) \
+        .reshape(bsz, p, k1)
+    pair_s = jnp.zeros((e, k1), jnp.int32).at[order].set(s1) \
+        .reshape(bsz, p, k1)
+    gf, posf = jax.lax.top_k(pair_g.reshape(bsz, -1), k)
     cand_cluster = jnp.broadcast_to(
         probe[:, :, None], (bsz, p, k1)).reshape(bsz, -1)
     cl = jnp.take_along_axis(cand_cluster, posf, axis=1)   # [B, k]
-    sl = jnp.take_along_axis(ps.reshape(bsz, -1), posf, axis=1)
+    sl = jnp.take_along_axis(pair_s.reshape(bsz, -1), posf, axis=1)
     idx = ivf.perm.reshape(-1)[cl * s + sl]
     idx = jnp.where(gf > NEG_INF, idx, 0)
     return gain_to_natural(gf, queries, mode), idx

@@ -1,9 +1,9 @@
 """Balanced-IVF build + cluster-probed approximate search.
 
-The exactness anchor: with ``nprobe == n_clusters`` and enough dispatch
-capacity every query scores every document, so ivf_topk must reproduce
-the exact oracle; smaller nprobe trades recall for FLOPs (measured here
-on clustered data).
+The exactness anchor: with ``nprobe == n_clusters`` every query scores
+every document (the grouped-GEMM dispatch never drops pairs), so
+ivf_topk must reproduce the exact oracle; smaller nprobe trades recall
+for FLOPs (measured here on clustered data).
 """
 
 import numpy as np
@@ -35,17 +35,17 @@ def _recall(ids_a, ids_b):
 def test_build_is_a_partition():
     emb = _clustered(3000, 32, 12)
     ivf = build_ivf(emb, "dot", dtype=jnp.float32, n_clusters=64, seed=1)
-    assert ivf.docs.shape == (64, ivf.capacity, 32)
+    assert ivf.docs.shape == (64, 32, ivf.capacity)   # [C, d, S]
     assert 64 * ivf.capacity >= 3000
     valid = np.asarray(ivf.bias) > -np.inf
     perm = np.asarray(ivf.perm)
     seen = perm[valid]
     assert seen.size == 3000
     assert sorted(seen.tolist()) == list(range(3000))  # each doc once
-    # stored rows match the source embedding they claim to be
+    # stored columns match the source embedding they claim to be
     c, s = np.nonzero(valid)
     np.testing.assert_allclose(
-        np.asarray(ivf.docs)[c[:50], s[:50]], emb[seen[:50]], rtol=1e-6)
+        np.asarray(ivf.docs)[c[:50], :, s[:50]], emb[seen[:50]], rtol=1e-6)
 
 
 def test_default_sizing_monotone():
@@ -61,7 +61,7 @@ def test_exact_when_probing_every_cluster():
     ivf = build_ivf(emb, "dot", dtype=jnp.float32, n_clusters=32, seed=2)
     s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
     s_ivf, i_ivf = ivf_topk(
-        jnp.asarray(q), ivf, K, mode="dot", nprobe=32, capacity_factor=64.0)
+        jnp.asarray(q), ivf, K, mode="dot", nprobe=32)
     np.testing.assert_allclose(
         np.asarray(s_ivf), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
     assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) == 1.0
@@ -77,7 +77,7 @@ def test_exact_full_probe_cos_and_l2():
         s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K,
                                   mode=mode)
         s_ivf, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode=mode,
-                                nprobe=16, capacity_factor=64.0)
+                                nprobe=16)
         assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) == 1.0, mode
         np.testing.assert_allclose(
             np.asarray(s_ivf), np.asarray(s_ref), rtol=1e-4, atol=1e-4)
@@ -105,8 +105,7 @@ def test_int8_ivf():
     ivf = build_ivf(emb, "dot", dtype=jnp.int8, n_clusters=16, seed=8)
     assert ivf.docs.dtype == jnp.int8 and ivf.scale is not None
     _, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
-    _, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=16,
-                        capacity_factor=64.0)
+    _, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=16)
     assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) >= 0.9
 
 
