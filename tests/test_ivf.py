@@ -163,3 +163,34 @@ def test_engine_ivf_requires_layout():
     bank = RouterBank.create(syn.world, syn.centroids)
     with pytest.raises(ValueError, match="ivf_clusters"):
         FederatedSearchEngine(shard_set, params, bank, impl="ivf")
+
+
+def test_topical_generator_preserves_world_semantics():
+    """subclusters>1 keeps source-level statistics and schema intact while
+    adding the within-source topical structure the IVF mode exploits."""
+    from ragroute_tpu.index import make_synthetic_world
+
+    blob = make_synthetic_world(
+        "medrag", docs_per_source=2000, num_queries=32, seed=5)
+    topical = make_synthetic_world(
+        "medrag", docs_per_source=2000, num_queries=32, seed=5,
+        subclusters=32)
+    for src in blob.world.sources:
+        a = blob.embeddings[src.name]
+        b = topical.embeddings[src.name]
+        assert a.shape == b.shape
+        # per-source mean and total variance preserved (within sampling
+        # noise): scatter^2 + local^2 == noise^2 by construction
+        np.testing.assert_allclose(
+            np.linalg.norm(a.mean(0)), np.linalg.norm(b.mean(0)),
+            rtol=0.25, atol=0.5)
+        np.testing.assert_allclose(a.var(), b.var(), rtol=0.2)
+    # ground-truth relevance schema intact
+    assert topical.relevant.shape == (32, blob.world.num_sources)
+    assert topical.relevant.any(axis=1).all()
+    # default path is bit-identical to the pre-subclusters generator
+    blob2 = make_synthetic_world(
+        "medrag", docs_per_source=2000, num_queries=32, seed=5,
+        subclusters=1)
+    np.testing.assert_array_equal(
+        blob.embeddings["pubmed"], blob2.embeddings["pubmed"])
