@@ -30,8 +30,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ragroute_tpu.config import WorldConfig
 from ragroute_tpu.engine.engine import _route_fn, gate_and_merge
+from ragroute_tpu.index.ivf import IVFData
 from ragroute_tpu.index.shard import ShardSet
-from ragroute_tpu.ops.topk import shard_topk
+from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, shard_topk, \
+    gain_to_natural
 from ragroute_tpu.router.features import RouterBank
 from ragroute_tpu.router.mlp import CorpusRouterParams
 
@@ -133,6 +135,96 @@ def sharded_shard_topk(
         # varying-manual-axes checker can't prove it
         check_vma=False,
     )(*args)
+
+
+def sharded_ivf_topk(
+    mesh: Mesh,
+    queries: jnp.ndarray,
+    ivf: IVFData,
+    k: int,
+    *,
+    mode: str = "dot",
+    nprobe: int = 8,
+    center: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cluster-probed approximate top-k with the CLUSTER axis sharded.
+
+    The balanced-IVF layout shards naturally over the mesh: cluster slabs
+    (docs/bias/perm) split over ``idx``, centroids replicated (they are
+    ~1000x smaller than the corpus), batch split over ``dp``. Every idx
+    peer computes the identical probe list, scores only the probed pairs
+    whose clusters it owns (ragged grouped-GEMM on its local slabs), and
+    an ``all_gather`` of the per-pair candidate lists — each (query,
+    probe) slot is owned by exactly one peer — reassembles them for the
+    final per-query top-k. Results match the single-chip
+    :func:`ragroute_tpu.ops.ivf_topk.ivf_topk` at equal ``nprobe``
+    (gated by ``tests/test_parallel.py``).
+    """
+    n_idx = mesh.shape["idx"]
+    c, d, s = ivf.docs.shape
+    if c % n_idx != 0:
+        raise ValueError(f"cluster axis {c} not divisible by idx={n_idx}")
+    c_local = c // n_idx
+    k1 = min(k, s)
+    p = int(min(max(nprobe, -(-k // k1)), c))
+    if center is not None:
+        queries = queries.astype(jnp.float32) - center
+    l2 = mode == "l2"
+
+    def local_fn(q_l, cent, cbias, docs_l, bias_l, perm_l):
+        bsz_l = q_l.shape[0]
+        qq = _prepare_queries(q_l, mode)
+        cg = qq @ cent.T + cbias[None, :]
+        _, probe = jax.lax.top_k(cg, p)                # [Bl, P] global ids
+        dev = jax.lax.axis_index("idx")
+        e = bsz_l * p
+        flat = probe.reshape(e)
+        loc = flat - dev * c_local
+        owned = (loc >= 0) & (loc < c_local)
+        key = jnp.where(owned, loc, c_local)           # foreign pairs last
+        order = jnp.argsort(key, stable=True)
+        sc = key[order]                                # [E], c_local = n/a
+        gs = jnp.zeros((c_local + 1,), jnp.int32).at[key].add(1)[:c_local]
+        pair_q = (order // p).astype(jnp.int32)
+        docs_cast = docs_l
+        if docs_cast.dtype == jnp.int8:
+            docs_cast = docs_cast.astype(jnp.bfloat16)
+        qd = qq.astype(docs_cast.dtype)[pair_q]
+        gains = jax.lax.ragged_dot(
+            qd, docs_cast, gs, preferred_element_type=jnp.float32)
+        row_ok = sc < c_local
+        sc_c = jnp.clip(sc, 0, c_local - 1)
+        gains = jnp.where(row_ok[:, None],
+                          gains + bias_l[sc_c], NEG_INF)
+        g1, s1 = jax.lax.top_k(gains, k1)              # [E, k1]
+        ids = perm_l.reshape(-1)[sc_c[:, None] * s + s1]
+        ids = jnp.where(row_ok[:, None], ids, -1)
+        pair_g = jnp.zeros((e, k1), g1.dtype).at[order].set(g1)
+        pair_i = jnp.full((e, k1), -1, jnp.int32).at[order].set(ids)
+        # each pair slot is owned by exactly one idx peer: gather all
+        # peers' views and keep the owner's (the only one above NEG_INF)
+        all_g = jax.lax.all_gather(
+            pair_g.reshape(bsz_l, p, k1), "idx")       # [n, Bl, P, k1]
+        all_i = jax.lax.all_gather(pair_i.reshape(bsz_l, p, k1), "idx")
+        own = jnp.argmax(all_g, axis=0)
+        gbest = jnp.max(all_g, axis=0)                 # [Bl, P, k1]
+        ibest = jnp.take_along_axis(all_i, own[None], axis=0)[0]
+        # doc ids were resolved by each cluster's owner BEFORE the gather,
+        # so the final top-k only reorders (gain, id) candidate pairs
+        gf, posf = jax.lax.top_k(gbest.reshape(bsz_l, -1), k)
+        idx = jnp.take_along_axis(ibest.reshape(bsz_l, -1), posf, axis=1)
+        idx = jnp.where(gf > NEG_INF, idx, 0)
+        return gain_to_natural(gf, q_l, mode), idx
+
+    scores, idx = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(), P(), P("idx", None, None),
+                  P("idx", None), P("idx", None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )(queries, ivf.centroids, ivf.cbias, ivf.docs, ivf.bias, ivf.perm)
+    return scores, idx
 
 
 class ShardedSearch:

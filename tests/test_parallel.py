@@ -222,3 +222,51 @@ def test_sharded_compaction_matches_engine():
     want = set(zip(ref_all.merged_shard[0].tolist(),
                    ref_all.merged_local[0].tolist()))
     assert len(got & want) >= int(0.95 * syn.world.k)
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_sharded_ivf_matches_single_chip(rng, mode):
+    """Cluster-axis-sharded IVF == single-chip ivf_topk at equal nprobe
+    (centroids replicated -> identical probe lists; each pair scored by
+    its cluster's owner)."""
+    from ragroute_tpu.index.ivf import build_ivf
+    from ragroute_tpu.ops.ivf_topk import ivf_topk
+    from ragroute_tpu.parallel import sharded_ivf_topk
+
+    mesh = make_mesh(dp=2, idx=4)
+    b, n, d, k = 8, 3000, 32, 8
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ivf = build_ivf(docs, mode, dtype=jnp.float32, n_clusters=16, seed=3)
+
+    for nprobe in (4, 16):
+        s_1, i_1 = ivf_topk(jnp.asarray(q), ivf, k, mode=mode,
+                            nprobe=nprobe)
+        s_sh, i_sh = sharded_ivf_topk(mesh, jnp.asarray(q), ivf, k,
+                                      mode=mode, nprobe=nprobe)
+        np.testing.assert_allclose(
+            np.asarray(s_sh), np.asarray(s_1), rtol=1e-5, atol=1e-5)
+        # same candidate sets (tie order may differ between merges)
+        for row in range(b):
+            assert set(np.asarray(i_sh)[row].tolist()) == \
+                set(np.asarray(i_1)[row].tolist()), (mode, nprobe, row)
+
+
+def test_sharded_ivf_full_probe_matches_exact(rng):
+    """nprobe=C on the mesh == exact brute force (no drops anywhere)."""
+    from ragroute_tpu.index.ivf import build_ivf
+    from ragroute_tpu.parallel import sharded_ivf_topk
+
+    mesh = make_mesh(dp=1, idx=8)
+    b, n, d, k = 4, 2000, 24, 8
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ivf = build_ivf(docs, "dot", dtype=jnp.float32, n_clusters=32, seed=4)
+    s_sh, i_sh = sharded_ivf_topk(mesh, jnp.asarray(q), ivf, k,
+                                  mode="dot", nprobe=32)
+    s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(docs), k)
+    np.testing.assert_allclose(
+        np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5, atol=1e-5)
+    for row in range(b):
+        assert set(np.asarray(i_sh)[row].tolist()) == \
+            set(np.asarray(i_ref)[row].tolist())
