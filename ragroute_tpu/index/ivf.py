@@ -220,7 +220,11 @@ def build_ivf(
     c = n_clusters or default_n_clusters(n)
     c = int(max(1, min(c, n)))
     cap = max(-(-n // c), int(-(-n // c) * capacity_slack))
-    cap = max(8, -(-cap // 8) * 8)
+    # lane-align the slab width: TPU vector lanes are 128 wide, and a
+    # non-multiple S forces Mosaic relayouts in the grouped-GEMM search
+    # kernel; below one full lane group stay at 8-multiples (tiny shards)
+    cap = (max(8, -(-cap // 8) * 8) if cap <= 96
+           else -(-cap // 128) * 128)
 
     if c == 1:
         cent = emb.mean(axis=0, keepdims=True)

@@ -38,10 +38,81 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ragroute_tpu.index.ivf import IVFData
 from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, _validate, \
     gain_to_natural
+
+# rows per grouped-GEMM block: pairs of each cluster are padded up to a
+# multiple of this, so every grid step is one dense [TE, d] x [d, S]
+# matmul against a single cluster slab (64 rows = half MXU row
+# utilization, but halving the per-cluster padding vs 128 wins at the
+# measured ~32 pairs/cluster mean load)
+_GROUP_ROWS = 64
+
+
+def _grouped_kernel(tab_ref, qd_ref, docs_ref, bias_ref, *rest, scaled):
+    scale_ref = rest[0] if scaled else None
+    out_ref = rest[-1]
+    docs = docs_ref[0]
+    if docs.dtype == jnp.int8:
+        docs = docs.astype(qd_ref.dtype)
+    from ragroute_tpu.utils.precision import scoring_precision
+
+    gains = jax.lax.dot_general(
+        qd_ref[:], docs,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=scoring_precision(docs.dtype),
+        preferred_element_type=jnp.float32)
+    if scaled:
+        gains = gains * scale_ref[0]
+    out_ref[:] = gains + bias_ref[0]
+
+
+def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
+    """Dense gains for cluster-aligned pair blocks.
+
+    ``qd_pad [Ep, d]`` holds the sorted (query, probe) pairs padded so
+    each cluster's rows fill whole ``_GROUP_ROWS`` blocks;
+    ``blk_cluster [G]`` (scalar-prefetched) names each block's cluster,
+    so the block index maps stream exactly the probed slabs HBM->VMEM.
+    This replaces ``jax.lax.ragged_dot``, whose TPU lowering measured
+    ~30x its useful FLOPs at the bench point (see BENCHMARKS.md).
+    """
+    ep, d = qd_pad.shape
+    c, _, s = docs.shape
+    g = ep // _GROUP_ROWS
+    scaled = scale is not None
+
+    # bias/scale as [C, 1, S]: a (1, 1, S) block satisfies Mosaic's
+    # last-two-dims tiling rule (sublane dim equals the array dim)
+    in_specs = [
+        pl.BlockSpec((_GROUP_ROWS, d), lambda i, tab: (i, 0)),
+        pl.BlockSpec((1, d, s), lambda i, tab: (tab[i], 0, 0)),
+        pl.BlockSpec((1, 1, s), lambda i, tab: (tab[i], 0, 0)),
+    ]
+    args = [qd_pad, docs, bias[:, None, :]]
+    if scaled:
+        in_specs.append(
+            pl.BlockSpec((1, 1, s), lambda i, tab: (tab[i], 0, 0)))
+        args.append(scale[:, None, :])
+    return pl.pallas_call(
+        functools.partial(_grouped_kernel, scaled=scaled),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((_GROUP_ROWS, s), lambda i, tab: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((ep, s), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ep * s * d,
+            bytes_accessed=ep * d * 2 + g * s * (d * 2 + 4) + ep * s * 4,
+            transcendentals=0),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(blk_cluster, *args)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "mode", "nprobe"))
@@ -71,44 +142,60 @@ def ivf_topk(
 
     q = _prepare_queries(queries, mode)                    # [B, d] f32
 
-    # 1. probe: nearest clusters in gain form
-    cg = q @ ivf.centroids.T + ivf.cbias[None, :]          # [B, C]
-    _, probe = jax.lax.top_k(cg, p)                        # [B, P] int32
+    # 1. probe: nearest clusters in gain form. This is itself a fused
+    # matmul+top-k, so it reuses the flat Pallas kernel against the
+    # centroid bank (pallas_topk prepares queries and computes the l2
+    # centroid bias internally) — XLA's sort-based top_k over [B, C]
+    # measured 4.5 ms/batch at B=1024, C=4096.
+    from ragroute_tpu.ops.pallas_topk import pallas_topk
 
-    # 2. sort pairs by cluster; counts become ragged_dot group sizes
+    _, probe = pallas_topk(queries, ivf.centroids, p, mode=mode)
+
+    # 2. sort pairs by cluster; pad each cluster's run of rows up to
+    # whole _GROUP_ROWS blocks (cluster-aligned block-diagonal layout)
     e = bsz * p
+    te = _GROUP_ROWS
     flat_c = probe.reshape(e)
     order = jnp.argsort(flat_c, stable=True)
     sc = flat_c[order]                                     # [E] sorted
-    group_sizes = jnp.zeros((c,), jnp.int32).at[flat_c].add(1)
+    gs_counts = jnp.zeros((c,), jnp.int32).at[flat_c].add(1)
     pair_q = (order // p).astype(jnp.int32)                # query per row
+    iota = jnp.arange(e, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sc[1:] != sc[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0))
+    pos_in = iota - run_start                              # rank in cluster
+    nblk = -(-gs_counts // te)                             # blocks/cluster
+    blk_hi = jnp.cumsum(nblk).astype(jnp.int32)            # [C] inclusive
+    base_rows = (blk_hi - nblk) * te                       # padded starts
+    pad_pos = base_rows[sc] + pos_in                       # [E] padded row
+    n_blocks = e // te + min(e, c)  # static bound on sum(ceil(count/te))
+    ep = n_blocks * te
+    blk_cluster = jnp.clip(
+        jnp.searchsorted(blk_hi, jnp.arange(n_blocks, dtype=jnp.int32),
+                         side="right"), 0, c - 1).astype(jnp.int32)
 
-    # 3. grouped GEMM: each pair row vs its own cluster slab
+    # 3. grouped GEMM (Pallas): each block is one dense matmul against
+    # its cluster's slab; padding rows recompute query 0 against the
+    # block's slab and are never collected (step 4 gathers only pad_pos)
     docs = ivf.docs
-    if docs.dtype == jnp.int8:
-        docs = docs.astype(jnp.bfloat16)
-    from ragroute_tpu.utils.precision import scoring_precision
+    qdtype = jnp.bfloat16 if docs.dtype == jnp.int8 else docs.dtype
+    pair_q_pad = jnp.zeros((ep,), jnp.int32).at[pad_pos].set(pair_q)
+    qd_pad = q.astype(qdtype)[pair_q_pad]                  # [Ep, d]
+    gains = _grouped_gains(qd_pad, docs, ivf.bias, ivf.scale, blk_cluster)
 
-    qd = q.astype(docs.dtype)[pair_q]                      # [E, d]
-    gains = jax.lax.ragged_dot(
-        qd, docs, group_sizes,
-        precision=scoring_precision(docs.dtype),
-        preferred_element_type=jnp.float32)                # [E, S]
-    if ivf.scale is not None:
-        gains = gains * ivf.scale[sc]
-    gains = gains + ivf.bias[sc]                           # -inf pads
+    # 4. collect: gather each query's probe rows into one [B, P*S] gain
+    # matrix and run the streaming Pallas top-k over it — one fused pass
+    # replaces XLA's sort-based per-slab top_k + scatter + final top_k
+    # (measured ~10 ms/batch of the ~26 ms XLA pipeline at B=1024).
+    from ragroute_tpu.ops.pallas_topk import pallas_stream_topk
 
-    # 4. collect: per-row candidates -> per-query candidates -> top-k
-    g1, s1 = jax.lax.top_k(gains, k1)                      # [E, k1]
-    pair_g = jnp.zeros((e, k1), g1.dtype).at[order].set(g1) \
-        .reshape(bsz, p, k1)
-    pair_s = jnp.zeros((e, k1), jnp.int32).at[order].set(s1) \
-        .reshape(bsz, p, k1)
-    gf, posf = jax.lax.top_k(pair_g.reshape(bsz, -1), k)
-    cand_cluster = jnp.broadcast_to(
-        probe[:, :, None], (bsz, p, k1)).reshape(bsz, -1)
-    cl = jnp.take_along_axis(cand_cluster, posf, axis=1)   # [B, k]
-    sl = jnp.take_along_axis(pair_s.reshape(bsz, -1), posf, axis=1)
-    idx = ivf.perm.reshape(-1)[cl * s + sl]
+    row_of = jnp.zeros((e,), jnp.int32).at[order].set(pad_pos)
+    gq = gains[row_of.reshape(bsz, p)]                     # [B, P, S]
+    gf, pos = pallas_stream_topk(gq.reshape(bsz, p * s), k)
+    pp, slot = pos // s, pos % s
+    cl = jnp.take_along_axis(probe, pp, axis=1)            # [B, k]
+    idx = ivf.perm.reshape(-1)[cl * s + slot]
     idx = jnp.where(gf > NEG_INF, idx, 0)
     return gain_to_natural(gf, queries, mode), idx

@@ -130,49 +130,17 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
     return tq, 256
 
 
-def _topk_kernel(
-    q_ref, docs_ref, *rest,
-    k: int, td: int, n_doc_tiles: int, scaled: bool, biased: bool,
+def _merge_gains_tile(
+    gains, j, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done,
+    *, k: int, td: int, n_doc_tiles: int,
 ):
-    bias_ref = scale_ref = None
-    if biased:
-        bias_ref, rest = rest[0], rest[1:]
-    if scaled:
-        scale_ref, rest = rest[0], rest[1:]
-    out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
-    j = pl.program_id(1)
+    """Shared streaming-merge epilogue: fold one [TQ, TD] gains tile into
+    the running sorted top-k scratch; emit on the last tile.
 
-    @pl.when(j == 0)
-    def _init():
-        run_g[:] = jnp.full_like(run_g, NEG_INF)
-        run_i[:] = jnp.zeros_like(run_i)
-
-    q = q_ref[:]
-    docs = docs_ref[:]
-    if docs.dtype == jnp.int8:
-        # int8 index: halve HBM traffic/capacity; dequantize via the fused
-        # per-doc scale epilogue below (MXU runs the bf16 cast of the tile)
-        docs = docs.astype(q.dtype)
-    # [TQ, TD] gains on the MXU; f32 accumulation regardless of input dtype.
-    # Precision policy (utils.precision): HIGHEST for f32 on CPU parity
-    # runs, single-pass DEFAULT on TPU / for bf16 operands.
-    from ragroute_tpu.utils.precision import scoring_precision
-
-    precision = scoring_precision(docs.dtype)
-    gains = jax.lax.dot_general(
-        q, docs,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    if scaled:
-        gains = gains * scale_ref[:]
-    if biased:
-        # The wrapper folds padded/invalid-doc masking into the bias
-        # (NEG_INF tail), so no per-tile iota+compare+where runs here; a
-        # dot/cos shard with no padding skips this add entirely.
-        gains = gains + bias_ref[:]
-
+    Used by the fused matmul kernel below and by the gains-matrix
+    streaming kernel (:func:`pallas_stream_topk`). The op order here is
+    the A/B-tuned design from the module docstring — edit with a
+    microbenchmark in hand."""
     tq = gains.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, td), 1)
 
@@ -291,6 +259,134 @@ def _topk_kernel(
     def _emit():
         out_g_ref[:] = run_g[:]
         out_i_ref[:] = run_i[:]
+
+
+def _topk_kernel(
+    q_ref, docs_ref, *rest,
+    k: int, td: int, n_doc_tiles: int, scaled: bool, biased: bool,
+):
+    bias_ref = scale_ref = None
+    if biased:
+        bias_ref, rest = rest[0], rest[1:]
+    if scaled:
+        scale_ref, rest = rest[0], rest[1:]
+    out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_g[:] = jnp.full_like(run_g, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    q = q_ref[:]
+    docs = docs_ref[:]
+    if docs.dtype == jnp.int8:
+        # int8 index: halve HBM traffic/capacity; dequantize via the fused
+        # per-doc scale epilogue below (MXU runs the bf16 cast of the tile)
+        docs = docs.astype(q.dtype)
+    # [TQ, TD] gains on the MXU; f32 accumulation regardless of input dtype.
+    # Precision policy (utils.precision): HIGHEST for f32 on CPU parity
+    # runs, single-pass DEFAULT on TPU / for bf16 operands.
+    from ragroute_tpu.utils.precision import scoring_precision
+
+    precision = scoring_precision(docs.dtype)
+    gains = jax.lax.dot_general(
+        q, docs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    if scaled:
+        gains = gains * scale_ref[:]
+    if biased:
+        # The wrapper folds padded/invalid-doc masking into the bias
+        # (NEG_INF tail), so no per-tile iota+compare+where runs here; a
+        # dot/cos shard with no padding skips this add entirely.
+        gains = gains + bias_ref[:]
+
+    _merge_gains_tile(
+        gains, j, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done,
+        k=k, td=td, n_doc_tiles=n_doc_tiles)
+
+
+def _stream_kernel(g_ref, *rest, k: int, td: int, n_doc_tiles: int):
+    """Streaming top-k over a PRECOMPUTED gain matrix (no matmul).
+
+    Same tuned merge as the fused kernel; the per-tile input is a
+    ``[TQ, TD]`` block of gains loaded from HBM instead of an MXU
+    product. Used by the IVF path to turn per-candidate gains into
+    per-query top-k without XLA's sort-based ``top_k``."""
+    out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        run_g[:] = jnp.full_like(run_g, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    _merge_gains_tile(
+        g_ref[:], j, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done,
+        k=k, td=td, n_doc_tiles=n_doc_tiles)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def pallas_stream_topk(
+    gains: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a dense gain-form score matrix ``[B, M]``.
+
+    Returns ``(top_gains [B, k] f32, positions [B, k] int32)`` with
+    positions indexing the M axis, ties broken toward the lower position
+    (FAISS parity, same as :func:`pallas_topk`). Rows the caller wants
+    ignored must carry ``NEG_INF`` gains (positions for -inf entries are
+    not meaningful).
+    """
+    bsz, m = gains.shape
+    tq = min(512, _round_up(bsz, 8))
+    # per grid step, in [TQ, TD]-f32 equivalents: double-buffered input
+    # tile (2) + merge buffer (1) + the ladder's materialized exclusion
+    # mask and temporaries (~2; measured 16.43M scoped at td=2048/tq=512,
+    # i.e. ~16 B/column-row)
+    td = _VMEM_BUDGET // (5 * tq * 4 + 64)
+    td = max(256, min(4096, 1 << (int(td).bit_length() - 1)))
+    b_pad = _round_up(bsz, tq)
+    m_pad = _round_up(max(m, td), td)
+    g = gains.astype(jnp.float32)
+    if b_pad != bsz or m_pad != m:
+        g = jnp.pad(g, ((0, b_pad - bsz), (0, m_pad - m)),
+                    constant_values=NEG_INF)
+    n_i, n_j = b_pad // tq, m_pad // td
+
+    kernel = functools.partial(
+        _stream_kernel, k=k, td=td, n_doc_tiles=n_j)
+    top_g, top_i = pl.pallas_call(
+        kernel,
+        grid=(n_i, n_j),
+        in_specs=[pl.BlockSpec((tq, td), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tq, k), jnp.float32),
+            pltpu.VMEM((tq, k), jnp.int32),
+            pltpu.VMEM((tq, td), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=b_pad * m_pad * 4 + 8 * b_pad * k,
+            transcendentals=0),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(g)
+    return top_g[:bsz], top_i[:bsz]
 
 
 @functools.partial(
