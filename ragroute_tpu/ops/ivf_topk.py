@@ -142,17 +142,26 @@ def ivf_topk(
 
     q = _prepare_queries(queries, mode)                    # [B, d] f32
 
-    # 1. probe: nearest clusters in gain form. This is itself a fused
-    # matmul+top-k, so it reuses the flat Pallas kernel against the
-    # centroid bank (pallas_topk prepares queries and computes the l2
-    # centroid bias internally) — XLA's sort-based top_k over [B, C]
-    # measured 4.5 ms/batch at B=1024, C=4096.
+    # 1. probe: nearest clusters in gain form. For small nprobe the flat
+    # Pallas kernel against the centroid bank wins (no [B, C]
+    # materialization); for deep probes the streaming insert ladder costs
+    # more than XLA's sort (measured at B=1024, C=4096: Pallas 6.1 ms vs
+    # sort 4.5 ms at P=128, Pallas faster below ~64).
     from ragroute_tpu.ops.pallas_topk import pallas_topk
 
-    _, probe = pallas_topk(queries, ivf.centroids, p, mode=mode)
+    if p <= 64:
+        _, probe = pallas_topk(queries, ivf.centroids, p, mode=mode)
+    else:
+        cg = q @ ivf.centroids.T + ivf.cbias[None, :]
+        _, probe = jax.lax.top_k(cg, p)
+        probe = probe.astype(jnp.int32)
 
     # 2. sort pairs by cluster; pad each cluster's run of rows up to
-    # whole _GROUP_ROWS blocks (cluster-aligned block-diagonal layout)
+    # whole _GROUP_ROWS blocks (cluster-aligned block-diagonal layout).
+    # The two scatters (.at[].set) ARE the fast formulation here: a
+    # scatter-free rewrite via argsort(order) + searchsorted + [Ep]-sized
+    # table gathers measured +15 ms/batch at B=1024 (XLA TPU lowers those
+    # 1-D gathers far worse than these scatters).
     e = bsz * p
     te = _GROUP_ROWS
     flat_c = probe.reshape(e)
@@ -177,7 +186,7 @@ def ivf_topk(
                          side="right"), 0, c - 1).astype(jnp.int32)
 
     # 3. grouped GEMM (Pallas): each block is one dense matmul against
-    # its cluster's slab; padding rows recompute query 0 against the
+    # its cluster's slab; padding rows recompute some query against the
     # block's slab and are never collected (step 4 gathers only pad_pos)
     docs = ivf.docs
     qdtype = jnp.bfloat16 if docs.dtype == jnp.int8 else docs.dtype
