@@ -220,11 +220,14 @@ def build_ivf(
     c = n_clusters or default_n_clusters(n)
     c = int(max(1, min(c, n)))
     cap = max(-(-n // c), int(-(-n // c) * capacity_slack))
-    # lane-align the slab width: TPU vector lanes are 128 wide, and a
-    # non-multiple S forces Mosaic relayouts in the grouped-GEMM search
-    # kernel; below one full lane group stay at 8-multiples (tiny shards)
-    cap = (max(8, -(-cap // 8) * 8) if cap <= 96
-           else -(-cap // 128) * 128)
+    # lane-align the slab width when cheap: a 128-multiple S avoids
+    # Mosaic relayouts in the grouped-GEMM search kernel, but alignment
+    # measured only ~2.5% (S=232 vs 256 at the bench point) — never pay
+    # more than 15% extra slots for it (S=160 -> 256 would be +60%
+    # FLOPs/memory, worse than the relayout)
+    cap8 = max(8, -(-cap // 8) * 8)
+    cap128 = -(-cap // 128) * 128
+    cap = cap128 if cap128 <= 1.15 * cap8 else cap8
 
     if c == 1:
         cent = emb.mean(axis=0, keepdims=True)
