@@ -198,10 +198,16 @@ def main():
 
     qps = reps * batch / elapsed
     dims = [s.embed_dim for s in world.sources]
-    flops = 2.0 * batch * reps * sum(
-        n * d for n, d in zip(n_docs, dims))
-    log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s, "
-        f"{flops / elapsed / 1e12:.1f} TFLOPS effective")
+    if impl == "ivf":
+        # the exhaustive-scan FLOP formula would overstate delivered
+        # FLOPs by ~C/nprobe in the approximate mode — omit the metric
+        log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s "
+            f"(TFLOPS metric omitted: ivf scores ~nprobe/C of the corpus)")
+    else:
+        flops = 2.0 * batch * reps * sum(
+            n * d for n, d in zip(n_docs, dims))
+        log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s, "
+            f"{flops / elapsed / 1e12:.1f} TFLOPS effective")
 
     print(json.dumps({
         "metric": "routed_queries_per_sec",

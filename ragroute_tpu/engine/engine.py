@@ -137,11 +137,13 @@ def _score_fn(
         def score(qq, docs=docs, bias=bias, scale=scale, src=src,
                   center=center, n=n_docs[i], ivf=ivf):
             if ivf is not None:
+                from ragroute_tpu.config import IVF_NPROBE_DIVISOR
                 from ragroute_tpu.ops.ivf_topk import ivf_topk
 
                 return ivf_topk(
                     qq, ivf, k, mode=src.score_mode, center=center,
-                    nprobe=nprobe or max(1, ivf.n_clusters // 8))
+                    nprobe=nprobe or max(
+                        1, ivf.n_clusters // IVF_NPROBE_DIVISOR))
             return shard_topk(
                 qq, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, scale=scale, center=center,

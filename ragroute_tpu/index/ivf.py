@@ -60,10 +60,13 @@ class IVFData:
 
 
 def default_n_clusters(n: int) -> int:
-    """FAISS-style sizing: ~4*sqrt(n), rounded to a power of two and
-    bounded so each cluster keeps a useful number of docs."""
+    """FAISS-style sizing: ~4*sqrt(n), a power of two (mesh-friendly:
+    ``sharded_ivf_topk`` shards the cluster axis and requires C divisible
+    by the idx axis), bounded so each cluster keeps a useful number of
+    docs."""
     c = 1 << max(4, int(round(math.log2(4.0 * math.sqrt(max(n, 16))))))
-    return int(min(c, max(16, n // 32), 4096))
+    c = int(min(c, max(16, n // 32), 4096))
+    return 1 << (c.bit_length() - 1)  # round the cap down to a power of 2
 
 
 def _upload_chunks(emb: np.ndarray, chunk: int):

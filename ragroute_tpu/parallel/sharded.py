@@ -171,7 +171,7 @@ def sharded_ivf_topk(
         queries = queries.astype(jnp.float32) - center
     l2 = mode == "l2"
 
-    def local_fn(q_l, cent, cbias, docs_l, bias_l, perm_l):
+    def local_fn(q_l, cent, cbias, docs_l, bias_l, perm_l, scale_l=None):
         bsz_l = q_l.shape[0]
         qq = _prepare_queries(q_l, mode)
         cg = qq @ cent.T + cbias[None, :]
@@ -194,6 +194,8 @@ def sharded_ivf_topk(
             qd, docs_cast, gs, preferred_element_type=jnp.float32)
         row_ok = sc < c_local
         sc_c = jnp.clip(sc, 0, c_local - 1)
+        if scale_l is not None:                        # int8 dequant
+            gains = gains * scale_l[sc_c]
         gains = jnp.where(row_ok[:, None],
                           gains + bias_l[sc_c], NEG_INF)
         g1, s1 = jax.lax.top_k(gains, k1)              # [E, k1]
@@ -216,14 +218,20 @@ def sharded_ivf_topk(
         idx = jnp.where(gf > NEG_INF, idx, 0)
         return gain_to_natural(gf, q_l, mode), idx
 
+    in_specs = [P("dp", None), P(), P(), P("idx", None, None),
+                P("idx", None), P("idx", None)]
+    args = [queries, ivf.centroids, ivf.cbias, ivf.docs, ivf.bias,
+            ivf.perm]
+    if ivf.scale is not None:
+        in_specs.append(P("idx", None))
+        args.append(ivf.scale)
     scores, idx = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P("dp", None), P(), P(), P("idx", None, None),
-                  P("idx", None), P("idx", None)),
+        in_specs=tuple(in_specs),
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
-    )(queries, ivf.centroids, ivf.cbias, ivf.docs, ivf.bias, ivf.perm)
+    )(*args)
     return scores, idx
 
 

@@ -74,9 +74,12 @@ def main(argv=None):
     report = {"dataset": world.name, "k": world.k, "dtype": args.dtype,
               "impl": args.impl, "num_queries": len(qids), "recall": {}}
     if args.impl == "ivf":
+        from ragroute_tpu.config import IVF_NPROBE_DIVISOR
+
         report["ivf"] = {
             s.name: {"C": s.ivf.n_clusters, "S": s.ivf.capacity,
-                     "nprobe": args.nprobe or max(1, s.ivf.n_clusters // 8)}
+                     "nprobe": args.nprobe or max(
+                         1, s.ivf.n_clusters // IVF_NPROBE_DIVISOR)}
             for s in shard_set.shards}
     for strategy in args.strategies:
         out = engine.search(query_embs, strategy=strategy)

@@ -270,3 +270,28 @@ def test_sharded_ivf_full_probe_matches_exact(rng):
     for row in range(b):
         assert set(np.asarray(i_sh)[row].tolist()) == \
             set(np.asarray(i_ref)[row].tolist())
+
+
+def test_sharded_ivf_int8_scale_applied(rng):
+    """int8 slabs must dequantize on the mesh exactly like single-chip
+    (a missing per-doc scale multiply silently reorders results)."""
+    from ragroute_tpu.index.ivf import build_ivf
+    from ragroute_tpu.ops.ivf_topk import ivf_topk
+    from ragroute_tpu.parallel import sharded_ivf_topk
+
+    mesh = make_mesh(dp=2, idx=4)
+    b, n, d, k = 4, 2000, 32, 8
+    # widely varying row norms -> widely varying per-doc scales
+    docs = (rng.standard_normal((n, d)) *
+            rng.uniform(0.1, 10.0, (n, 1))).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ivf = build_ivf(docs, "dot", dtype=jnp.int8, n_clusters=16, seed=5)
+    assert ivf.scale is not None
+    s_1, i_1 = ivf_topk(jnp.asarray(q), ivf, k, mode="dot", nprobe=16)
+    s_sh, i_sh = sharded_ivf_topk(mesh, jnp.asarray(q), ivf, k,
+                                  mode="dot", nprobe=16)
+    np.testing.assert_allclose(
+        np.asarray(s_sh), np.asarray(s_1), rtol=1e-5, atol=1e-5)
+    for row in range(b):
+        assert set(np.asarray(i_sh)[row].tolist()) == \
+            set(np.asarray(i_1)[row].tolist())
