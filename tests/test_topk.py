@@ -15,6 +15,7 @@ import pytest
 import jax.numpy as jnp
 
 from ragroute_tpu.ops import chunked_topk, exact_topk, pallas_topk, shard_topk
+from ragroute_tpu.ops.topk import NEG_INF
 
 
 def numpy_oracle(q, docs, k, mode, valid=None):
@@ -245,3 +246,37 @@ def test_topk_float_tie_group_straddles_k_boundary(impl):
     want_out = set(tie_group[n_fit:])
     assert want_in <= got and not (want_out & got), (
         sorted(got), tie_group)
+
+
+def test_stream_topk_matches_lax_topk(rng):
+    """pallas_stream_topk == lax.top_k on a dense gain matrix, including
+    position tie-breaks and NEG_INF invalid-row handling."""
+    from ragroute_tpu.ops.pallas_topk import pallas_stream_topk
+
+    b, m, k = 24, 3000, 16
+    gains = rng.standard_normal((b, m)).astype(np.float32)
+    gains[3] = NEG_INF  # fully-invalid row
+    gains[5, 100:] = NEG_INF
+    import jax
+
+    g, pos = pallas_stream_topk(jnp.asarray(gains), k)
+    g_ref, pos_ref = jax.lax.top_k(jnp.asarray(gains), k)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-6)
+    valid = np.asarray(g_ref) > NEG_INF
+    np.testing.assert_array_equal(
+        np.asarray(pos)[valid], np.asarray(pos_ref)[valid])
+
+
+def test_stream_topk_tie_positions(rng):
+    """Duplicate gains across tile boundaries: lowest position wins,
+    tie groups ordered position-ascending (FAISS parity semantics)."""
+    from ragroute_tpu.ops.pallas_topk import pallas_stream_topk
+
+    b, m, k = 8, 2048, 8
+    gains = rng.integers(-3, 3, size=(b, m)).astype(np.float32)
+    import jax
+
+    g, pos = pallas_stream_topk(jnp.asarray(gains), k)
+    g_ref, pos_ref = jax.lax.top_k(jnp.asarray(gains), k)
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+    np.testing.assert_array_equal(np.asarray(pos), np.asarray(pos_ref))
