@@ -281,3 +281,48 @@ def build_ivf(
         n_clusters=c,
         capacity=cap,
     )
+
+
+# -- persistence -----------------------------------------------------------
+
+def save_ivf(ivf: IVFData, path: str) -> None:
+    """Persist a balanced-IVF layout (npz). bf16 docs are stored as a
+    uint16 bit view (npz has no native bfloat16)."""
+    docs = np.asarray(ivf.docs)
+    dtype_name = str(ivf.docs.dtype)
+    if dtype_name == "bfloat16":
+        docs = docs.view(np.uint16)
+    np.savez(
+        path,
+        centroids=np.asarray(ivf.centroids),
+        cbias=np.asarray(ivf.cbias),
+        docs=docs,
+        dtype_name=np.asarray(dtype_name),
+        bias=np.asarray(ivf.bias),
+        scale=(np.zeros((0,), np.float32) if ivf.scale is None
+               else np.asarray(ivf.scale)),
+        perm=np.asarray(ivf.perm),
+    )
+
+
+def load_ivf(path: str) -> IVFData:
+    """Load a layout written by :func:`save_ivf`."""
+    import ml_dtypes
+
+    z = np.load(path)
+    dtype_name = str(z["dtype_name"])
+    docs = z["docs"]
+    if dtype_name == "bfloat16":
+        docs = docs.view(ml_dtypes.bfloat16)
+    scale = z["scale"]
+    c, _, cap = docs.shape
+    return IVFData(
+        centroids=jnp.asarray(z["centroids"]),
+        cbias=jnp.asarray(z["cbias"]),
+        docs=jnp.asarray(docs),
+        bias=jnp.asarray(z["bias"]),
+        scale=None if scale.size == 0 else jnp.asarray(scale),
+        perm=jnp.asarray(z["perm"]),
+        n_clusters=int(c),
+        capacity=int(cap),
+    )

@@ -77,6 +77,7 @@ class ShardSet:
         device=None,
         ivf_clusters: Optional[int] = None,
         ivf_seed: int = 0,
+        ivf_cache_dirs: Optional[Mapping[str, str]] = None,
     ) -> "ShardSet":
         """Upload per-source embedding matrices to HBM.
 
@@ -134,12 +135,38 @@ class ShardSet:
                 center = jnp.asarray(mu)
             ivf = None
             if ivf_clusters:
-                from ragroute_tpu.index.ivf import build_ivf
+                from ragroute_tpu.index.ivf import (
+                    build_ivf, load_ivf, save_ivf)
 
-                ivf = build_ivf(
-                    emb, src.score_mode, dtype=dtype,
-                    n_clusters=(None if ivf_clusters < 0 else ivf_clusters),
-                    seed=ivf_seed)
+                # layout cache: k-means over a production shard costs
+                # minutes; a cached npz makes reboots instant
+                cache = None
+                if ivf_cache_dirs and src.name in ivf_cache_dirs:
+                    tag = ("auto" if ivf_clusters < 0
+                           else str(ivf_clusters))
+                    cache = os.path.join(
+                        ivf_cache_dirs[src.name],
+                        f"ivf_{tag}_{jnp.dtype(dtype).name}.npz")
+                if cache and os.path.exists(cache):
+                    ivf = load_ivf(cache)
+                    valid_slots = int((np.asarray(ivf.bias)
+                                       > -np.inf).sum())
+                    if (valid_slots != emb.shape[0]
+                            or ivf.docs.shape[1] != emb.shape[1]):
+                        import logging
+
+                        logging.getLogger("ivf").warning(
+                            "stale ivf cache %s (%d slots vs %d docs); "
+                            "rebuilding", cache, valid_slots, emb.shape[0])
+                        ivf = None
+                if ivf is None:
+                    ivf = build_ivf(
+                        emb, src.score_mode, dtype=dtype,
+                        n_clusters=(None if ivf_clusters < 0
+                                    else ivf_clusters),
+                        seed=ivf_seed)
+                    if cache:
+                        save_ivf(ivf, cache)
             n = emb.shape[0]
             n_pad = _round_up(max(n, SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
             if n_pad != n:
@@ -226,6 +253,7 @@ class ShardSet:
         """Load every source of a world from ``<root>/<world>/<source>/``."""
         embeddings = {}
         doc_ids = {}
+        cache_dirs = {}
         for src in world.sources:
             d = cls.source_dir(root, world.name, src.name)
             emb_path = os.path.join(d, "embeddings.npy")
@@ -235,8 +263,10 @@ class ShardSet:
                     f"(expected {emb_path}); generate synthetic data with "
                     f"ragroute_tpu.index.synthetic or import real corpora")
             embeddings[src.name] = np.load(emb_path, mmap_mode="r")
+            cache_dirs[src.name] = d
             ids_path = os.path.join(d, "doc_ids.json")
             if os.path.exists(ids_path):
                 with open(ids_path) as f:
                     doc_ids[src.name] = json.load(f)
+        kw.setdefault("ivf_cache_dirs", cache_dirs)
         return cls.build(world, embeddings, doc_ids=doc_ids, dtype=dtype, **kw)

@@ -194,3 +194,51 @@ def test_topical_generator_preserves_world_semantics():
         subclusters=1)
     np.testing.assert_array_equal(
         blob.embeddings["pubmed"], blob2.embeddings["pubmed"])
+
+
+def test_ivf_layout_cache_roundtrip(tmp_path):
+    """save_ivf/load_ivf roundtrip (incl. bf16 bit view and int8 scales)
+    and ShardSet.load's cache: second load reuses the npz instead of
+    rebuilding."""
+    import os
+
+    import jax
+
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.index.ivf import load_ivf, save_ivf
+    from ragroute_tpu.index.synthetic import save_world
+
+    emb = _clustered(1200, 24, 6, seed=13)
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.int8):
+        ivf = build_ivf(emb, "dot", dtype=dtype, n_clusters=16, seed=13)
+        p = str(tmp_path / f"ivf_{jnp.dtype(dtype).name}.npz")
+        save_ivf(ivf, p)
+        back = load_ivf(p)
+        assert back.docs.dtype == ivf.docs.dtype
+        np.testing.assert_array_equal(
+            np.asarray(back.perm), np.asarray(ivf.perm))
+        np.testing.assert_array_equal(
+            np.asarray(back.docs).view(np.uint8),
+            np.asarray(ivf.docs).view(np.uint8))
+        q = _clustered(8, 24, 6, seed=14)
+        s_a, i_a = ivf_topk(jnp.asarray(q), ivf, 8, mode="dot", nprobe=16)
+        s_b, i_b = ivf_topk(jnp.asarray(q), back, 8, mode="dot", nprobe=16)
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+
+    # disk cache through ShardSet.load
+    syn = make_synthetic_world(
+        "medrag", docs_per_source=512, num_queries=4, seed=15)
+    root = str(tmp_path / "root")
+    save_world(syn, root)
+    ss1 = ShardSet.load(root, syn.world, dtype=jnp.float32,
+                        ivf_clusters=16)
+    caches = [os.path.join(root, "medrag", s.name, "ivf_16_float32.npz")
+              for s in syn.world.sources]
+    assert all(os.path.exists(c) for c in caches)
+    mtimes = [os.path.getmtime(c) for c in caches]
+    ss2 = ShardSet.load(root, syn.world, dtype=jnp.float32,
+                        ivf_clusters=16)
+    assert [os.path.getmtime(c) for c in caches] == mtimes  # reused
+    np.testing.assert_array_equal(
+        np.asarray(ss1.shards[0].ivf.perm),
+        np.asarray(ss2.shards[0].ivf.perm))
