@@ -18,7 +18,7 @@ Env knobs:
     RAGROUTE_BENCH_REPS    timed batches                  (default 16)
     RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8      (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
-    RAGROUTE_BENCH_IMPL    auto | ivf                     (default auto/exact)
+    RAGROUTE_BENCH_IMPL    auto | ivf | hybrid            (default auto/exact)
     RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
     RAGROUTE_BENCH_SUBCLUSTERS  within-source topic clusters (default 1;
                            IVF rows use a topical corpus, see BENCHMARKS.md)
@@ -90,7 +90,7 @@ def main():
     t0 = time.time()
     shard_set = ShardSet.build(
         syn.world, syn.embeddings, dtype=dtype,
-        ivf_clusters=-1 if impl == "ivf" else None)
+        ivf_clusters=-1 if impl in ("ivf", "hybrid") else None)
     for docs, *_ in shard_set.arrays():
         docs.block_until_ready()
     log(f"uploaded {shard_set.index_bytes / 1e9:.2f} GB index "
@@ -124,7 +124,8 @@ def main():
     # ivf arrays are jit ARGUMENTS for the same reason as `arrays`:
     # closure-captured device arrays become HLO constants and the remote
     # compile would ship the whole clustered index
-    ivf_arrays = shard_set.ivf_arrays() if impl == "ivf" else None
+    ivf_arrays = (shard_set.ivf_arrays()
+                  if impl in ("ivf", "hybrid") else None)
 
     def one_step(params, bank, arrays, ivf_arrays, query_embs, rng_key):
         probs, mask = _route_fn(

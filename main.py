@@ -48,10 +48,12 @@ def parse_args(argv=None):
                              "bf16 at ~1.5%% recall@32 cost)")
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact",
-                                 "ivf"],
+                                 "ivf", "hybrid"],
                         help="Top-k implementation; 'ivf' serves the "
                              "cluster-probed approximate mode (builds "
-                             "balanced-IVF layouts at startup)")
+                             "balanced-IVF layouts at startup); 'hybrid' "
+                             "uses ivf only where it measured faster "
+                             "(small batch buckets on large shards)")
     parser.add_argument("--nprobe", type=int, default=None,
                         help="Clusters probed per query with --impl ivf "
                              "(default C/8 per shard)")

@@ -61,6 +61,13 @@ BATCH_BUCKETS = (1, 8, 32, 128, 512)  # padded batch sizes to avoid recompiles
 # is not given = max(1, C // IVF_NPROBE_DIVISOR) per shard (recall ~0.97
 # on the topical synthetic gate corpus, BENCHMARKS.md)
 IVF_NPROBE_DIVISOR = 8
+# impl="hybrid": use the IVF path only where it measured faster than the
+# exhaustive kernel — small batches on large shards (BENCHMARKS.md: 2.9x
+# at B=8 on a 734k-doc shard, crossover ~B=128; flat wins on smaller
+# shards at every batch size). Batch size is static per compiled bucket,
+# so the choice costs nothing at runtime.
+IVF_HYBRID_MAX_BATCH = 64
+IVF_HYBRID_MIN_DOCS = 400_000
 
 
 # --------------------------------------------------------------------------

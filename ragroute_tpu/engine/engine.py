@@ -119,7 +119,10 @@ def _score_fn(
 
     ``impl="ivf"`` swaps the exact scan for the cluster-probed
     approximate search (:mod:`ragroute_tpu.ops.ivf_topk`) on shards that
-    carry a balanced-IVF layout; compaction and skip compose unchanged.
+    carry a balanced-IVF layout; ``impl="hybrid"`` does so only for the
+    statically-known regime where it measured faster (small batch x
+    large shard, config.IVF_HYBRID_*); compaction and skip compose
+    unchanged.
     """
     some_enc = world.sources[0].encoder
     bsz = query_embs[some_enc].shape[0]
@@ -128,7 +131,20 @@ def _score_fn(
     per_ids: List[jnp.ndarray] = []
     for i, src in enumerate(world.sources):
         docs, bias, scale, center = shard_arrays[i]
-        ivf = ivf_arrays[i] if (impl == "ivf" and ivf_arrays) else None
+        ivf = None
+        if ivf_arrays and ivf_arrays[i] is not None:
+            if impl == "ivf":
+                ivf = ivf_arrays[i]
+            elif impl == "hybrid":
+                # static per-compile choice: batch size and shard size
+                # are both compile-time constants, so each batch bucket
+                # gets the empirically faster path (BENCHMARKS.md)
+                from ragroute_tpu.config import (
+                    IVF_HYBRID_MAX_BATCH, IVF_HYBRID_MIN_DOCS)
+
+                if (bsz <= IVF_HYBRID_MAX_BATCH
+                        and n_docs[i] >= IVF_HYBRID_MIN_DOCS):
+                    ivf = ivf_arrays[i]
         q = query_embs[src.encoder]
         routed = mask[:, i]
         cnt = routed.sum()
@@ -147,7 +163,8 @@ def _score_fn(
             return shard_topk(
                 qq, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, scale=scale, center=center,
-                impl="auto" if impl == "ivf" else impl)
+                impl="auto" if impl in ("ivf", "hybrid")
+                else impl)
 
         def full(q=q, score=score):
             return score(q)
@@ -267,7 +284,8 @@ class FederatedSearchEngine:
         self._score_step = score_step
         self._full_step = full_step
         self._arrays = shard_set.arrays()
-        self._ivf = shard_set.ivf_arrays() if impl == "ivf" else None
+        self._ivf = (shard_set.ivf_arrays()
+                     if impl in ("ivf", "hybrid") else None)
 
     # ------------------------------------------------------------------
 

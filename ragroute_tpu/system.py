@@ -179,7 +179,8 @@ class ServingSystem:
                 num_queries=4)
             shard_set = ShardSet.build(
                 syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype,
-                ivf_clusters=(self.ivf_clusters if self.impl == "ivf"
+                ivf_clusters=(self.ivf_clusters
+                              if self.impl in ("ivf", "hybrid")
                               else None))
             import jax
 
@@ -194,7 +195,8 @@ class ServingSystem:
             (shard_set, params, bank, provider, doc_store,
              relevance, threshold) = load_world_artifacts(
                 self.data_root, self.world, dtype=dtype,
-                ivf_clusters=(self.ivf_clusters if self.impl == "ivf"
+                ivf_clusters=(self.ivf_clusters
+                              if self.impl in ("ivf", "hybrid")
                               else None))
 
         engine = FederatedSearchEngine(

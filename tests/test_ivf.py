@@ -242,3 +242,45 @@ def test_ivf_layout_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ss1.shards[0].ivf.perm),
         np.asarray(ss2.shards[0].ivf.perm))
+
+
+def test_engine_hybrid_impl(monkeypatch):
+    """hybrid == exact on small shards (flat branch statically chosen);
+    with thresholds forced open it statically chooses the ivf branch."""
+    import jax
+
+    import ragroute_tpu.config as cfg
+    from ragroute_tpu.engine.engine import FederatedSearchEngine
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world(
+        "medrag", docs_per_source=1024, num_queries=8, seed=21)
+    shard_set = ShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.float32, ivf_clusters=16)
+    params = init_router_params(
+        jax.random.key(0), syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    embs = {e: syn.query_embs[e] for e in syn.world.encoders}
+
+    exact = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    o_ref = exact.search(embs, strategy="all")
+
+    # small shards: hybrid statically picks the flat path == exact
+    hyb = FederatedSearchEngine(shard_set, params, bank, impl="hybrid")
+    o_h = hyb.search(embs, strategy="all")
+    np.testing.assert_array_equal(o_h.merged_local, o_ref.merged_local)
+    np.testing.assert_array_equal(o_h.merged_shard, o_ref.merged_shard)
+
+    # force the ivf regime: every shard qualifies, full probe == exact sets
+    monkeypatch.setattr(cfg, "IVF_HYBRID_MIN_DOCS", 1)
+    monkeypatch.setattr(cfg, "IVF_HYBRID_MAX_BATCH", 1024)
+    hyb2 = FederatedSearchEngine(shard_set, params, bank, impl="hybrid",
+                                 nprobe=16)
+    o_h2 = hyb2.search(embs, strategy="all")
+    for b in range(8):
+        ref_pairs = {(int(s), int(l)) for s, l in zip(
+            o_ref.merged_shard[b], o_ref.merged_local[b]) if s >= 0}
+        hyb_pairs = {(int(s), int(l)) for s, l in zip(
+            o_h2.merged_shard[b], o_h2.merged_local[b]) if s >= 0}
+        assert ref_pairs == hyb_pairs
