@@ -6,7 +6,9 @@ from ragroute_tpu.ops.topk import (
     shard_topk,
     merge_topk,
 )
-from ragroute_tpu.ops.pallas_topk import pallas_topk
+from ragroute_tpu.ops.pallas_topk import pallas_topk, \
+    pallas_stream_topk
+from ragroute_tpu.ops.ivf_topk import ivf_topk
 
 __all__ = [
     "exact_topk",
@@ -14,4 +16,6 @@ __all__ = [
     "shard_topk",
     "merge_topk",
     "pallas_topk",
+    "pallas_stream_topk",
+    "ivf_topk",
 ]
