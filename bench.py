@@ -199,11 +199,12 @@ def main():
 
     qps = reps * batch / elapsed
     dims = [s.embed_dim for s in world.sources]
-    if impl == "ivf":
+    if impl in ("ivf", "hybrid"):
         # the exhaustive-scan FLOP formula would overstate delivered
-        # FLOPs by ~C/nprobe in the approximate mode — omit the metric
+        # FLOPs by ~C/nprobe on approximate shards — omit the metric
         log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s "
-            f"(TFLOPS metric omitted: ivf scores ~nprobe/C of the corpus)")
+            f"(TFLOPS metric omitted: {impl} scores a subset of the "
+            f"corpus)")
     else:
         flops = 2.0 * batch * reps * sum(
             n * d for n, d in zip(n_docs, dims))

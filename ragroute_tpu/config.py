@@ -62,12 +62,17 @@ BATCH_BUCKETS = (1, 8, 32, 128, 512)  # padded batch sizes to avoid recompiles
 # on the topical synthetic gate corpus, BENCHMARKS.md)
 IVF_NPROBE_DIVISOR = 8
 # impl="hybrid": use the IVF path only where it measured faster than the
-# exhaustive kernel — small batches on large shards (BENCHMARKS.md: 2.9x
-# at B=8 on a 734k-doc shard, crossover ~B=128; flat wins on smaller
-# shards at every batch size). Batch size is static per compiled bucket,
-# so the choice costs nothing at runtime.
-IVF_HYBRID_MAX_BATCH = 64
+# exhaustive kernel — small batches on large shards. Engine-level A/B at
+# the 1M-doc bench world (BENCHMARKS.md): hybrid 2.0x at B=8
+# (1.92 vs 3.77 ms/batch, recall 1.0000); at B=32 the flat engine's
+# compaction + scan pipelining already wins. Batch size is static per
+# compiled bucket, so the choice costs nothing at runtime. The hybrid
+# branch defaults to a shallower probe than plain --impl ivf (C//32 vs
+# C//8) — the measured latency sweet spot at full recall on the gate
+# corpus.
+IVF_HYBRID_MAX_BATCH = 16
 IVF_HYBRID_MIN_DOCS = 400_000
+IVF_HYBRID_NPROBE_DIVISOR = 32
 
 
 # --------------------------------------------------------------------------

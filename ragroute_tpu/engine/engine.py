@@ -132,34 +132,40 @@ def _score_fn(
     for i, src in enumerate(world.sources):
         docs, bias, scale, center = shard_arrays[i]
         ivf = None
+        ivf_nprobe = None
         if ivf_arrays and ivf_arrays[i] is not None:
+            from ragroute_tpu.config import (
+                IVF_HYBRID_MAX_BATCH, IVF_HYBRID_MIN_DOCS,
+                IVF_HYBRID_NPROBE_DIVISOR, IVF_NPROBE_DIVISOR)
+
             if impl == "ivf":
                 ivf = ivf_arrays[i]
+                ivf_nprobe = nprobe or max(
+                    1, ivf.n_clusters // IVF_NPROBE_DIVISOR)
             elif impl == "hybrid":
                 # static per-compile choice: batch size and shard size
                 # are both compile-time constants, so each batch bucket
-                # gets the empirically faster path (BENCHMARKS.md)
-                from ragroute_tpu.config import (
-                    IVF_HYBRID_MAX_BATCH, IVF_HYBRID_MIN_DOCS)
-
+                # gets the empirically faster path, with the shallower
+                # latency-tuned probe depth (BENCHMARKS.md)
                 if (bsz <= IVF_HYBRID_MAX_BATCH
                         and n_docs[i] >= IVF_HYBRID_MIN_DOCS):
                     ivf = ivf_arrays[i]
+                    ivf_nprobe = nprobe or max(
+                        1, ivf.n_clusters // IVF_HYBRID_NPROBE_DIVISOR)
         q = query_embs[src.encoder]
         routed = mask[:, i]
         cnt = routed.sum()
         worst = jnp.inf if src.score_mode == "l2" else -jnp.inf
 
         def score(qq, docs=docs, bias=bias, scale=scale, src=src,
-                  center=center, n=n_docs[i], ivf=ivf):
+                  center=center, n=n_docs[i], ivf=ivf,
+                  ivf_nprobe=ivf_nprobe):
             if ivf is not None:
-                from ragroute_tpu.config import IVF_NPROBE_DIVISOR
                 from ragroute_tpu.ops.ivf_topk import ivf_topk
 
                 return ivf_topk(
                     qq, ivf, k, mode=src.score_mode, center=center,
-                    nprobe=nprobe or max(
-                        1, ivf.n_clusters // IVF_NPROBE_DIVISOR))
+                    nprobe=ivf_nprobe)
             return shard_topk(
                 qq, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, scale=scale, center=center,
