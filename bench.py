@@ -60,6 +60,7 @@ def main():
     strategy = os.environ.get("RAGROUTE_BENCH_STRATEGY", "ragroute")
     impl = os.environ.get("RAGROUTE_BENCH_IMPL", "auto")
     nprobe = int(os.environ.get("RAGROUTE_BENCH_NPROBE", "0")) or None
+    mesh_spec = os.environ.get("RAGROUTE_BENCH_MESH")  # e.g. "2x4"
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "int8": jnp.int8}[dtype_name]
 
@@ -127,13 +128,47 @@ def main():
     ivf_arrays = (shard_set.ivf_arrays()
                   if impl in ("ivf", "hybrid") else None)
 
-    def one_step(params, bank, arrays, ivf_arrays, query_embs, rng_key):
-        probs, mask = _route_fn(
-            world, strategy, params, bank, query_embs, rng_key)
-        out = _score_fn(world, world.k, impl, n_docs, arrays,
-                        query_embs, mask, ivf_arrays=ivf_arrays,
-                        nprobe=nprobe)
-        return out[2], out[3]  # merged scores/shards
+    if mesh_spec:
+        # mesh-sharded bench: the same scanned loop over the ShardedSearch
+        # step (docs over "idx", batch over "dp"); on a 1-chip box use
+        # JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_
+        # count=N for a virtual mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ragroute_tpu.parallel import ShardedSearch, make_mesh
+        from ragroute_tpu.system import parse_mesh_spec
+
+        dp, idx = parse_mesh_spec(mesh_spec)
+        if batch % dp:
+            raise ValueError(f"batch {batch} not divisible by dp={dp}")
+        mesh = make_mesh(dp=dp, idx=idx, devices=jax.devices()[:dp * idx])
+        log(f"mesh bench: {dict(mesh.shape)}")
+        sharded = ShardedSearch(shard_set, params, bank, mesh, impl=impl,
+                                nprobe=nprobe)
+        params, bank = sharded.params, sharded.bank
+        arrays, ivf_arrays = sharded.arrays, sharded.ivf_arrays
+        emb_sharding = NamedSharding(mesh, P(None, "dp", None))
+
+        def one_step(params, bank, arrays, ivf_arrays, query_embs,
+                     rng_key):
+            out = sharded.full_fn(params, bank, arrays, ivf_arrays,
+                                  query_embs, rng_key, strategy=strategy)
+            return out[4], out[5]  # merged scores/shards
+    else:
+        emb_sharding = None
+
+        def one_step(params, bank, arrays, ivf_arrays, query_embs,
+                     rng_key):
+            probs, mask = _route_fn(
+                world, strategy, params, bank, query_embs, rng_key)
+            out = _score_fn(world, world.k, impl, n_docs, arrays,
+                            query_embs, mask, ivf_arrays=ivf_arrays,
+                            nprobe=nprobe)
+            return out[2], out[3]  # merged scores/shards
+
+    if emb_sharding is not None:
+        embs_r = {e: jax.device_put(v, emb_sharding)
+                  for e, v in embs_r.items()}
 
     @jax.jit
     def loop(params, bank, arrays, ivf_arrays, query_embs_r, keys):
@@ -169,7 +204,11 @@ def main():
         float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
         elapsed = time.time() - t0
 
-    if os.environ.get("RAGROUTE_BENCH_RECALL") == "1":
+    if os.environ.get("RAGROUTE_BENCH_RECALL") == "1" and mesh_spec:
+        log("RAGROUTE_BENCH_RECALL skipped in mesh mode (the recall "
+            "oracle path is single-chip; mesh==single-chip winner parity "
+            "is gated by tests/test_parallel.py)")
+    elif os.environ.get("RAGROUTE_BENCH_RECALL") == "1":
         # recall@k of the selected impl vs the exact path, same mask
         @jax.jit
         def route_once(params, bank, query_embs, key):

@@ -63,6 +63,13 @@ def parse_args(argv=None):
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
                         help="Batch bucket sizes (each is compiled at "
                              "startup; default 1 8 32 128 512)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="Serve over a DPxIDX device mesh (e.g. 2x4): "
+                             "corpus doc axes shard over idx, the query "
+                             "batch over dp. Needs dp*idx devices "
+                             "(virtual CPU devices work: JAX_PLATFORMS="
+                             "cpu XLA_FLAGS=--xla_force_host_platform_"
+                             "device_count=8)")
     return parser.parse_args(argv)
 
 

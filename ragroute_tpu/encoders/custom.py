@@ -188,12 +188,18 @@ class JaxSGPTEncoder:
 
 class JaxInstructorEncoder:
     """TPU-native INSTRUCTOR: pure-JAX T5 encoder + instruction-masked
-    mean pooling (model attends to the instruction; pooling excludes it)."""
+    mean pooling (model attends to the instruction; pooling excludes it),
+    plus the sentence-transformers ``2_Dense`` projection when the
+    checkpoint ships one (the instructor-* stacks are
+    Transformer→Pooling→Dense→(normalize); omitting a checkpoint's Dense
+    would silently change the embedding space,
+    ``instructor/instructor_model.py:388-576``)."""
 
     backend = "jax"
 
     def __init__(self, spec, params, cfg, tokenizer,
-                 default_dataset: str = "msmarco", pad_to: int = 128):
+                 default_dataset: str = "msmarco", pad_to: int = 128,
+                 dense=None):
         import jax
         import jax.numpy as jnp
 
@@ -204,6 +210,15 @@ class JaxInstructorEncoder:
         self.tokenizer = tokenizer
         self.default_dataset = default_dataset
         self.pad_to = pad_to
+        # dense: optional (kernel [d_in, d_out], bias [d_out] | None)
+        # applied to the POOLED embedding (identity activation, the
+        # instructor-* stacks' 2_Dense config); jnp arrays
+        self.dense = None
+        if dense is not None:
+            w, b = dense
+            self.dense = (jnp.asarray(w, jnp.float32),
+                          None if b is None else jnp.asarray(b, jnp.float32))
+        dense_ = self.dense
 
         @jax.jit
         def _encode(params, ids, attn_mask, pool_mask):
@@ -211,6 +226,10 @@ class JaxInstructorEncoder:
             m = pool_mask.astype(jnp.float32)[:, :, None]
             emb = (outs["last_hidden"] * m).sum(1) / jnp.maximum(
                 m.sum(1), 1e-9)
+            if dense_ is not None:
+                emb = emb @ dense_[0]
+                if dense_[1] is not None:
+                    emb = emb + dense_[1]
             if spec.normalize:
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)

@@ -200,6 +200,51 @@ def _load_jax_gptj(spec: EncoderSpec):
     return JaxSGPTEncoder(spec, params, cfg, tok)
 
 
+def _find_instructor_dense(hf_name: str):
+    """Locate the sentence-transformers ``2_Dense`` module shipped with an
+    instructor-* checkpoint (stack Transformer→Pooling→Dense; skipping it
+    would silently serve a different embedding space). Returns
+    ``(kernel [d_in, d_out], bias | None)`` as numpy, or ``None`` when the
+    checkpoint has no Dense module."""
+    import os
+
+    import torch
+
+    sd = None
+    candidates = ("2_Dense/pytorch_model.bin", "2_Dense/model.safetensors")
+    if os.path.isdir(hf_name):
+        paths = [os.path.join(hf_name, c) for c in candidates]
+    else:
+        paths = []
+        try:
+            from transformers.utils.hub import cached_file
+
+            for c in candidates:
+                try:
+                    p = cached_file(hf_name, c, local_files_only=True)
+                    if p:
+                        paths.append(p)
+                except Exception:
+                    continue
+        except Exception:
+            return None
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        if p.endswith(".safetensors"):
+            from safetensors.torch import load_file
+
+            sd = load_file(p)
+        else:
+            sd = torch.load(p, map_location="cpu", weights_only=True)
+        break
+    if sd is None:
+        return None
+    w = sd["linear.weight"].float().numpy()          # torch [out, in]
+    b = sd.get("linear.bias")
+    return w.T.copy(), (None if b is None else b.float().numpy())
+
+
 def _load_jax_t5(spec: EncoderSpec):
     from transformers import AutoTokenizer, T5EncoderModel
 
@@ -211,7 +256,8 @@ def _load_jax_t5(spec: EncoderSpec):
                                            local_files_only=True)
     cfg = t5m.config_from_hf(model.config)
     params = t5m.params_from_torch_t5(model.state_dict(), cfg)
-    return JaxInstructorEncoder(spec, params, cfg, tok)
+    dense = _find_instructor_dense(spec.hf_name)
+    return JaxInstructorEncoder(spec, params, cfg, tok, dense=dense)
 
 
 class EncoderZoo:

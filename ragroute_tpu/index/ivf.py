@@ -180,9 +180,11 @@ def _balanced_assign(choices: np.ndarray, n_clusters: int,
         first = np.searchsorted(want_sorted, np.arange(n_clusters), "left")
         last = np.searchsorted(want_sorted, np.arange(n_clusters), "right")
         room = np.minimum(last - first, capacity - counts[:n_clusters])
-        take_mask = np.zeros(docs_sorted.size, bool)
-        for c in np.flatnonzero(room > 0):
-            take_mask[first[c]:first[c] + room[c]] = True
+        # vectorized per-cluster take: a doc is taken iff its position
+        # within its wanted cluster's contiguous run is below that
+        # cluster's remaining room (no host loop over clusters)
+        pos_in_cluster = np.arange(docs_sorted.size) - first[want_sorted]
+        take_mask = pos_in_cluster < room[want_sorted]
         taken = docs_sorted[take_mask]
         assign[taken] = want_sorted[take_mask]
         np.add.at(counts, want_sorted[take_mask], 1)
@@ -285,9 +287,34 @@ def build_ivf(
 
 # -- persistence -----------------------------------------------------------
 
-def save_ivf(ivf: IVFData, path: str) -> None:
+def ivf_fingerprint(emb: np.ndarray) -> str:
+    """Cheap content fingerprint of a source embedding matrix.
+
+    The IVF npz cache stores the document VECTORS themselves, so a cache
+    hit against regenerated embeddings of the same shape (different seed,
+    ``--subclusters``, refreshed corpus) would silently serve stale
+    vectors. Hashing the full matrix costs seconds at production scale;
+    a deterministic row subsample (~1k rows) plus shape plus a global sum
+    catches any realistic regeneration while staying O(MB).
+    """
+    import hashlib
+
+    emb = np.asarray(emb)
+    n = emb.shape[0]
+    step = max(1, n // 1024)
+    h = hashlib.sha1()
+    h.update(str(emb.shape).encode())
+    h.update(np.ascontiguousarray(emb[::step], dtype=np.float32).tobytes())
+    h.update(np.float64(emb.sum(dtype=np.float64)).tobytes())
+    return h.hexdigest()
+
+
+def save_ivf(ivf: IVFData, path: str, *,
+             fingerprint: Optional[str] = None) -> None:
     """Persist a balanced-IVF layout (npz). bf16 docs are stored as a
-    uint16 bit view (npz has no native bfloat16)."""
+    uint16 bit view (npz has no native bfloat16). ``fingerprint``
+    (from :func:`ivf_fingerprint`) binds the cache to its source
+    embeddings."""
     docs = np.asarray(ivf.docs)
     dtype_name = str(ivf.docs.dtype)
     if dtype_name == "bfloat16":
@@ -302,14 +329,30 @@ def save_ivf(ivf: IVFData, path: str) -> None:
         scale=(np.zeros((0,), np.float32) if ivf.scale is None
                else np.asarray(ivf.scale)),
         perm=np.asarray(ivf.perm),
+        fingerprint=np.asarray(fingerprint or ""),
     )
 
 
-def load_ivf(path: str) -> IVFData:
-    """Load a layout written by :func:`save_ivf`."""
+def load_ivf(path: str,
+             expect_fingerprint: Optional[str] = None
+             ) -> Optional[IVFData]:
+    """Load a layout written by :func:`save_ivf`.
+
+    With ``expect_fingerprint`` set, returns ``None`` (with a warning)
+    when the stored fingerprint is absent or differs — the caller should
+    rebuild. Caches written before fingerprints existed are treated as
+    stale."""
     import ml_dtypes
 
     z = np.load(path)
+    if expect_fingerprint is not None:
+        stored = str(z["fingerprint"]) if "fingerprint" in z else ""
+        if stored != expect_fingerprint:
+            logger.warning(
+                "ivf cache %s does not match current embeddings "
+                "(stored fingerprint %r vs %r); rebuilding",
+                path, stored[:12], expect_fingerprint[:12])
+            return None
     dtype_name = str(z["dtype_name"])
     docs = z["docs"]
     if dtype_name == "bfloat16":

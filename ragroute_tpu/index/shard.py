@@ -136,29 +136,27 @@ class ShardSet:
             ivf = None
             if ivf_clusters:
                 from ragroute_tpu.index.ivf import (
-                    build_ivf, load_ivf, save_ivf)
+                    build_ivf, ivf_fingerprint, load_ivf, save_ivf)
 
                 # layout cache: k-means over a production shard costs
-                # minutes; a cached npz makes reboots instant
+                # minutes; a cached npz makes reboots instant. The key
+                # carries every build parameter (cluster count, dtype,
+                # seed) and the npz stores a content fingerprint of the
+                # source embeddings, so neither a parameter change nor a
+                # regenerated same-shape corpus can silently reuse a
+                # stale layout.
                 cache = None
+                fp = None
                 if ivf_cache_dirs and src.name in ivf_cache_dirs:
                     tag = ("auto" if ivf_clusters < 0
                            else str(ivf_clusters))
                     cache = os.path.join(
                         ivf_cache_dirs[src.name],
-                        f"ivf_{tag}_{jnp.dtype(dtype).name}.npz")
+                        f"ivf_{tag}_{jnp.dtype(dtype).name}"
+                        f"_s{ivf_seed}.npz")
+                    fp = ivf_fingerprint(emb)
                 if cache and os.path.exists(cache):
-                    ivf = load_ivf(cache)
-                    valid_slots = int((np.asarray(ivf.bias)
-                                       > -np.inf).sum())
-                    if (valid_slots != emb.shape[0]
-                            or ivf.docs.shape[1] != emb.shape[1]):
-                        import logging
-
-                        logging.getLogger("ivf").warning(
-                            "stale ivf cache %s (%d slots vs %d docs); "
-                            "rebuilding", cache, valid_slots, emb.shape[0])
-                        ivf = None
+                    ivf = load_ivf(cache, expect_fingerprint=fp)
                 if ivf is None:
                     ivf = build_ivf(
                         emb, src.score_mode, dtype=dtype,
@@ -166,7 +164,7 @@ class ShardSet:
                                     else ivf_clusters),
                         seed=ivf_seed)
                     if cache:
-                        save_ivf(ivf, cache)
+                        save_ivf(ivf, cache, fingerprint=fp)
             n = emb.shape[0]
             n_pad = _round_up(max(n, SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
             if n_pad != n:

@@ -100,6 +100,23 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 EPILOGUE_RANKS = max(1, int(__import__("os").environ.get(
     "RAGROUTE_EPILOGUE_RANKS", "2")))
 
+# Merge design selector (A/B measurement knob, see module docstring):
+#   "ladder"  — the production exact design (default).
+#   "packed"  — MEASUREMENT-ONLY: single packed uint32 key per element
+#               (sortable gain bits with the low 16 mantissa bits
+#               replaced by the complemented column) so max+argmax
+#               collapse into ONE wide reduction per rank. NOT exact:
+#               the extracted value is mantissa-truncated and ties are
+#               broken on truncated gains, so it can both mis-rank
+#               near-ties and return truncated scores (measured ~0.6%
+#               score error, ~1% winner-set churn on random data). It
+#               exists to measure the SPEED CEILING of the "fuse
+#               max+argmax via monotone packed keys" family — if even
+#               this inexact form does not beat the ladder, the family
+#               is refuted without needing the (impossible on 32-bit
+#               lanes) exact variant. Never use it for serving.
+MERGE_DESIGN = __import__("os").environ.get("RAGROUTE_MERGE", "ladder")
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -220,6 +237,43 @@ def _merge_gains_tile(
         # <= k iterations: each improving row inserts one element per
         # iteration and a row can absorb at most k new entries per tile.
         jax.lax.fori_loop(0, k, insert_step, 0)
+
+    if MERGE_DESIGN == "packed":
+        # ---- measurement-only packed-key ladder (see MERGE_DESIGN) ----
+        # key = sortable(gain) & ~0xFFFF | (0xFFFF - col), all uint32:
+        # ONE wide max per rank yields both the (mantissa-truncated) max
+        # and its lowest tied column — the "fuse max+argmax via a packed
+        # monotone key" design family, at its cheapest possible form.
+        u = jax.lax.bitcast_convert_type(gains, jnp.uint32)
+        s = jnp.where((u >> 31) != 0, ~u, u | jnp.uint32(0x80000000))
+        key = (s & jnp.uint32(0xFFFF0000)) | \
+            (jnp.uint32(0xFFFF) - col.astype(jnp.uint32))
+        for r in range(EPILOGUE_RANKS + 1):
+            kmax = jnp.max(key, axis=1)
+            a = (jnp.uint32(0xFFFF) - (kmax & jnp.uint32(0xFFFF))) \
+                .astype(jnp.int32)
+            sh = kmax & jnp.uint32(0xFFFF0000)
+            ubits = jnp.where((sh >> 31) != 0,
+                              sh & jnp.uint32(0x7FFFFFFF), ~sh)
+            m = jax.lax.bitcast_convert_type(ubits, jnp.float32)
+            if r < EPILOGUE_RANKS:
+                insert_one(m, a + j * td, m > run_g[:, k - 1])
+                key = jnp.where(col == a[:, None], jnp.uint32(0), key)
+            else:
+                need = jnp.any(m > run_g[:, k - 1])
+
+                @pl.when(need)
+                def _merge_rest_packed():
+                    gains_buf[:] = jnp.where(
+                        key == jnp.uint32(0), NEG_INF, gains)
+                    merge_stashed(j * td)
+
+        @pl.when(j == n_doc_tiles - 1)
+        def _emit_packed():
+            out_g_ref[:] = run_g[:]
+            out_i_ref[:] = run_i[:]
+
+        return
 
     # fast path (fused epilogue): statically-unrolled per-row top-R
     # extract+insert on the live gains value. R bounds how many new

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ragroute_tpu import config as cfg_mod
 from ragroute_tpu.config import WorldConfig
 from ragroute_tpu.engine.engine import _route_fn, gate_and_merge
 from ragroute_tpu.index.ivf import IVFData
@@ -203,13 +204,19 @@ def sharded_ivf_topk(
         ids = jnp.where(row_ok[:, None], ids, -1)
         pair_g = jnp.zeros((e, k1), g1.dtype).at[order].set(g1)
         pair_i = jnp.full((e, k1), -1, jnp.int32).at[order].set(ids)
-        # each pair slot is owned by exactly one idx peer: gather all
-        # peers' views and keep the owner's (the only one above NEG_INF)
+        pair_own = owned  # already in original pair order (computed pre-sort)
+        # each pair slot is owned by exactly one idx peer: gather every
+        # peer's view plus an EXPLICIT ownership flag and select the
+        # owner's row (selecting by argmax of gains would rely on the
+        # owner's -inf pad entries out-tying foreign NEG_INF sentinels —
+        # a fragile invariant if NEG_INF ever becomes finite)
         all_g = jax.lax.all_gather(
             pair_g.reshape(bsz_l, p, k1), "idx")       # [n, Bl, P, k1]
         all_i = jax.lax.all_gather(pair_i.reshape(bsz_l, p, k1), "idx")
-        own = jnp.argmax(all_g, axis=0)
-        gbest = jnp.max(all_g, axis=0)                 # [Bl, P, k1]
+        all_own = jax.lax.all_gather(
+            pair_own.reshape(bsz_l, p), "idx")         # [n, Bl, P]
+        own = jnp.argmax(all_own, axis=0)[..., None]   # [Bl, P, 1]
+        gbest = jnp.take_along_axis(all_g, own[None], axis=0)[0]
         ibest = jnp.take_along_axis(all_i, own[None], axis=0)[0]
         # doc ids were resolved by each cluster's owner BEFORE the gather,
         # so the final top-k only reorders (gain, id) candidate pairs
@@ -238,10 +245,21 @@ def sharded_ivf_topk(
 class ShardedSearch:
     """Full federated search step over a ``(dp, idx)`` mesh.
 
-    Same semantics as :class:`ragroute_tpu.engine.FederatedSearchEngine`
-    (route → score → gate → merge) with every corpus's documents sharded
-    over ``idx`` and the batch over ``dp``. Router params/bank are
-    replicated (they are tiny).
+    Same semantics — and the same host-facing interface — as
+    :class:`ragroute_tpu.engine.FederatedSearchEngine` (route → score →
+    gate → merge, ``search()`` → :class:`SearchOutput`), with every
+    corpus's documents sharded over ``idx`` and the batch over ``dp``.
+    Router params/bank are replicated (they are tiny). Drop-in engine for
+    :class:`ragroute_tpu.engine.server.FederationServer` /
+    :class:`ragroute_tpu.engine.batcher.QueryBatcher`: BASELINE config #5
+    (the served multi-chip federation) is this class behind the HTTP
+    front-end.
+
+    ``impl="ivf"`` / ``"hybrid"`` serve the cluster-probed approximate
+    mode over the mesh (cluster axis sharded over ``idx``,
+    :func:`sharded_ivf_topk`) for shards built with a balanced-IVF
+    layout; hybrid applies the same statically-known batch/shard-size
+    rule as the single-chip engine.
     """
 
     def __init__(
@@ -254,20 +272,33 @@ class ShardedSearch:
         impl: str = "auto",
         seed: int = 0,
         threshold: float = None,
+        nprobe: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
+        self.shard_set = shard_set
         self.mesh = mesh
         self.impl = impl
+        self.nprobe = nprobe
+        self.threshold = threshold
         self._key = jax.random.key(seed)
         n_idx = mesh.shape["idx"]
+        self.dp = mesh.shape["dp"]
 
         repl = NamedSharding(mesh, P())
         docs_sh = NamedSharding(mesh, P("idx", None))
         bias_sh = NamedSharding(mesh, P("idx"))
 
+        if impl == "ivf":
+            missing = [s.name for s in shard_set.shards if s.ivf is None]
+            if missing:
+                raise ValueError(
+                    f"impl='ivf' needs shards built with ivf_clusters; "
+                    f"missing balanced-IVF layout for {missing}")
+
         self.params = jax.device_put(params, repl)
         self.bank = jax.device_put(bank, repl)
         self.arrays = []
+        self.ivf_arrays = []
         for s in shard_set.shards:
             docs, bias, scale, center = s.docs, s.bias, s.scale, s.center
             n = docs.shape[0]
@@ -284,41 +315,164 @@ class ShardedSearch:
                 None if scale is None else jax.device_put(scale, bias_sh),
                 None if center is None else jax.device_put(center, repl),
             ))
+            ivf = s.ivf if impl in ("ivf", "hybrid") else None
+            if ivf is not None:
+                if ivf.n_clusters % n_idx != 0:
+                    raise ValueError(
+                        f"{s.name}: IVF cluster count {ivf.n_clusters} not "
+                        f"divisible by mesh idx={n_idx}; rebuild with a "
+                        f"power-of-two --ivf-clusters")
+                # cluster-major slabs sharded over idx; tiny centroid
+                # tables replicated (device_put over the matching
+                # pytree-of-shardings)
+                import dataclasses as _dc
+
+                shardings = _dc.replace(
+                    ivf,
+                    centroids=repl, cbias=repl,
+                    docs=NamedSharding(mesh, P("idx", None, None)),
+                    bias=NamedSharding(mesh, P("idx", None)),
+                    scale=(None if ivf.scale is None
+                           else NamedSharding(mesh, P("idx", None))),
+                    perm=NamedSharding(mesh, P("idx", None)),
+                )
+                ivf = jax.device_put(ivf, shardings)
+            self.ivf_arrays.append(ivf)
 
         world = self.world
         k = world.k
         mesh_ = mesh
-        impl__ = impl
+        impl__ = "auto" if impl in ("ivf", "hybrid") else impl
+        n_docs = tuple(s.n_docs for s in shard_set.shards)
+        nprobe_ = nprobe
+        impl_mode = impl
 
-        @functools.partial(jax.jit, static_argnames=("strategy",))
-        def step(params, bank, arrays, query_embs, rng, *, strategy: str):
-            probs, mask = _route_fn(
-                world, strategy, params, bank, query_embs, rng, threshold)
+        def _score(arrays, ivf_arrays, query_embs, mask):
+            bsz = query_embs[world.sources[0].encoder].shape[0]
             per_scores, per_ids = [], []
             for i, src in enumerate(world.sources):
                 docs, bias, scale, center = arrays[i]
-                s, gi = sharded_shard_topk(
-                    mesh_, query_embs[src.encoder], docs, bias, k,
-                    mode=src.score_mode, impl=impl__, routed=mask[:, i],
-                    scale=scale, center=center)
+                ivf = ivf_arrays[i]
+                use_ivf = False
+                if ivf is not None:
+                    if impl_mode == "ivf":
+                        use_ivf = True
+                        np_i = nprobe_ or max(
+                            1, ivf.n_clusters // cfg_mod.IVF_NPROBE_DIVISOR)
+                    elif impl_mode == "hybrid":
+                        # same static rule as the single-chip engine
+                        # (batch size / shard size are trace-time consts)
+                        if (bsz <= cfg_mod.IVF_HYBRID_MAX_BATCH
+                                and n_docs[i] >= cfg_mod.IVF_HYBRID_MIN_DOCS):
+                            use_ivf = True
+                            np_i = nprobe_ or max(
+                                1, ivf.n_clusters
+                                // cfg_mod.IVF_HYBRID_NPROBE_DIVISOR)
+                if use_ivf:
+                    s, gi = sharded_ivf_topk(
+                        mesh_, query_embs[src.encoder], ivf, k,
+                        mode=src.score_mode, nprobe=np_i, center=center)
+                else:
+                    s, gi = sharded_shard_topk(
+                        mesh_, query_embs[src.encoder], docs, bias, k,
+                        mode=src.score_mode, impl=impl__,
+                        routed=mask[:, i], scale=scale, center=center)
                 per_scores.append(s)
                 per_ids.append(gi)
-            return (probs, mask) + gate_and_merge(
-                world, k, mask, per_scores, per_ids)
+            return gate_and_merge(world, k, mask, per_scores, per_ids)
 
-        self._step = step
+        @functools.partial(jax.jit, static_argnames=("strategy",))
+        def route_step(params, bank, query_embs, rng, *, strategy: str):
+            return _route_fn(world, strategy, params, bank, query_embs,
+                             rng, threshold)
+
+        @jax.jit
+        def score_step(arrays, ivf_arrays, query_embs, mask):
+            return _score(arrays, ivf_arrays, query_embs, mask)
+
+        def full_fn(params, bank, arrays, ivf_arrays, query_embs, rng, *,
+                    strategy: str):
+            probs, mask = _route_fn(
+                world, strategy, params, bank, query_embs, rng, threshold)
+            return (probs, mask) + _score(
+                arrays, ivf_arrays, query_embs, mask)
+
+        self._route_step = route_step
+        self._score_step = score_step
+        # unjitted full step, for composition (e.g. bench.py wraps it in
+        # one lax.scan over distinct batches to amortize dispatch)
+        self.full_fn = full_fn
+        self._step = jax.jit(full_fn, static_argnames=("strategy",))
         self._q_sharding = NamedSharding(mesh, P("dp", None))
+        self._mask_sharding = NamedSharding(mesh, P("dp", None))
 
-    def search(self, query_embs: Dict[str, np.ndarray], *,
-               strategy: str = "ragroute"):
-        """Run one sharded search; returns the same tuple layout as the
-        single-chip full step (probs, mask, shard_scores, shard_ids,
-        merged_score, merged_shard, merged_local, merged_valid)."""
+    def _device_embs(self, query_embs: Dict[str, np.ndarray]):
         embs = {}
         for enc in self.world.encoders:
+            if enc not in query_embs:
+                raise KeyError(
+                    f"missing query embeddings for encoder {enc!r}")
             arr = jnp.asarray(query_embs[enc], dtype=jnp.float32)
+            if arr.shape[0] % self.dp != 0:
+                raise ValueError(
+                    f"batch size {arr.shape[0]} not divisible by mesh "
+                    f"dp={self.dp}; pad the batch (the serving batcher "
+                    f"uses dp-multiple buckets)")
             embs[enc] = jax.device_put(arr, self._q_sharding)
+        return embs
+
+    def search(self, query_embs: Dict[str, np.ndarray], *,
+               strategy: str = "ragroute",
+               staged: bool = False) -> "SearchOutput":
+        """Run one mesh-sharded search; same host-facing contract as
+        :meth:`FederatedSearchEngine.search` (stage timings measured with
+        a device->host sync, one coalesced fetch for the output pytree).
+        """
+        import time
+
+        from ragroute_tpu.engine.engine import SearchOutput
+
+        embs = self._device_embs(query_embs)
         self._key, sub = jax.random.split(self._key)
-        return self._step(
-            self.params, self.bank, self.arrays, embs, sub,
-            strategy=strategy)
+        if staged:
+            t0 = time.perf_counter()
+            probs, mask = self._route_step(
+                self.params, self.bank, embs, sub, strategy=strategy)
+            mask_h = jax.device_get(mask)
+            sel_t = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            scored = self._score_step(
+                self.arrays, self.ivf_arrays, embs, mask)
+            np.asarray(scored[2])
+            doc_t = time.perf_counter() - t0
+        else:
+            t0 = time.perf_counter()
+            out = self._step(
+                self.params, self.bank, self.arrays, self.ivf_arrays,
+                embs, sub, strategy=strategy)
+            sel_t = 0.0
+            probs, mask, scored = out[0], out[1], out[2:]
+        (probs, mask, shard_scores, shard_ids, merged_score, merged_shard,
+         merged_local, merged_valid) = jax.device_get(
+            (probs, mask) + tuple(scored))
+        if not staged:
+            doc_t = time.perf_counter() - t0
+        return SearchOutput(
+            probs=probs,
+            mask=np.asarray(mask),
+            shard_scores=shard_scores,
+            shard_ids=shard_ids,
+            merged_score=merged_score,
+            merged_shard=merged_shard,
+            merged_local=merged_local,
+            merged_valid=merged_valid,
+            selection_time=sel_t,
+            doc_select_time=doc_t,
+        )
+
+    # host-side doc-id resolution is mesh-agnostic; reuse the single-chip
+    # implementation verbatim (reads only .world/.shard_set and the output)
+    from ragroute_tpu.engine.engine import \
+        FederatedSearchEngine as _Engine  # noqa: E402
+    resolve_doc_ids = _Engine.resolve_doc_ids
+    del _Engine

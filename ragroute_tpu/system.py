@@ -43,6 +43,19 @@ logger = logging.getLogger("system")
 WATCHDOG_POLL_S = 1.0  # reference ragroute.py:72
 
 
+def parse_mesh_spec(spec: str):
+    """Parse a ``--mesh DPxIDX`` spec ("2x4") into ``(dp, idx)``."""
+    try:
+        dp_s, idx_s = spec.lower().split("x")
+        dp, idx = int(dp_s), int(idx_s)
+    except ValueError:
+        raise ValueError(
+            f"--mesh expects DPxIDX (e.g. 2x4), got {spec!r}") from None
+    if dp < 1 or idx < 1:
+        raise ValueError(f"--mesh axes must be >= 1, got {spec!r}")
+    return dp, idx
+
+
 def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
                          ivf_clusters=None):
     """Load shards/centroids/router/provider/doc-store from the data root.
@@ -160,6 +173,7 @@ class ServingSystem:
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
+        self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
         self.server: Optional[FederationServer] = None
         self._watchdog: Optional[asyncio.Task] = None
         self._stopping = False
@@ -199,9 +213,35 @@ class ServingSystem:
                               if self.impl in ("ivf", "hybrid")
                               else None))
 
-        engine = FederatedSearchEngine(
-            shard_set, params, bank, impl=self.impl, threshold=threshold,
-            nprobe=self.nprobe)
+        if self.mesh_spec:
+            # BASELINE config #5: the federation served over a device
+            # mesh. Corpus doc axes shard over "idx", the query batch
+            # over "dp"; ShardedSearch is interface-identical to the
+            # single-chip engine so the batcher/server stack is shared.
+            import jax
+
+            from ragroute_tpu.parallel import ShardedSearch, make_mesh
+
+            dp, idx = parse_mesh_spec(self.mesh_spec)
+            n = dp * idx
+            if len(jax.devices()) < n:
+                raise ValueError(
+                    f"--mesh {self.mesh_spec} needs {n} devices, have "
+                    f"{len(jax.devices())} (for CPU dev runs set "
+                    f"JAX_PLATFORMS=cpu XLA_FLAGS="
+                    f"--xla_force_host_platform_device_count={n})")
+            mesh = make_mesh(dp=dp, idx=idx, devices=jax.devices()[:n])
+            # batch buckets must be dp-multiples (the batch axis splits
+            # evenly over dp); round each up and dedupe
+            self.buckets = sorted({max(b, dp) + (-max(b, dp)) % dp
+                                   for b in self.buckets})
+            engine = ShardedSearch(
+                shard_set, params, bank, mesh, impl=self.impl,
+                threshold=threshold, nprobe=self.nprobe)
+        else:
+            engine = FederatedSearchEngine(
+                shard_set, params, bank, impl=self.impl,
+                threshold=threshold, nprobe=self.nprobe)
         # simulate mode routes to all sources (reference router.py:222-223)
         strategy = "all" if self.simulate else self.routing
         llm = LLMClient(

@@ -232,7 +232,8 @@ def test_ivf_layout_cache_roundtrip(tmp_path):
     save_world(syn, root)
     ss1 = ShardSet.load(root, syn.world, dtype=jnp.float32,
                         ivf_clusters=16)
-    caches = [os.path.join(root, "medrag", s.name, "ivf_16_float32.npz")
+    caches = [os.path.join(root, "medrag", s.name,
+                           "ivf_16_float32_s0.npz")
               for s in syn.world.sources]
     assert all(os.path.exists(c) for c in caches)
     mtimes = [os.path.getmtime(c) for c in caches]
@@ -242,6 +243,24 @@ def test_ivf_layout_cache_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ss1.shards[0].ivf.perm),
         np.asarray(ss2.shards[0].ivf.perm))
+
+    # a DIFFERENT seed gets its own cache file (parameter in the key)
+    ShardSet.load(root, syn.world, dtype=jnp.float32, ivf_clusters=16,
+                  ivf_seed=1)
+    assert os.path.exists(os.path.join(
+        root, "medrag", "pubmed", "ivf_16_float32_s1.npz"))
+
+    # regenerating same-shape embeddings invalidates the cache: the npz
+    # stores the source-content fingerprint (the slabs hold the VECTORS,
+    # so a silent hit would serve a stale corpus)
+    emb_path = os.path.join(root, "medrag", "pubmed", "embeddings.npy")
+    stale = np.load(emb_path)
+    rng = np.random.default_rng(99)
+    np.save(emb_path,
+            rng.standard_normal(stale.shape).astype(np.float32))
+    ss3 = ShardSet.load(root, syn.world, dtype=jnp.float32,
+                        ivf_clusters=16)
+    assert os.path.getmtime(caches[0]) > mtimes[0]  # rebuilt, not reused
 
 
 def test_engine_hybrid_impl(monkeypatch):

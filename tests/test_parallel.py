@@ -73,7 +73,8 @@ def test_sharded_full_step_matches_engine():
     mesh = make_mesh(dp=2, idx=4)
     sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
     out = sharded.search(syn.query_embs, strategy="all")
-    probs, mask, shard_scores, shard_ids, m_score, m_shard, m_local, m_valid = out
+    probs, mask = out.probs, out.mask
+    m_shard, m_local = out.merged_shard, out.merged_local
 
     engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
     ref = engine.search(syn.query_embs, strategy="all")
@@ -99,8 +100,8 @@ def test_sharded_step_ragroute_strategy():
     bank = RouterBank.create(syn.world, syn.centroids)
     mesh = make_mesh(dp=4, idx=2)
     sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
-    probs, mask, *_ , m_shard, m_local, m_valid = sharded.search(
-        syn.query_embs, strategy="ragroute")
+    out = sharded.search(syn.query_embs, strategy="ragroute")
+    probs, mask = out.probs, out.mask
     np.testing.assert_array_equal(
         np.asarray(mask),
         np.asarray(probs) > syn.world.router_threshold)
@@ -122,8 +123,8 @@ def test_sharded_feb4rag_heterogeneous():
     engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
     ref = engine.search(syn.query_embs, strategy="all")
     for qi in range(4):
-        got = set(zip(np.asarray(out[5])[qi].tolist(),
-                      np.asarray(out[6])[qi].tolist()))
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
         want = set(zip(ref.merged_shard[qi].tolist(),
                        ref.merged_local[qi].tolist()))
         assert len(got & want) >= int(0.9 * syn.world.k)
@@ -146,13 +147,13 @@ def test_sharded_wikipedia_l2():
     engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
     ref = engine.search(syn.query_embs, strategy="all")
     # l2 scores are FAISS-style squared distances — must be non-negative
-    m_score = np.asarray(out[4])
-    n_valid = np.asarray(out[7])
+    m_score = np.asarray(out.merged_score)
+    n_valid = np.asarray(out.merged_valid)
     for qi in range(4):
         assert (m_score[qi, :n_valid[qi]] >= -1e-4).all()
     for qi in range(4):
-        got = set(zip(np.asarray(out[5])[qi].tolist(),
-                      np.asarray(out[6])[qi].tolist()))
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
         want = set(zip(ref.merged_shard[qi].tolist(),
                        ref.merged_local[qi].tolist()))
         assert len(got & want) >= int(0.9 * syn.world.k)
@@ -176,8 +177,8 @@ def test_sharded_int8():
     engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
     ref = engine.search(syn.query_embs, strategy="all")
     for qi in range(8):
-        got = set(zip(np.asarray(out[5])[qi].tolist(),
-                      np.asarray(out[6])[qi].tolist()))
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
         want = set(zip(ref.merged_shard[qi].tolist(),
                        ref.merged_local[qi].tolist()))
         assert len(got & want) >= int(0.95 * syn.world.k)
@@ -198,7 +199,7 @@ def test_sharded_compaction_matches_engine():
     sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact",
                             seed=5)
     out = sharded.search(syn.query_embs, strategy="random")
-    mask = np.asarray(out[1])
+    mask = np.asarray(out.mask)
     # random 2-of-4 at B=32 (16/dp-group): per-shard local counts ~8 <= 8
     # -> the compact branch is actually reachable
     engine = FederatedSearchEngine(shard_set, params, bank, impl="exact",
@@ -206,8 +207,8 @@ def test_sharded_compaction_matches_engine():
     ref = engine.search(syn.query_embs, strategy="random")
     # same strategy seed differs; verify internal consistency instead:
     # merged winners only come from masked-on shards, with exact scores
-    m_shard = np.asarray(out[5])
-    m_local = np.asarray(out[6])
+    m_shard = np.asarray(out.merged_shard)
+    m_local = np.asarray(out.merged_local)
     for qi in range(32):
         used = set(m_shard[qi][m_shard[qi] >= 0].tolist())
         allowed = set(np.where(mask[qi])[0].tolist())
@@ -217,8 +218,8 @@ def test_sharded_compaction_matches_engine():
     # emulate by forcing strategy='all' (counts > half -> full path)
     out_all = sharded.search(syn.query_embs, strategy="all")
     ref_all = engine.search(syn.query_embs, strategy="all")
-    got = set(zip(np.asarray(out_all[5])[0].tolist(),
-                  np.asarray(out_all[6])[0].tolist()))
+    got = set(zip(np.asarray(out_all.merged_shard)[0].tolist(),
+                  np.asarray(out_all.merged_local)[0].tolist()))
     want = set(zip(ref_all.merged_shard[0].tolist(),
                    ref_all.merged_local[0].tolist()))
     assert len(got & want) >= int(0.95 * syn.world.k)
