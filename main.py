@@ -63,6 +63,11 @@ def parse_args(argv=None):
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
                         help="Batch bucket sizes (each is compiled at "
                              "startup; default 1 8 32 128 512)")
+    parser.add_argument("--workers", type=int, default=1,
+                        help="SO_REUSEPORT worker processes sharing the "
+                             "HTTP port (multi-core front-end; each "
+                             "worker holds a full engine — on TPU give "
+                             "each worker its own chip)")
     parser.add_argument("--mesh", type=str, default=None,
                         help="Serve over a DPxIDX device mesh (e.g. 2x4): "
                              "corpus doc axes shard over idx, the query "
@@ -78,6 +83,12 @@ def main(argv=None):
     from ragroute_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
+    if args.workers > 1:
+        from ragroute_tpu.system import run_workers
+
+        run_workers(args, args.workers)
+        logger.info("Exiting application")
+        return
     system = ServingSystem(args)
     try:
         asyncio.run(system.run_forever())

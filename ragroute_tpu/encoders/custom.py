@@ -185,6 +185,11 @@ class JaxSGPTEncoder:
                            jnp.asarray(batch["attention_mask"], jnp.int32))
         return np.asarray(emb, np.float32)
 
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        """Doc-side encode: {SOS}/{EOS} brace brackets
+        (custom_models.py:183-229 doc scheme)."""
+        return self.encode(texts, is_query=False)
+
 
 class JaxInstructorEncoder:
     """TPU-native INSTRUCTOR: pure-JAX T5 encoder + instruction-masked
@@ -252,6 +257,12 @@ class JaxInstructorEncoder:
                            jnp.asarray(batch["pool_mask"], jnp.int32))
         return np.asarray(emb, np.float32)
 
+    def encode_corpus(self, texts: List[str], *,
+                      dataset: Optional[str] = None) -> np.ndarray:
+        """Doc-side encode with the corpus-side instruction
+        (instructor_definitions per-(model, dataset, side) table)."""
+        return self.encode(texts, dataset=dataset, side="corpus")
+
 
 class SGPTEncoder:
     """GPT-family encoder with the specb scheme + weighted-mean pooling."""
@@ -286,6 +297,11 @@ class SGPTEncoder:
             emb /= np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         return emb.astype(np.float32)
+
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        """Doc-side encode: {SOS}/{EOS} brace brackets
+        (custom_models.py:183-229 doc scheme)."""
+        return self.encode(texts, is_query=False)
 
 
 class InstructorEncoder:
@@ -330,3 +346,9 @@ class InstructorEncoder:
             emb /= np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         return emb.astype(np.float32)
+
+    def encode_corpus(self, texts: List[str], *,
+                      dataset: Optional[str] = None) -> np.ndarray:
+        """Doc-side encode with the corpus-side instruction
+        (instructor_definitions per-(model, dataset, side) table)."""
+        return self.encode(texts, dataset=dataset, side="corpus")

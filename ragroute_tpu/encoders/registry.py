@@ -57,11 +57,17 @@ class EncoderSpec:
     query_prefix: str = ""        # prepended to query text
     query_template: Optional[str] = None  # full template with {text}
     max_length: int = 512
+    passage_prefix: str = ""      # prepended to corpus/doc text (E5
+    #                               "passage: ", custom_models.py:113-116;
+    #                               AnglE/BEIR docs encode raw, :47-53)
 
     def format_query(self, text: str) -> str:
         if self.query_template:
             return self.query_template.format(text=text)
         return self.query_prefix + text
+
+    def format_passage(self, text: str) -> str:
+        return self.passage_prefix + text
 
 
 ENCODER_SPECS: Dict[str, EncoderSpec] = {
@@ -76,15 +82,18 @@ ENCODER_SPECS: Dict[str, EncoderSpec] = {
     "e5-base": EncoderSpec(
         name="e5-base", family="bert",
         hf_name="intfloat/e5-base", dim=768,
-        pooling="mean", normalize=True, query_prefix="query: "),
+        pooling="mean", normalize=True, query_prefix="query: ",
+        passage_prefix="passage: "),
     "e5-large": EncoderSpec(
         name="e5-large", family="bert",
         hf_name="intfloat/e5-large", dim=1024,
-        pooling="mean", normalize=True, query_prefix="query: "),
+        pooling="mean", normalize=True, query_prefix="query: ",
+        passage_prefix="passage: "),
     "multilingual-e5-large": EncoderSpec(
         name="multilingual-e5-large", family="bert",
         hf_name="intfloat/multilingual-e5-large", dim=1024,
-        pooling="mean", normalize=True, query_prefix="query: "),
+        pooling="mean", normalize=True, query_prefix="query: ",
+        passage_prefix="passage: "),
     "UAE-Large-V1": EncoderSpec(
         name="UAE-Large-V1", family="bert",
         hf_name="WhereIsAI/UAE-Large-V1", dim=1024,
@@ -110,4 +119,15 @@ ENCODER_SPECS: Dict[str, EncoderSpec] = {
         name="instructor-large", family="t5",
         hf_name="hkunlp/instructor-large", dim=768,
         pooling="mean", normalize=True),
+    # Doc-side (article/context) encoders for corpus ingest — the models
+    # that built the reference's indexes upstream (MedRAG corpora:
+    # MedCPT-Article-Encoder; wikipedia clusters: DPR context encoder).
+    "ncbi/MedCPT-Article-Encoder": EncoderSpec(
+        name="ncbi/MedCPT-Article-Encoder", family="bert",
+        hf_name="ncbi/MedCPT-Article-Encoder", dim=768,
+        pooling="cls", normalize=False, max_length=512),
+    "facebook/dpr-ctx_encoder-single-nq-base": EncoderSpec(
+        name="facebook/dpr-ctx_encoder-single-nq-base", family="bert",
+        hf_name="facebook/dpr-ctx_encoder-single-nq-base", dim=768,
+        pooling="pooler", normalize=False),
 }

@@ -55,6 +55,11 @@ class HashEncoder:
                               1e-12)
         return out
 
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        # doc-side formatting salted in so query/passage spaces differ
+        # exactly when the real prefixes differ
+        return self.encode([self.spec.format_passage(t) for t in texts])
+
 
 class JaxBertEncoder:
     """BERT-family encoder running in JAX (jitted, static seq length)."""
@@ -83,11 +88,10 @@ class JaxBertEncoder:
 
         self._encode = _encode
 
-    def encode(self, texts: List[str]) -> np.ndarray:
+    def _run(self, texts: List[str]) -> np.ndarray:
         batch = self.tokenizer(
-            [self.spec.format_query(t) for t in texts],
-            return_tensors="np", padding="max_length", truncation=True,
-            max_length=self.spec.max_length)
+            texts, return_tensors="np", padding="max_length",
+            truncation=True, max_length=self.spec.max_length)
         import jax.numpy as jnp
 
         emb = self._encode(
@@ -99,6 +103,14 @@ class JaxBertEncoder:
                 np.zeros_like(batch["input_ids"])), jnp.int32),
         )
         return np.asarray(emb)
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        return self._run([self.spec.format_query(t) for t in texts])
+
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        """Doc-side encode (E5 "passage: " prefix, raw for the rest —
+        custom_models.py:47-53,113-116)."""
+        return self._run([self.spec.format_passage(t) for t in texts])
 
 
 class TorchEncoder:
@@ -116,6 +128,13 @@ class TorchEncoder:
     def encode(self, texts: List[str]) -> np.ndarray:
         emb = self.model.encode(
             [self.spec.format_query(t) for t in texts],
+            show_progress_bar=False, convert_to_numpy=True,
+            normalize_embeddings=self.spec.normalize)
+        return np.asarray(emb, np.float32)
+
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        emb = self.model.encode(
+            [self.spec.format_passage(t) for t in texts],
             show_progress_bar=False, convert_to_numpy=True,
             normalize_embeddings=self.spec.normalize)
         return np.asarray(emb, np.float32)
@@ -160,18 +179,23 @@ class JaxMPNetEncoder:
 
         self._encode = _encode
 
-    def encode(self, texts: List[str]) -> np.ndarray:
+    def _run(self, texts: List[str]) -> np.ndarray:
         import jax.numpy as jnp
 
         batch = self.tokenizer(
-            [self.spec.format_query(t) for t in texts],
-            return_tensors="np", padding="max_length", truncation=True,
-            max_length=self.spec.max_length)
+            texts, return_tensors="np", padding="max_length",
+            truncation=True, max_length=self.spec.max_length)
         emb = self._encode(
             self.params,
             jnp.asarray(batch["input_ids"], jnp.int32),
             jnp.asarray(batch["attention_mask"], jnp.int32))
         return np.asarray(emb)
+
+    def encode(self, texts: List[str]) -> np.ndarray:
+        return self._run([self.spec.format_query(t) for t in texts])
+
+    def encode_corpus(self, texts: List[str]) -> np.ndarray:
+        return self._run([self.spec.format_passage(t) for t in texts])
 
 
 def _load_jax_mpnet(spec: EncoderSpec) -> JaxMPNetEncoder:
@@ -260,6 +284,50 @@ def _load_jax_t5(spec: EncoderSpec):
     return JaxInstructorEncoder(spec, params, cfg, tok, dense=dense)
 
 
+def load_encoder(spec: EncoderSpec, prefer: str = "jax"):
+    """Load ONE encoder at the best available backend (JAX forward →
+    torch fallback → hash stub). Shared by the zoo and the corpus-ingest
+    path (scripts/import_real_data.py --encode-from-jsonl)."""
+    if prefer == "hash":
+        return HashEncoder(spec)
+    if prefer == "jax":
+        loader = {"bert": _load_jax_bert,
+                  "mpnet": _load_jax_mpnet,
+                  "gpt": _load_jax_gptj,
+                  "t5": _load_jax_t5}.get(spec.family)
+        if loader is not None:
+            try:
+                return loader(spec)
+            except Exception as e:
+                logger.warning("JAX load failed for %s (%s)",
+                               spec.name, e)
+    try:
+        if spec.family == "gpt" and "specb" in spec.name:
+            from ragroute_tpu.encoders.custom import SGPTEncoder
+
+            return SGPTEncoder(spec)
+        if spec.family == "t5":
+            from ragroute_tpu.encoders.custom import InstructorEncoder
+
+            return InstructorEncoder(spec)
+        return TorchEncoder(spec)
+    except Exception as e:
+        logger.warning(
+            "no weights for %s (%s); using hash embeddings "
+            "(retrieval quality is meaningless for this encoder)",
+            spec.name, e)
+        return HashEncoder(spec)
+
+
+def resolve_spec(enc_name: str, dim: int = 768) -> EncoderSpec:
+    """Registry spec for a name, or a synthesized mean-pool default."""
+    spec = ENCODER_SPECS.get(enc_name)
+    if spec is None:
+        spec = EncoderSpec(enc_name, "unknown", enc_name, dim,
+                           "mean", False)
+    return spec
+
+
 class EncoderZoo:
     """All distinct encoders for a world, best-available backend each."""
 
@@ -268,48 +336,12 @@ class EncoderZoo:
         self.encoders: Dict[str, object] = {}
         self.backends: Dict[str, str] = {}
         for enc_name in world.encoders:
-            spec = ENCODER_SPECS.get(enc_name)
-            if spec is None:
-                # unknown encoder: synthesize a spec from the source dims
-                dim = next(s.embed_dim for s in world.sources
-                           if s.encoder == enc_name)
-                spec = EncoderSpec(enc_name, "unknown", enc_name, dim,
-                                   "mean", False)
-            enc = self._load(spec, prefer)
+            dim = next(s.embed_dim for s in world.sources
+                       if s.encoder == enc_name)
+            enc = load_encoder(resolve_spec(enc_name, dim), prefer)
             self.encoders[enc_name] = enc
             self.backends[enc_name] = enc.backend
         logger.info("encoder backends: %s", self.backends)
-
-    def _load(self, spec: EncoderSpec, prefer: str):
-        if prefer == "hash":
-            return HashEncoder(spec)
-        if prefer == "jax":
-            loader = {"bert": _load_jax_bert,
-                      "mpnet": _load_jax_mpnet,
-                      "gpt": _load_jax_gptj,
-                      "t5": _load_jax_t5}.get(spec.family)
-            if loader is not None:
-                try:
-                    return loader(spec)
-                except Exception as e:
-                    logger.warning("JAX load failed for %s (%s)",
-                                   spec.name, e)
-        try:
-            if spec.family == "gpt" and "specb" in spec.name:
-                from ragroute_tpu.encoders.custom import SGPTEncoder
-
-                return SGPTEncoder(spec)
-            if spec.family == "t5":
-                from ragroute_tpu.encoders.custom import InstructorEncoder
-
-                return InstructorEncoder(spec)
-            return TorchEncoder(spec)
-        except Exception as e:
-            logger.warning(
-                "no weights for %s (%s); using hash embeddings "
-                "(retrieval quality is meaningless for this encoder)",
-                spec.name, e)
-            return HashEncoder(spec)
 
     def encode_query(self, text: str) -> Dict[str, np.ndarray]:
         """One query through every encoder (reference router.py:285-303)."""
@@ -319,3 +351,15 @@ class EncoderZoo:
     def encode_queries(self, texts: List[str]) -> Dict[str, np.ndarray]:
         return {name: enc.encode(texts)
                 for name, enc in self.encoders.items()}
+
+    def encode_corpus(self, enc_name: str, texts: List[str],
+                      batch_size: int = 32) -> np.ndarray:
+        """Doc-side encode with one named encoder (ingest path): E5
+        "passage: " prefixes, SGPT brace brackets, instructor corpus-side
+        instructions — each encoder class carries its own doc semantics
+        (reference ``custom_models.py`` encode_corpus methods)."""
+        enc = self.encoders[enc_name]
+        fn = getattr(enc, "encode_corpus", enc.encode)
+        outs = [fn(texts[i:i + batch_size])
+                for i in range(0, len(texts), batch_size)]
+        return np.concatenate(outs, axis=0)

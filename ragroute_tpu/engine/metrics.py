@@ -43,7 +43,14 @@ class StageStat:
 
 
 class ServerMetrics:
-    STAGES = ("embedding", "selection", "doc_select", "generate", "e2e")
+    # embedding/selection/doc_select/generate/e2e mirror the reference's
+    # in-band timers (SURVEY §5.1); batch_wait (submit->result time minus
+    # the device step, i.e. queueing + batching overhead) and assemble
+    # (post-result response construction: per-source stats, doc
+    # resolution, metadata build) are the host-side profile the 62x
+    # host-vs-device gap investigation needed (VERDICT r2 weak #4).
+    STAGES = ("embedding", "selection", "doc_select", "generate", "e2e",
+              "batch_wait", "assemble")
 
     def __init__(self):
         self._lock = threading.Lock()
@@ -63,7 +70,8 @@ class ServerMetrics:
 
     def observe_query(self, *, embedding: float, selection: float,
                       doc_select: float, generate: float, e2e: float,
-                      batch_size: int) -> None:
+                      batch_size: int, batch_wait: float = 0.0,
+                      assemble: float = 0.0) -> None:
         with self._lock:
             self.queries += 1
             self.stages["embedding"].observe(embedding)
@@ -72,6 +80,8 @@ class ServerMetrics:
             if generate >= 0:
                 self.stages["generate"].observe(generate)
             self.stages["e2e"].observe(e2e)
+            self.stages["batch_wait"].observe(batch_wait)
+            self.stages["assemble"].observe(assemble)
             self.batch_sizes.observe(float(batch_size))
 
     def observe_error(self) -> None:

@@ -72,6 +72,7 @@ class FederationServer:
         host: str = HTTP_HOST,
         port: int = HTTP_PORT,
         warmup: bool = True,
+        reuse_port: bool = False,
     ):
         self.engine = engine
         self.world: WorldConfig = engine.world
@@ -86,6 +87,7 @@ class FederationServer:
         self.batcher = batcher or QueryBatcher(engine, strategy=strategy)
         self.host = host
         self.port = port
+        self.reuse_port = reuse_port
         self.app = web.Application()
         self.app.add_routes([
             web.get("/query", self.handle_query),
@@ -149,7 +151,11 @@ class FederationServer:
         # with default logging only at the app level)
         self._runner = web.AppRunner(self.app, access_log=None)
         await self._runner.setup()
-        self._site = web.TCPSite(self._runner, self.host, self.port)
+        # SO_REUSEPORT lets N server processes share one port with
+        # kernel-level load balancing (the multi-process front-end for
+        # multi-core hosts; see ragroute_tpu.system.run_workers)
+        self._site = web.TCPSite(self._runner, self.host, self.port,
+                                 reuse_port=self.reuse_port or None)
         await self._site.start()
         logger.info("HTTP server started on http://%s:%s", self.host, self.port)
 
@@ -231,7 +237,13 @@ class FederationServer:
         embs = self.provider.embed(formatted_query, question_id)
         embedding_time = time.time() - t0
 
+        t0 = time.time()
         res: QueryResult = await self.batcher.submit(embs)
+        # queueing + batch formation overhead: submit->result wall time
+        # minus the device step itself (host-profile stage, /stats)
+        batch_wait = max(0.0, (time.time() - t0)
+                         - res.selection_time - res.doc_select_time)
+        t_assemble = time.time()
 
         selected = [
             self.world.sources[i].name
@@ -301,7 +313,10 @@ class FederationServer:
         self.metrics.observe_query(
             embedding=embedding_time, selection=res.selection_time,
             doc_select=res.doc_select_time, generate=generate_time,
-            e2e=e2e, batch_size=res.batch_size)
+            e2e=e2e, batch_size=res.batch_size,
+            batch_wait=batch_wait,
+            assemble=time.time() - t_assemble - generate_time
+            if generate_time > 0 else time.time() - t_assemble)
         response["metadata"] = {
             "data_sources": selected,
             "embedding_time": embedding_time,

@@ -91,11 +91,14 @@ def _upload_chunks(emb: np.ndarray, chunk: int):
 
 
 def _kmeans_device(xc, wc, emb: np.ndarray, n_clusters: int, iters: int,
-                   seed: int) -> np.ndarray:
+                   seed: int, mesh=None) -> np.ndarray:
     """Jitted Lloyd iterations; returns [C, d] float32 centroids.
 
     Assignment is chunked over documents (``lax.scan``) so peak memory is
-    ``[chunk, C]`` scores instead of ``[n, C]``.
+    ``[chunk, C]`` scores instead of ``[n, C]``. With ``mesh``, the chunk
+    axis is sharded over every mesh device and the per-iteration
+    sums/counts are ``psum``'d over ICI — the build runs where the index
+    will be served (a 10M+-doc corpus never sits on one chip).
     """
     d = emb.shape[1]
     rng = np.random.default_rng(seed)
@@ -103,61 +106,131 @@ def _kmeans_device(xc, wc, emb: np.ndarray, n_clusters: int, iters: int,
         emb[rng.choice(emb.shape[0], n_clusters, replace=False)],
         jnp.float32)
 
-    # docs are jit ARGUMENTS: closure-captured device arrays become HLO
-    # constants and the remote-compile request would ship the whole corpus
-    @functools.partial(jax.jit, static_argnames=("n_iters",))
-    def run(cent0, xc, wc, n_iters):
-        def assign_chunk(carry, xs):
-            sums, counts, cent = carry
-            xb, wb = xs
-            # nearest centroid in l2 == argmax of x.c - |c|^2/2
-            sc = jnp.dot(xb, cent.T.astype(xb.dtype),
-                         preferred_element_type=jnp.float32)
-            sc = sc - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
-            a = jnp.argmax(sc, axis=1)
-            onehot = (jax.nn.one_hot(a, n_clusters, dtype=jnp.bfloat16)
-                      * wb[:, None].astype(jnp.bfloat16))
-            sums = sums + jnp.dot(onehot.T, xb,
-                                  preferred_element_type=jnp.float32)
-            counts = counts + onehot.sum(axis=0, dtype=jnp.float32)
-            return (sums, counts, cent), None
+    def assign_chunk(carry, xs):
+        sums, counts, cent = carry
+        xb, wb = xs
+        # nearest centroid in l2 == argmax of x.c - |c|^2/2
+        sc = jnp.dot(xb, cent.T.astype(xb.dtype),
+                     preferred_element_type=jnp.float32)
+        sc = sc - 0.5 * jnp.sum(cent * cent, axis=1)[None, :]
+        a = jnp.argmax(sc, axis=1)
+        onehot = (jax.nn.one_hot(a, n_clusters, dtype=jnp.bfloat16)
+                  * wb[:, None].astype(jnp.bfloat16))
+        sums = sums + jnp.dot(onehot.T, xb,
+                              preferred_element_type=jnp.float32)
+        counts = counts + onehot.sum(axis=0, dtype=jnp.float32)
+        return (sums, counts, cent), None
 
-        def lloyd(cent, _):
+    def make_lloyd(psum_axes):
+        def lloyd(cent, xc_l, wc_l):
             (sums, counts, _), _ = jax.lax.scan(
                 assign_chunk,
                 (jnp.zeros((n_clusters, d), jnp.float32),
                  jnp.zeros((n_clusters,), jnp.float32), cent),
-                (xc, wc))
-            new = jnp.where(counts[:, None] > 0,
-                            sums / jnp.maximum(counts, 1.0)[:, None], cent)
-            return new, None
+                (xc_l, wc_l))
+            if psum_axes:
+                sums = jax.lax.psum(sums, psum_axes)
+                counts = jax.lax.psum(counts, psum_axes)
+            return jnp.where(counts[:, None] > 0,
+                             sums / jnp.maximum(counts, 1.0)[:, None],
+                             cent)
+        return lloyd
 
-        cent, _ = jax.lax.scan(lloyd, cent0, None, length=n_iters)
+    # docs are jit ARGUMENTS: closure-captured device arrays become HLO
+    # constants and the remote-compile request would ship the whole corpus
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=("n_iters",))
+        def run(cent0, xc, wc, n_iters):
+            lloyd = make_lloyd(None)
+            cent, _ = jax.lax.scan(
+                lambda c, _: (lloyd(c, xc, wc), None), cent0, None,
+                length=n_iters)
+            return cent
+
+        return np.asarray(run(init, xc, wc, iters), dtype=np.float32)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    xc, wc = _pad_chunk_axis(xc, wc, n_dev)
+
+    def local_run(cent0, xc_l, wc_l):
+        lloyd = make_lloyd(axes)
+        cent, _ = jax.lax.scan(
+            lambda c, _: (lloyd(c, xc_l, wc_l), None), cent0, None,
+            length=iters)
         return cent
 
-    return np.asarray(run(init, xc, wc, iters), dtype=np.float32)
+    run = jax.jit(jax.shard_map(
+        local_run, mesh=mesh,
+        in_specs=(P(), P(axes, None, None), P(axes, None)),
+        out_specs=P(),
+        check_vma=False))  # psum makes the output replicated
+    cent = run(jax.device_put(init, NamedSharding(mesh, P())),
+               jax.device_put(xc, NamedSharding(mesh, P(axes, None, None))),
+               jax.device_put(wc, NamedSharding(mesh, P(axes, None))))
+    return np.asarray(cent, dtype=np.float32)
 
 
-def _top_r_choices(xc, n: int, cent: np.ndarray, r: int) -> np.ndarray:
+def _pad_chunk_axis(xc, wc, n_dev: int):
+    """Pad the chunk axis to a device multiple (zero-weight chunks)."""
+    n_chunks = xc.shape[0]
+    pad = (-n_chunks) % n_dev
+    if pad:
+        xc = jnp.pad(xc, ((0, pad), (0, 0), (0, 0)))
+        wc = jnp.pad(wc, ((0, pad), (0, 0)))
+    return xc, wc
+
+
+def _top_r_choices(xc, n: int, cent: np.ndarray, r: int,
+                   mesh=None) -> np.ndarray:
     """[n, r] cluster-preference ranking per doc (nearest first).
 
     Runs on device over the already-uploaded chunks — at production
     scale this is a multi-TFLOP matmul the 1-core host cannot afford.
+    With ``mesh``, each device ranks its own chunk slice (embarrassingly
+    parallel; the host gather reassembles doc order).
     """
-    @functools.partial(jax.jit, static_argnames=("rr",))
-    def run(xc, cent, rr):
+    def step(carry, xb, cent, cb, rr):
+        sc = jnp.dot(xb, cent.T.astype(xb.dtype),
+                     preferred_element_type=jnp.float32)
+        top = jax.lax.top_k(sc + cb[None, :], rr)[1]
+        return carry, top.astype(jnp.int32)
+
+    if mesh is None:
+        @functools.partial(jax.jit, static_argnames=("rr",))
+        def run(xc, cent, rr):
+            cb = -0.5 * jnp.sum(cent * cent, axis=1)
+            _, tops = jax.lax.scan(
+                functools.partial(step, cent=cent, cb=cb, rr=rr), 0, xc)
+            return tops.reshape(-1, rr)
+
+        return np.asarray(run(xc, jnp.asarray(cent), r))[:n]
+
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(_np.prod([mesh.shape[a] for a in axes]))
+    chunk = xc.shape[1]
+    xc, _ = _pad_chunk_axis(xc, jnp.zeros((xc.shape[0], chunk)), n_dev)
+
+    def local_run(xc_l, cent):
         cb = -0.5 * jnp.sum(cent * cent, axis=1)
+        _, tops = jax.lax.scan(
+            functools.partial(step, cent=cent, cb=cb, rr=r), 0, xc_l)
+        return tops.reshape(-1, r)
 
-        def step(carry, xb):
-            sc = jnp.dot(xb, cent.T.astype(xb.dtype),
-                         preferred_element_type=jnp.float32)
-            top = jax.lax.top_k(sc + cb[None, :], rr)[1]
-            return carry, top.astype(jnp.int32)
-
-        _, tops = jax.lax.scan(step, 0, xc)
-        return tops.reshape(-1, rr)
-
-    return np.asarray(run(xc, jnp.asarray(cent), r))[:n]
+    run = jax.jit(jax.shard_map(
+        local_run, mesh=mesh,
+        in_specs=(P(axes, None, None), P()),
+        out_specs=P(axes, None),
+        check_vma=False))
+    tops = run(
+        jax.device_put(xc, NamedSharding(mesh, P(axes, None, None))),
+        jax.device_put(jnp.asarray(cent), NamedSharding(mesh, P())))
+    return np.asarray(tops)[:n]
 
 
 def _balanced_assign(choices: np.ndarray, n_clusters: int,
@@ -206,6 +279,7 @@ def build_ivf(
     kmeans_iters: int = 10,
     kmeans_rank: int = 8,
     seed: int = 0,
+    mesh=None,
 ) -> IVFData:
     """Build a balanced-IVF layout for one shard.
 
@@ -219,6 +293,11 @@ def build_ivf(
       capacity_slack: S = ceil(n/C * slack); docs overflowing their
         nearest cluster spill to their next-preferred one (measured
         recall cost, tests/test_ivf.py).
+      mesh: optional ``jax.sharding.Mesh`` — shard the k-means
+        assignment/update and the preference-ranking matmuls over every
+        mesh device (psum'd Lloyd updates), so a corpus too big for one
+        chip builds where it will be served. The balanced-assign pass
+        stays a (vectorized) host pass over [n, r] preferences.
     """
     emb = np.asarray(emb, np.float32)
     n, d = emb.shape
@@ -239,8 +318,10 @@ def build_ivf(
         assign = np.zeros(n, np.int32)
     else:
         xc, wc, _ = _upload_chunks(emb, chunk=8192)
-        cent = _kmeans_device(xc, wc, emb, c, kmeans_iters, seed)
-        choices = _top_r_choices(xc, n, cent, min(kmeans_rank, c))
+        cent = _kmeans_device(xc, wc, emb, c, kmeans_iters, seed,
+                              mesh=mesh)
+        choices = _top_r_choices(xc, n, cent, min(kmeans_rank, c),
+                                 mesh=mesh)
         del xc, wc
         assign = _balanced_assign(choices, c, cap)
 

@@ -120,15 +120,20 @@ class ShardSet:
                 norms = np.linalg.norm(emb, axis=1, keepdims=True)
                 emb = emb / np.maximum(norms, 1e-12)
             center = None
-            if src.score_mode == "l2" and dtype != jnp.float32:
-                # Mean-center l2 shards before lossy storage: squared-l2
-                # discrimination lives in the residual around the corpus
-                # mean, and bf16/int8 rounding error is relative to the
-                # FULL magnitude. |q-d|^2 == |(q-mu)-(d-mu)|^2 exactly, so
-                # storing residuals + shifting queries by mu at search time
-                # keeps precision where it matters (measured on clustered
+            if src.score_mode in ("l2", "dot") and dtype != jnp.float32:
+                # Mean-center lossy-dtype shards: score discrimination
+                # lives in the residual around the corpus mean, and
+                # bf16/int8 rounding error is relative to the FULL
+                # magnitude. l2: |q-d|^2 == |(q-mu)-(d-mu)|^2 exactly
+                # (queries shift by mu at search; measured on clustered
                 # synthetic wikipedia: bf16 recall@10 0.97 -> 1.0, int8
-                # 0.94 -> 0.997). f32 shards stay uncentered for bit-level
+                # 0.94 -> 0.997). dot: per-query ordering of q.(d-mu)
+                # equals q.d, and the constant q.mu is added back to the
+                # returned scores (FAISS raw-IP parity; defends the
+                # score-concentration adversary in test_recall_gate —
+                # bf16 0.984 -> gate-passing with centering). cos shards
+                # stay uncentered (normalization is not shift-invariant);
+                # f32 shards stay uncentered for bit-level
                 # reproducibility of strict parity runs.
                 mu = emb.mean(axis=0, dtype=np.float64).astype(np.float32)
                 emb = emb - mu

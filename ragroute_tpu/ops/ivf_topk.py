@@ -149,8 +149,15 @@ def ivf_topk(
     of reachable docs come back with -inf gain (+inf distance for l2).
     """
     _validate(mode)
+    dot_restore = None
     if center is not None:
-        queries = queries.astype(jnp.float32) - center
+        # l2: shift queries (distance invariant); dot: score ordering is
+        # invariant under doc-side centering, restore the per-query
+        # constant q.mu on the way out (see ops.topk.shard_topk)
+        if mode == "l2":
+            queries = queries.astype(jnp.float32) - center
+        elif mode == "dot":
+            dot_restore = queries.astype(jnp.float32) @ center
     bsz = queries.shape[0]
     c, d, s = ivf.docs.shape
     k1 = min(k, s)
@@ -223,4 +230,9 @@ def ivf_topk(
     cl = jnp.take_along_axis(probe, pp, axis=1)            # [B, k]
     idx = ivf.perm.reshape(-1)[cl * s + slot]
     idx = jnp.where(gf > NEG_INF, idx, 0)
-    return gain_to_natural(gf, queries, mode), idx
+    out_scores = gain_to_natural(gf, queries, mode)
+    if dot_restore is not None:
+        out_scores = jnp.where(gf > NEG_INF,
+                               out_scores + dot_restore[:, None],
+                               out_scores)
+    return out_scores, idx

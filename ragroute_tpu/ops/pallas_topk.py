@@ -68,6 +68,39 @@ Round-1 alternatives, also MEASURED SLOWER and reverted:
 Merge cost is intrinsic: exact streaming top-k performs ~k*ln(n_tiles)
 inserts per row (~300 here), and each insert is VPU passes over the tile.
 
+ROUND-3 CLOSURE of the merge-design axis (the one untried family from
+the round-2 review — "fuse max+argmax into one traversal via packed
+monotone value/index encoding" — implemented as RAGROUTE_MERGE=packed
+and MEASURED on the same harness):
+  * ladder (production, exact):            14.03 us/step  (reproduces
+    round-2's 14.05 within run noise)
+  * packed single-reduction-per-rank:      13.86 us/step  (-1.2%)
+The packed form is the CHEAPEST possible member of its family — one
+int32 max per rank returns both the max and its lowest tied column, no
+eq/where tie pass, no exclusion mask — and it is NOT exact (mantissa-
+truncated values, truncated-tie ordering; ~0.6% score error). Even so
+it buys 1.2%. Conclusion, with the supporting impossibility arguments:
+  1. An EXACT single-reduction max+argmax cannot exist on this ISA: the
+     reduction monoid needs (f32 value, index) = >32 bits of state per
+     lane, Mosaic reductions are 32-bit, and pair-accumulator chunked
+     scans need 5x [TQ,128] live accumulators (320 vregs at TQ=512)
+     that spill, costing ~10 VMEM round trips per gains read — worse
+     than the 2-pass extract they replace.
+  2. The measured 0.17 us gap between "ladder with its eq/where tie
+     passes" and "one packed reduction per rank" shows Mosaic already
+     fuses the ladder's elementwise+reduce chains to near the one-pass
+     floor; there is no ~2-pass-per-rank slack left to recover.
+  3. Speed of light: matmul floor 4.82 us (167 TFLOPS, measured) + the
+     merge's mandatory (R+1)=3 per-rank wide reductions, serialized
+     after the MXU (Mosaic does not overlap the VPU epilogue with the
+     next tile's matmul: pipelining measured +-2% in rounds 1-2). The
+     packed variant IS that minimum-shape merge and lands at 13.86 us;
+     an exact merge additionally needs the tie-resolution information
+     the packed key cannot carry.
+Axis closed: exact routing=all stays at ~14.0 us/step (57 TFLOPS,
+~51k kernel-level q/s at B=1024); the 45k+ q/s target for this axis is
+refuted for exact FAISS-parity semantics on this hardware generation.
+
 The wrapper handles score-mode transforms (dot / cos / l2) via the shared
 gain-form convention in :mod:`ragroute_tpu.ops.topk`, pads shapes to tile
 multiples, and masks padded docs so they can never win.
@@ -244,28 +277,31 @@ def _merge_gains_tile(
         # ONE wide max per rank yields both the (mantissa-truncated) max
         # and its lowest tied column — the "fuse max+argmax via a packed
         # monotone key" design family, at its cheapest possible form.
-        u = jax.lax.bitcast_convert_type(gains, jnp.uint32)
-        s = jnp.where((u >> 31) != 0, ~u, u | jnp.uint32(0x80000000))
-        key = (s & jnp.uint32(0xFFFF0000)) | \
-            (jnp.uint32(0xFFFF) - col.astype(jnp.uint32))
+        # all-int32 arithmetic (Mosaic has no unsigned reductions):
+        # signed-sortable map s = bits >= 0 ? bits : bits ^ 0x7FFFFFFF
+        bits = jax.lax.bitcast_convert_type(gains, jnp.int32)
+        flip = jnp.int32(0x7FFFFFFF)
+        s = jnp.where(bits < 0, bits ^ flip, bits)
+        hi_mask = jnp.int32(~0xFFFF)                   # 0xFFFF0000
+        lo = jnp.int32(0xFFFF) - col
+        key = (s & hi_mask) | lo
+        sentinel = jnp.int32(-0x80000000)              # < any real key
         for r in range(EPILOGUE_RANKS + 1):
             kmax = jnp.max(key, axis=1)
-            a = (jnp.uint32(0xFFFF) - (kmax & jnp.uint32(0xFFFF))) \
-                .astype(jnp.int32)
-            sh = kmax & jnp.uint32(0xFFFF0000)
-            ubits = jnp.where((sh >> 31) != 0,
-                              sh & jnp.uint32(0x7FFFFFFF), ~sh)
-            m = jax.lax.bitcast_convert_type(ubits, jnp.float32)
+            a = jnp.int32(0xFFFF) - (kmax & jnp.int32(0xFFFF))
+            sh = kmax & hi_mask
+            mbits = jnp.where(sh < 0, sh ^ flip, sh)
+            m = jax.lax.bitcast_convert_type(mbits, jnp.float32)
             if r < EPILOGUE_RANKS:
                 insert_one(m, a + j * td, m > run_g[:, k - 1])
-                key = jnp.where(col == a[:, None], jnp.uint32(0), key)
+                key = jnp.where(col == a[:, None], sentinel, key)
             else:
                 need = jnp.any(m > run_g[:, k - 1])
 
                 @pl.when(need)
                 def _merge_rest_packed():
                     gains_buf[:] = jnp.where(
-                        key == jnp.uint32(0), NEG_INF, gains)
+                        key == sentinel, NEG_INF, gains)
                     merge_stashed(j * td)
 
         @pl.when(j == n_doc_tiles - 1)

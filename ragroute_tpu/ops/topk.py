@@ -231,11 +231,21 @@ def shard_topk(
     CPU test mesh), falling back to "exact" for tiny shards.
 
     ``center``: optional ``[d]`` mean that was subtracted from the stored
-    docs at build time (mean-centered l2 shards, see ShardSet.build);
-    queries are shifted by the same amount — |q-d|^2 is unchanged.
+    docs at build time (mean-centered lossy-dtype shards, see
+    ShardSet.build). l2: queries shift by the same amount — |q-d|^2 is
+    unchanged. dot: queries pass through unchanged (ordering of
+    q·(d-mu) equals q·d per query) and the per-query constant ``q·mu``
+    is added back to the returned scores, restoring FAISS raw-IP score
+    parity while the stored values carry only the discriminating
+    residual (the score-concentration quantization adversary,
+    tests/test_recall_gate.py::test_recall_gate_concentrated_scores).
     """
+    dot_restore = None
     if center is not None:
-        queries = queries.astype(jnp.float32) - center
+        if mode == "l2":
+            queries = queries.astype(jnp.float32) - center
+        elif mode == "dot":
+            dot_restore = queries.astype(jnp.float32) @ center
     if impl == "auto":
         n = docs.shape[0]
         if n <= 4096:
@@ -245,15 +255,19 @@ def shard_topk(
         else:
             impl = "chunked"
     if impl == "exact":
-        return exact_topk(queries, docs, k, mode=mode,
+        s, i = exact_topk(queries, docs, k, mode=mode,
                           valid_docs=valid_docs, bias=bias, scale=scale)
-    if impl == "chunked":
-        return chunked_topk(queries, docs, k, mode=mode,
+    elif impl == "chunked":
+        s, i = chunked_topk(queries, docs, k, mode=mode,
                             valid_docs=valid_docs, chunk=chunk, bias=bias,
                             scale=scale)
-    if impl == "pallas":
+    elif impl == "pallas":
         from ragroute_tpu.ops.pallas_topk import pallas_topk
 
-        return pallas_topk(queries, docs, k, mode=mode,
+        s, i = pallas_topk(queries, docs, k, mode=mode,
                            valid_docs=valid_docs, bias=bias, scale=scale)
-    raise ValueError(f"Unknown impl {impl!r}")
+    else:
+        raise ValueError(f"Unknown impl {impl!r}")
+    if dot_restore is not None:
+        s = s + dot_restore[:, None]
+    return s, i

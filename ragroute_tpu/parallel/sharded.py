@@ -65,10 +65,16 @@ def sharded_shard_topk(
     ``(scores [B, k], global_indices [B, k])``, batch-sharded over ``dp``.
     """
     n_idx = mesh.shape["idx"]
+    dot_restore = None
     if center is not None:
-        # mean-centered l2 shard: shift queries once, outside the mesh body
-        # (|q-d|^2 is invariant; center is replicated, docs hold residuals)
-        queries = queries.astype(jnp.float32) - center
+        # mean-centered lossy-dtype shard (docs hold residuals, center
+        # replicated). l2: shift queries once outside the mesh body
+        # (|q-d|^2 invariant); dot: ordering of q.(d-mu) is invariant,
+        # restore the per-query constant q.mu on the merged output.
+        if mode == "l2":
+            queries = queries.astype(jnp.float32) - center
+        elif mode == "dot":
+            dot_restore = queries.astype(jnp.float32) @ center
     n = docs.shape[0]
     if n % n_idx != 0:
         raise ValueError(f"doc axis {n} not divisible by idx={n_idx}")
@@ -126,7 +132,7 @@ def sharded_shard_topk(
     if scale is not None:
         in_specs.append(P("idx"))
         args.append(scale)
-    return jax.shard_map(
+    scores, gids = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
@@ -136,6 +142,9 @@ def sharded_shard_topk(
         # varying-manual-axes checker can't prove it
         check_vma=False,
     )(*args)
+    if dot_restore is not None:
+        scores = scores + dot_restore[:, None]
+    return scores, gids
 
 
 def sharded_ivf_topk(
@@ -168,8 +177,12 @@ def sharded_ivf_topk(
     c_local = c // n_idx
     k1 = min(k, s)
     p = int(min(max(nprobe, -(-k // k1)), c))
+    dot_restore = None
     if center is not None:
-        queries = queries.astype(jnp.float32) - center
+        if mode == "l2":
+            queries = queries.astype(jnp.float32) - center
+        elif mode == "dot":
+            dot_restore = queries.astype(jnp.float32) @ center
     l2 = mode == "l2"
 
     def local_fn(q_l, cent, cbias, docs_l, bias_l, perm_l, scale_l=None):
@@ -239,6 +252,8 @@ def sharded_ivf_topk(
         out_specs=(P("dp", None), P("dp", None)),
         check_vma=False,
     )(*args)
+    if dot_restore is not None:
+        scores = scores + dot_restore[:, None]
     return scores, idx
 
 

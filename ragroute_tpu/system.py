@@ -174,6 +174,7 @@ class ServingSystem:
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
+        self.reuse_port = getattr(args, "reuse_port", False)
         self.server: Optional[FederationServer] = None
         self._watchdog: Optional[asyncio.Task] = None
         self._stopping = False
@@ -260,6 +261,7 @@ class ServingSystem:
             port=self.port,
             batcher=QueryBatcher(engine, strategy=strategy,
                                  buckets=self.buckets),
+            reuse_port=self.reuse_port,
         )
         return self.server
 
@@ -305,3 +307,65 @@ class ServingSystem:
         if self.server:
             await self.server.stop()
         logger.info("Shutdown complete")
+
+
+# ---------------------------------------------------------------------------
+# Multi-process front-end (SO_REUSEPORT workers)
+# ---------------------------------------------------------------------------
+
+def _worker_entry(args_dict: dict) -> None:
+    import argparse
+    import asyncio as aio
+
+    args = argparse.Namespace(**args_dict)
+    system = ServingSystem(args)
+    try:
+        aio.run(system.run_forever())
+    except KeyboardInterrupt:
+        pass
+
+
+def run_workers(args, n_workers: int) -> None:
+    """N full serving processes sharing one HTTP port via SO_REUSEPORT
+    (kernel-level connection balancing) — the multi-process front-end for
+    multi-core hosts, managed with the reference's child-process
+    discipline (spawn, 1 s dead-child watchdog, terminate → join(2s) →
+    kill; ``ragroute/ragroute.py:43-54,70-84,110-126``).
+
+    Each worker holds its own engine: on CPU worlds that duplicates host
+    RAM; on TPU, point each worker at its own chip (per-process device
+    env) — N processes must not share one chip. The single-process path
+    (``--workers 1``) remains the default and the measured-baseline
+    configuration.
+    """
+    import multiprocessing as mp
+    import time as _time
+
+    ctx = mp.get_context("spawn")
+    d = dict(vars(args))
+    d["reuse_port"] = True
+    procs = [ctx.Process(target=_worker_entry, args=(d,))
+             for _ in range(n_workers)]
+    for p in procs:
+        p.start()
+    logger.info("started %d SO_REUSEPORT workers: %s",
+                n_workers, [p.pid for p in procs])
+    try:
+        while any(p.is_alive() for p in procs):
+            _time.sleep(WATCHDOG_POLL_S)
+            dead = [p for p in procs if not p.is_alive()]
+            if dead and any(p.is_alive() for p in procs):
+                logger.error("worker(s) died: %s",
+                             [p.pid for p in dead])
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        for p in procs:
+            p.join(2)
+        for p in procs:
+            if p.is_alive():
+                p.kill()
+                p.join(1)

@@ -93,12 +93,113 @@ def import_feb4rag_source(feb_root: str, source: str, encoder: str,
     return emb
 
 
+DOC_SIDE_ENCODER = {
+    # world -> doc-side encoder that built the reference indexes (the
+    # query-side zoo encoders differ for medrag/wikipedia; feb4rag
+    # indexes were built with each source's own zoo encoder)
+    "medrag": "ncbi/MedCPT-Article-Encoder",
+    "wikipedia": "facebook/dpr-ctx_encoder-single-nq-base",
+}
+
+
+def _doc_text(world_name: str, payload) -> str:
+    """Raw text to embed per world schema (doc-side concat semantics:
+    '{title} {text}'.strip(), reference custom_models.py:47-53,113-116;
+    medrag chunks carry title/content, data_source.py:165-194)."""
+    if isinstance(payload, (list, tuple)):
+        return f"{payload[0]} {payload[1]}".strip()      # wikipedia pair
+    if world_name == "medrag":
+        return (f"{payload.get('title', '')} "
+                f"{payload.get('content', payload.get('contents', ''))}"
+                ).strip()
+    return (f"{payload.get('title', '')} "
+            f"{payload.get('text', '')}").strip()         # BEIR schema
+
+
+def encode_from_jsonl(world, jsonl_dir: str, out_root: str, *,
+                      doc_encoder: str = None, batch_size: int = 32,
+                      prefer: str = "jax", limit: int = None):
+    """Build a world's shards from RAW corpus jsonl by encoding doc-side.
+
+    ``<jsonl_dir>/<source>.jsonl`` → embeddings.npy + doc_ids.json +
+    payloads/<source>.jsonl + centroids.json under the data root. Each
+    source encodes with its own zoo family's doc-side semantics (E5
+    "passage: " prefixes, SGPT braces, instructor corpus instructions);
+    ``doc_encoder`` overrides the encoder for ALL sources (medrag /
+    wikipedia default to the article/context encoders that built the
+    reference indexes, DOC_SIDE_ENCODER).
+    """
+    from ragroute_tpu.encoders.zoo import load_encoder, resolve_spec
+    from ragroute_tpu.index.shard import ShardSet
+
+    wroot = os.path.join(out_root, world.name)
+    pay_dir = os.path.join(wroot, "payloads")
+    os.makedirs(pay_dir, exist_ok=True)
+    centroids = {}
+    enc_cache = {}
+    for src in world.sources:
+        path = os.path.join(jsonl_dir, f"{src.name}.jsonl")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no corpus jsonl for {world.name}/{src.name}: {path}")
+        payloads, texts, ids = [], [], []
+        with open(path) as f:
+            for i, line in enumerate(f):
+                if limit and i >= limit:
+                    break
+                line = line.strip()
+                if not line:
+                    continue
+                p = json.loads(line)
+                payloads.append(line)
+                texts.append(_doc_text(world.name, p))
+                if isinstance(p, dict):
+                    ids.append(p.get("_id", p.get("id", len(ids))))
+                else:
+                    ids.append(len(ids))
+        enc_name = (doc_encoder
+                    or DOC_SIDE_ENCODER.get(world.name, src.encoder))
+        if enc_name not in enc_cache:
+            enc_cache[enc_name] = load_encoder(
+                resolve_spec(enc_name, src.embed_dim), prefer)
+        enc = enc_cache[enc_name]
+        fn = getattr(enc, "encode_corpus", enc.encode)
+        chunks = [fn(texts[i:i + batch_size])
+                  for i in range(0, len(texts), batch_size)]
+        emb = np.concatenate(chunks, axis=0).astype(np.float32)
+        if emb.shape[1] != src.embed_dim:
+            raise ValueError(
+                f"{src.name}: encoder {enc_name} produced dim "
+                f"{emb.shape[1]} != source dim {src.embed_dim}")
+        ShardSet.save_source(out_root, world.name, src.name, emb,
+                             doc_ids=ids)
+        with open(os.path.join(pay_dir, f"{src.name}.jsonl"), "w") as out:
+            out.write("\n".join(payloads) + "\n")
+        centroids[src.name] = emb.mean(axis=0).tolist()
+        print(f"  {src.name}: encoded {emb.shape[0]} docs "
+              f"({enc_name}, backend {enc.backend})")
+    with open(os.path.join(wroot, "centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", required=True,
                         choices=["medrag", "feb4rag", "wikipedia"])
-    parser.add_argument("--corpus-root", required=True,
+    parser.add_argument("--corpus-root", required=False, default=None,
                         help="reference corpus tree root")
+    parser.add_argument("--encode-from-jsonl", default=None,
+                        help="Directory of raw <source>.jsonl corpora to "
+                             "ENCODE into shards (instead of importing "
+                             "prebuilt FAISS indexes)")
+    parser.add_argument("--doc-encoder", default=None,
+                        help="Override doc-side encoder name for "
+                             "--encode-from-jsonl")
+    parser.add_argument("--encode-batch-size", type=int, default=32)
+    parser.add_argument("--encode-prefer", default="jax",
+                        choices=["jax", "torch", "hash"])
+    parser.add_argument("--limit", type=int, default=None,
+                        help="Max docs per source (--encode-from-jsonl)")
     parser.add_argument("--router-ckpt", default=None,
                         help="torch .pth/.pt router checkpoint")
     parser.add_argument("--scaler", default=None,
@@ -114,6 +215,18 @@ def main(argv=None):
     out_root = args.data_root or data_root()
     wroot = os.path.join(out_root, world.name)
     os.makedirs(wroot, exist_ok=True)
+
+    if args.encode_from_jsonl:
+        print(f"encoding {world.name} corpora from {args.encode_from_jsonl}")
+        encode_from_jsonl(
+            world, args.encode_from_jsonl, out_root,
+            doc_encoder=args.doc_encoder,
+            batch_size=args.encode_batch_size,
+            prefer=args.encode_prefer, limit=args.limit)
+        print(f"encoded {world.name} into {wroot}")
+        return
+    if not args.corpus_root:
+        parser.error("--corpus-root is required unless --encode-from-jsonl")
 
     centroids = {}
     for src in world.sources:

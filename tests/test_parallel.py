@@ -296,3 +296,36 @@ def test_sharded_ivf_int8_scale_applied(rng):
     for row in range(b):
         assert set(np.asarray(i_sh)[row].tolist()) == \
             set(np.asarray(i_1)[row].tolist())
+
+
+def test_sharded_ivf_build_matches_single_device(rng):
+    """build_ivf(mesh=...) shards k-means + preference ranking over the
+    mesh (psum'd Lloyd updates). On well-separated data (where psum
+    accumulation-order noise cannot flip an assignment) the layout must
+    be IDENTICAL to the single-device build at the same seed."""
+    from ragroute_tpu.index.ivf import build_ivf
+
+    centers = rng.standard_normal((16, 32)).astype(np.float32) * 50
+    docs = (centers[rng.integers(0, 16, 4000)]
+            + rng.standard_normal((4000, 32))).astype(np.float32)
+    mesh = make_mesh(dp=2, idx=4)
+    a = build_ivf(docs, "dot", dtype=jnp.float32, n_clusters=16, seed=3)
+    b = build_ivf(docs, "dot", dtype=jnp.float32, n_clusters=16, seed=3,
+                  mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a.centroids),
+                               np.asarray(b.centroids),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.perm), np.asarray(b.perm))
+    np.testing.assert_array_equal(np.asarray(a.bias), np.asarray(b.bias))
+    np.testing.assert_array_equal(
+        np.asarray(a.docs).view(np.uint8), np.asarray(b.docs).view(np.uint8))
+    # and the sharded-built layout searches correctly over the mesh
+    from ragroute_tpu.parallel import sharded_ivf_topk
+
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    s_sh, i_sh = sharded_ivf_topk(mesh, jnp.asarray(q), b, 8,
+                                  mode="dot", nprobe=16)
+    s_ref, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(docs), 8)
+    for row in range(8):
+        assert set(np.asarray(i_sh)[row].tolist()) == \
+            set(np.asarray(i_ref)[row].tolist())

@@ -64,6 +64,128 @@ def test_recall_gate(world_fixture, dtype_name):
             f"recall@{syn.world.k} = {r:.4f} < gate {floor}")
 
 
+# ---------------------------------------------------------------------------
+# Adversarial corpora: the gate above uses isotropic single-blob synthetic
+# data; these distributions attack the places lossy dtypes and tie-breaking
+# actually fail (duplicates at the k boundary, topical clustering, score
+# concentration from a large common component, anisotropic dims).
+# ---------------------------------------------------------------------------
+
+
+def _gate_engine(syn, embeddings, dtype, strategy="all", query_embs=None):
+    query_embs = query_embs or syn.query_embs
+    shard_set = ShardSet.build(syn.world, embeddings, dtype=dtype)
+    engine = FederatedSearchEngine(shard_set, None, None)
+    out = engine.search(query_embs, strategy=strategy)
+    oracle = exact_oracle(syn.world, embeddings, query_embs,
+                          syn.world.k)
+    return engine_recall(syn.world, out, oracle)
+
+
+@pytest.mark.parametrize("dtype_name", list(DTYPES))
+def test_recall_gate_duplicates_at_k_boundary(dtype_name):
+    """Exact duplicate docs in blocks of ~k force ties that straddle the
+    k boundary; f32 must still match the oracle's lowest-index tie-break
+    exactly (FAISS flat parity) and lossy dtypes must hold their gates
+    (duplicates quantize identically, so ties survive rounding)."""
+    dtype, floor = DTYPES[dtype_name]
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=16, seed=33,
+                               with_payloads=False)
+    emb = {n: np.array(v, np.float32, copy=True)
+           for n, v in syn.embeddings.items()}
+    k = syn.world.k
+    for n in emb:
+        e = emb[n]
+        # three duplicated blocks of k copies each, sources spread so
+        # some block lands near the boundary for most queries
+        for base, start in ((5, 200), (17, 400), (29, 700)):
+            e[start:start + k] = e[base]
+    r = _gate_engine(syn, emb, dtype)
+    _results[f"adversarial-duplicates/medrag/{dtype_name}/all"] = round(r, 4)
+    assert r >= floor, f"duplicates: {dtype_name} recall {r:.4f} < {floor}"
+
+
+def test_recall_gate_all_rows_tied():
+    """Degenerate corpus where EVERY doc of a source is identical: every
+    score ties, and the winner set must be exactly the lowest-index k
+    (the FAISS flat tie order the oracle pins)."""
+    syn = make_synthetic_world("medrag", docs_per_source=512,
+                               num_queries=8, seed=34,
+                               with_payloads=False)
+    emb = {n: np.array(v, np.float32, copy=True)
+           for n, v in syn.embeddings.items()}
+    first = syn.world.sources[0].name
+    emb[first][:] = emb[first][0]
+    r = _gate_engine(syn, emb, jnp.float32)
+    _results["adversarial-all-tied/medrag/float32/all"] = round(r, 4)
+    assert r == 1.0, f"all-tied tie-break drifted: recall {r:.4f}"
+
+
+@pytest.mark.parametrize("dtype_name", list(DTYPES))
+def test_recall_gate_clustered_world(dtype_name):
+    """Topical/clustered corpora (--subclusters): scores concentrate
+    inside the query's home cluster, shrinking winner margins."""
+    dtype, floor = DTYPES[dtype_name]
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=16, seed=35,
+                               with_payloads=False, subclusters=8)
+    r = _gate_engine(syn, syn.embeddings, dtype)
+    _results[f"adversarial-clustered/medrag/{dtype_name}/all"] = round(r, 4)
+    assert r >= floor, f"clustered: {dtype_name} recall {r:.4f} < {floor}"
+
+
+@pytest.mark.parametrize("dtype_name", ["bfloat16", "int8"])
+@pytest.mark.parametrize("world_name", ["medrag", "wikipedia"])
+def test_recall_gate_concentrated_scores(world_name, dtype_name):
+    """A large common component dominates every vector (queries AND
+    docs — one encoder produces both, so a corpus-wide bias appears on
+    both sides), leaving the discriminating residual in lossy dtypes'
+    low-order bits — the classic quantization adversary. Mean-centering
+    at build (ShardSet.build: l2 shifts queries, dot restores the q·mu
+    constant) is the defense this pins: without it bf16 measured 0.984
+    on the dot world."""
+    dtype, floor = DTYPES[dtype_name]
+    syn = make_synthetic_world(world_name, docs_per_source=1024,
+                               num_queries=16, seed=36,
+                               with_payloads=False)
+    emb = {}
+    for n, v in syn.embeddings.items():
+        # +12 per dim ~ 12x the unit per-dim signal variance
+        emb[n] = np.array(v, np.float32, copy=True) + 12.0
+    qe = {e: np.asarray(q, np.float32) + 12.0
+          for e, q in syn.query_embs.items()}
+    r = _gate_engine(syn, emb, dtype, query_embs=qe)
+    _results[
+        f"adversarial-concentrated/{world_name}/{dtype_name}/all"
+    ] = round(r, 4)
+    assert r >= floor, (
+        f"concentrated {world_name}: {dtype_name} recall {r:.4f} < {floor}")
+
+
+@pytest.mark.parametrize("dtype_name", ["bfloat16", "int8"])
+def test_recall_gate_anisotropic_dims(dtype_name):
+    """Per-dimension scales spanning 4 orders of magnitude: int8's
+    per-DOC symmetric scale must still resolve the low-magnitude dims
+    that carry part of the signal."""
+    dtype, floor = DTYPES[dtype_name]
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=16, seed=37,
+                               with_payloads=False)
+    emb = {}
+    rng = np.random.default_rng(99)
+    for n, v in syn.embeddings.items():
+        v = np.array(v, np.float32, copy=True)
+        d = v.shape[1]
+        scales = np.logspace(0, -4, d).astype(np.float32)
+        rng.shuffle(scales)
+        emb[n] = v * scales[None, :]
+    r = _gate_engine(syn, emb, dtype)
+    _results[f"adversarial-anisotropic/medrag/{dtype_name}/all"] = round(r, 4)
+    assert r >= floor, (
+        f"anisotropic: {dtype_name} recall {r:.4f} < {floor}")
+
+
 def test_emit_artifact(tmp_path):
     """Write the aggregated recall table (runs last in file order)."""
     assert _results, "gate tests must have populated results"

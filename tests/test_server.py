@@ -249,3 +249,38 @@ def test_batcher_bounded_queue():
         assert b.queue.full()
 
     asyncio.run(run())
+
+
+def test_reuse_port_two_servers_one_port():
+    """SO_REUSEPORT front-end: two FederationServers bind the SAME port
+    (kernel balances connections across them — the multi-process
+    front-end, ragroute_tpu.system.run_workers)."""
+    import socket
+
+    async def run():
+        syn, s1 = make_server()
+        s1.reuse_port = True
+        # pick a free port first (reuse_port needs a concrete port)
+        probe = socket.socket()
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+        probe.close()
+        s1.port = port
+        _, s2 = make_server()
+        s2.reuse_port = True
+        s2.port = port
+        await s1.start()
+        await s2.start()
+        try:
+            ok = 0
+            for _ in range(4):
+                q = syn.questions[0]
+                status, _body = await query_server(
+                    port, q["question"], q["options"], q["qid"])
+                ok += status == 200
+            assert ok == 4
+        finally:
+            await s1.stop()
+            await s2.stop()
+
+    asyncio.run(run())
