@@ -209,7 +209,11 @@ def main():
             "oracle path is single-chip; mesh==single-chip winner parity "
             "is gated by tests/test_parallel.py)")
     elif os.environ.get("RAGROUTE_BENCH_RECALL") == "1":
-        # recall@k of the selected impl vs the exact path, same mask
+        # recall@k of the selected (impl, dtype) vs the EXACT FLOAT32
+        # scan on the same routing mask — the full-corpus-scale version
+        # of the CI recall gate (which runs at 1k docs/source). For
+        # approximate impls this folds in the probe loss; for exact
+        # impls it isolates the dtype loss.
         @jax.jit
         def route_once(params, bank, query_embs, key):
             return _route_fn(world, strategy, params, bank, query_embs, key)
@@ -223,9 +227,21 @@ def main():
         embs0 = {e: embs_r[e][0] for e in embs_r}
         _, mask0 = route_once(params, bank, embs0, keys[0])
         o_sel = score_once(arrays, ivf_arrays, embs0, mask0, impl)
-        o_ref = score_once(arrays, None, embs0, mask0, "auto")
         sh_a, lo_a = np.asarray(o_sel[3]), np.asarray(o_sel[4])
-        sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
+        if dtype == jnp.float32 and impl in ("auto", "pallas", "chunked",
+                                             "exact"):
+            log("recall oracle: dtype is already float32 exact; "
+                "comparing against the chunked-XLA scan (impl check)")
+            o_ref = score_once(arrays, None, embs0, mask0, "chunked")
+            sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
+        else:
+            log("building float32 oracle index for full-scale recall...")
+            oracle_set = ShardSet.build(syn.world, syn.embeddings,
+                                        dtype=jnp.float32)
+            o_arrays = oracle_set.arrays()
+            o_ref = score_once(o_arrays, None, embs0, mask0, "auto")
+            sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
+            del oracle_set, o_arrays
         hits = tot = 0
         for b in range(batch):
             ref = {(int(s), int(l)) for s, l in zip(sh_b[b], lo_b[b])
@@ -234,7 +250,8 @@ def main():
                    if s >= 0}
             hits += len(ref & got)
             tot += len(ref)
-        log(f"recall@{world.k} vs exact (same routing): {hits / tot:.4f}")
+        log(f"recall@{world.k} ({dtype_name}/{impl}) vs exact-f32 "
+            f"(same routing): {hits / tot:.4f}")
 
     qps = reps * batch / elapsed
     dims = [s.embed_dim for s in world.sources]

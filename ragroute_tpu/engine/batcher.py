@@ -156,7 +156,13 @@ class QueryBatcher:
                 arr[i] = qe[enc]
             embs[enc] = arr
         out = self.engine.search(
-            embs, strategy=self.strategy, staged=self.staged)
+            embs, strategy=self.strategy, staged=self.staged,
+            # only feb4rag reads per-source candidate SCORES host-side
+            # (qrels-oracle rerank); skipping the [B,N,k] f32 transfer
+            # for the score-merged worlds was the profile's top win
+            # (RAGROUTE_FETCH_CANDIDATES=1 forces the full fetch, A/B)
+            fetch_candidates=(world.name == "feb4rag" or os.environ.get(
+                "RAGROUTE_FETCH_CANDIDATES") == "1"))
         return out, n
 
     async def _worker(self) -> None:
@@ -178,7 +184,8 @@ class QueryBatcher:
                 fut.set_result(QueryResult(
                     probs=out.probs[i],
                     mask=out.mask[i],
-                    shard_scores=out.shard_scores[i],
+                    shard_scores=(None if out.shard_scores is None
+                                  else out.shard_scores[i]),
                     shard_ids=out.shard_ids[i],
                     merged_score=out.merged_score[i],
                     merged_shard=out.merged_shard[i],

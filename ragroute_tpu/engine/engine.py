@@ -336,6 +336,7 @@ class FederatedSearchEngine:
         *,
         strategy: str = "ragroute",
         staged: bool = True,
+        fetch_candidates: bool = True,
     ) -> SearchOutput:
         """Run one batched federated search.
 
@@ -344,6 +345,15 @@ class FederatedSearchEngine:
         ``doc_select_time`` metadata, ``router.py:313-315`` /
         ``http_server.py:195-196,256``); ``staged=False`` fuses them into
         one dispatch (fastest; stage times are reported as one).
+
+        ``fetch_candidates=False`` skips the device->host transfer of the
+        per-shard score matrix (``shard_scores`` comes back ``None``):
+        the score-merged serving worlds (medrag/wikipedia) never read
+        per-source scores host-side, and that ``[B, N, k]`` f32 transfer
+        was the single largest host cost in the serving profile
+        (``jax.Array._value`` 5.1 s of a 21 s loaded window,
+        scripts/profile_http.py --cprofile). feb4rag keeps the full
+        fetch (its qrels-oracle rerank consumes per-source candidates).
         """
         embs = self._device_embs(query_embs)
         rng = self._next_key()
@@ -378,9 +388,15 @@ class FederatedSearchEngine:
         # remote tunnel, x8 fields dominated serving latency); a single
         # device_get batches them into one transfer. In fused mode this
         # fetch IS the sync, so it closes the doc_select timer.
-        (probs, mask, shard_scores, shard_ids, merged_score, merged_shard,
-         merged_local, merged_valid) = jax.device_get(
-            (probs, mask) + tuple(scored))
+        if fetch_candidates:
+            (probs, mask, shard_scores, shard_ids, merged_score,
+             merged_shard, merged_local, merged_valid) = jax.device_get(
+                (probs, mask) + tuple(scored))
+        else:
+            shard_scores = None
+            (probs, mask, shard_ids, merged_score, merged_shard,
+             merged_local, merged_valid) = jax.device_get(
+                (probs, mask, scored[1]) + tuple(scored[2:]))
         if not staged:
             doc_t = time.perf_counter() - t0
         return SearchOutput(

@@ -7,8 +7,12 @@ stays an external-service concern here too — the measured configuration is
 retrieval-only (``--disable-llm``) — but the shim keeps full behavioral
 parity and pluggable backends:
 
-* ``ollama``  — the reference backend (requires the ``ollama`` package and
-  a running daemon).
+* ``ollama``  — the reference backend, speaking the Ollama HTTP API
+  (``POST /api/chat``, non-streaming) directly over aiohttp — no
+  ``ollama`` pip package needed; honors ``$OLLAMA_HOST`` / ``endpoint``
+  exactly like the reference's client does
+  (``http_server.py:309-327``). Protocol-gated in CI against a mock
+  daemon (``tests/test_llm_backends.py``).
 * ``openai``  — any OpenAI-compatible HTTP endpoint (aiohttp).
 * ``echo``    — deterministic canned answers for simulation/testing
   (answers "A" in the reference answer formats, optional delay matching
@@ -82,18 +86,31 @@ class LLMClient:
                 '"answer_choice": "A"}\nThe best answer is A'
             )
         model_info = LLM_MODELS[model]
-        if self.backend == "ollama":
-            from ollama import AsyncClient
-
-            resp = await AsyncClient().chat(
-                model=model_info["ollama_name"],
-                messages=messages,
-                options={"num_predict": model_info["max_tokens"]},
-            )
-            return resp["message"]["content"]
-        # openai-compatible endpoint
         import aiohttp
 
+        if self.backend == "ollama":
+            import os
+
+            host = (self.endpoint
+                    or os.environ.get("OLLAMA_HOST")
+                    or "http://127.0.0.1:11434")
+            if not host.startswith("http"):
+                host = f"http://{host}"
+            async with aiohttp.ClientSession() as session:
+                async with session.post(
+                    f"{host.rstrip('/')}/api/chat",
+                    json={
+                        "model": model_info["ollama_name"],
+                        "messages": messages,
+                        "stream": False,
+                        "options": {
+                            "num_predict": model_info["max_tokens"]},
+                    },
+                ) as r:
+                    r.raise_for_status()
+                    data = await r.json()
+                    return data["message"]["content"]
+        # openai-compatible endpoint
         async with aiohttp.ClientSession() as session:
             async with session.post(
                 f"{self.endpoint}/v1/chat/completions",

@@ -131,9 +131,12 @@ class FederationServer:
                 for enc, d in dims.items()
             }
             staged = self.batcher.staged  # compile the SERVING path
-            self.engine.search(embs, strategy=self.strategy, staged=staged)
+            fetch = self.world.name == "feb4rag"  # batcher's fetch policy
+            self.engine.search(embs, strategy=self.strategy, staged=staged,
+                               fetch_candidates=fetch)
             t0 = time.perf_counter()
-            self.engine.search(embs, strategy=self.strategy, staged=staged)
+            self.engine.search(embs, strategy=self.strategy, staged=staged,
+                               fetch_candidates=fetch)
             device_ms[b] = (time.perf_counter() - t0) * 1e3
         self.metrics.set_device_step_ms(device_ms)
         logger.info("engine warmed for buckets %s (device step ms: %s)",

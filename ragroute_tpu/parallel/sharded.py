@@ -438,7 +438,8 @@ class ShardedSearch:
 
     def search(self, query_embs: Dict[str, np.ndarray], *,
                strategy: str = "ragroute",
-               staged: bool = False) -> "SearchOutput":
+               staged: bool = False,
+               fetch_candidates: bool = True) -> "SearchOutput":
         """Run one mesh-sharded search; same host-facing contract as
         :meth:`FederatedSearchEngine.search` (stage timings measured with
         a device->host sync, one coalesced fetch for the output pytree).
@@ -467,9 +468,17 @@ class ShardedSearch:
                 embs, sub, strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
-        (probs, mask, shard_scores, shard_ids, merged_score, merged_shard,
-         merged_local, merged_valid) = jax.device_get(
-            (probs, mask) + tuple(scored))
+        if fetch_candidates:
+            (probs, mask, shard_scores, shard_ids, merged_score,
+             merged_shard, merged_local, merged_valid) = jax.device_get(
+                (probs, mask) + tuple(scored))
+        else:
+            # skip the [B, N, k] per-shard score transfer (see the
+            # single-chip engine's docstring; profile-measured win)
+            shard_scores = None
+            (probs, mask, shard_ids, merged_score, merged_shard,
+             merged_local, merged_valid) = jax.device_get(
+                (probs, mask, scored[1]) + tuple(scored[2:]))
         if not staged:
             doc_t = time.perf_counter() - t0
         return SearchOutput(

@@ -72,3 +72,39 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_bench_recall_oracle_tiny(monkeypatch, capsys):
+    """RAGROUTE_BENCH_RECALL=1 builds the f32 oracle index and reports
+    dtype recall vs exact-f32 (the full-scale recall-artifact path)."""
+    monkeypatch.setenv("RAGROUTE_BENCH_DOCS", "8192")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "16")
+    monkeypatch.setenv("RAGROUTE_BENCH_REPS", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_DTYPE", "bfloat16")
+    monkeypatch.setenv("RAGROUTE_BENCH_RECALL", "1")
+    import bench
+
+    bench.main()
+    captured = capsys.readouterr()
+    line = [ln for ln in captured.err.splitlines() if "recall@" in ln]
+    assert line, captured.err
+    r = float(line[-1].rsplit(":", 1)[1])
+    assert r >= 0.99  # bf16 gate at tiny scale
+    rec = json.loads(captured.out.strip().splitlines()[-1])
+    assert rec["value"] > 0
+
+
+def test_bench_mesh_tiny(monkeypatch, capsys):
+    """RAGROUTE_BENCH_MESH runs the scanned loop over the ShardedSearch
+    step on the virtual device mesh."""
+    monkeypatch.setenv("RAGROUTE_BENCH_DOCS", "8192")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "16")
+    monkeypatch.setenv("RAGROUTE_BENCH_REPS", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_DTYPE", "float32")
+    monkeypatch.setenv("RAGROUTE_BENCH_MESH", "2x4")
+    monkeypatch.delenv("RAGROUTE_BENCH_RECALL", raising=False)
+    import bench
+
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] > 0
