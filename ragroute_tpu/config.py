@@ -74,6 +74,15 @@ IVF_HYBRID_MAX_BATCH = 16
 IVF_HYBRID_MIN_DOCS = 400_000
 IVF_HYBRID_NPROBE_DIVISOR = 32
 
+# Doc-side encoders that built the reference indexes upstream (query-side
+# zoo encoders differ for these worlds; feb4rag indexes were built with
+# each source's own zoo encoder). Used by the corpus-ingest path
+# (scripts/import_real_data.py --encode-from-jsonl).
+DOC_SIDE_ENCODER = {
+    "medrag": "ncbi/MedCPT-Article-Encoder",
+    "wikipedia": "facebook/dpr-ctx_encoder-single-nq-base",
+}
+
 
 # --------------------------------------------------------------------------
 # Score semantics

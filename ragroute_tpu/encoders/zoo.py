@@ -309,7 +309,25 @@ def load_encoder(spec: EncoderSpec, prefer: str = "jax"):
         if spec.family == "t5":
             from ragroute_tpu.encoders.custom import InstructorEncoder
 
-            return InstructorEncoder(spec)
+            # the torch fallback must apply the checkpoint's 2_Dense too
+            # (identity activation -> applying it to token hiddens before
+            # mean pooling equals applying it to the pooled vector), or
+            # the two backends would serve different embedding spaces
+            dense_mod = None
+            dnp = _find_instructor_dense(spec.hf_name)
+            if dnp is not None:
+                import torch
+
+                w, b = dnp  # kernel [d_in, d_out], bias
+                lin = torch.nn.Linear(w.shape[0], w.shape[1],
+                                      bias=b is not None)
+                with torch.no_grad():
+                    lin.weight.copy_(torch.from_numpy(w.T.copy()))
+                    if b is not None:
+                        lin.bias.copy_(torch.from_numpy(b.copy()))
+                lin.eval()
+                dense_mod = lin
+            return InstructorEncoder(spec, dense=dense_mod)
         return TorchEncoder(spec)
     except Exception as e:
         logger.warning(
@@ -317,6 +335,17 @@ def load_encoder(spec: EncoderSpec, prefer: str = "jax"):
             "(retrieval quality is meaningless for this encoder)",
             spec.name, e)
         return HashEncoder(spec)
+
+
+def encode_corpus_batched(enc, texts, batch_size: int = 32) -> np.ndarray:
+    """Doc-side encode in batches with whatever corpus semantics the
+    encoder carries (falls back to query-side encode for encoders with
+    no doc/query asymmetry). Shared by EncoderZoo.encode_corpus and the
+    raw-jsonl ingest path (scripts/import_real_data.py)."""
+    fn = getattr(enc, "encode_corpus", enc.encode)
+    outs = [fn(texts[i:i + batch_size])
+            for i in range(0, len(texts), batch_size)]
+    return np.concatenate(outs, axis=0)
 
 
 def resolve_spec(enc_name: str, dim: int = 768) -> EncoderSpec:
@@ -358,8 +387,5 @@ class EncoderZoo:
         "passage: " prefixes, SGPT brace brackets, instructor corpus-side
         instructions — each encoder class carries its own doc semantics
         (reference ``custom_models.py`` encode_corpus methods)."""
-        enc = self.encoders[enc_name]
-        fn = getattr(enc, "encode_corpus", enc.encode)
-        outs = [fn(texts[i:i + batch_size])
-                for i in range(0, len(texts), batch_size)]
-        return np.concatenate(outs, axis=0)
+        return encode_corpus_batched(self.encoders[enc_name], texts,
+                                     batch_size)

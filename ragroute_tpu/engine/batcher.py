@@ -24,13 +24,29 @@ from ragroute_tpu.config import BATCH_BUCKETS, BATCH_WINDOW_MS, MAX_QUEUE_SIZE
 from ragroute_tpu.engine.engine import FederatedSearchEngine, SearchOutput
 
 
+def fetch_candidates_policy(world) -> bool:
+    """Whether serving fetches the per-shard candidate SCORE matrix.
+
+    Only feb4rag reads per-source scores host-side (qrels-oracle
+    rerank); the score-merged worlds skip the [B, N, k] f32 device->host
+    transfer (the profile's top single host cost).
+    ``RAGROUTE_FETCH_CANDIDATES=1`` forces the full fetch (A/B knob) —
+    shared by the batcher and the server's warmup timing so the
+    ``device_step_ms`` baseline measures the same path being served.
+    """
+    return (world.name == "feb4rag"
+            or os.environ.get("RAGROUTE_FETCH_CANDIDATES") == "1")
+
+
 @dataclasses.dataclass
 class QueryResult:
     """One query's slice of a batched SearchOutput."""
 
     probs: np.ndarray          # [N]
     mask: np.ndarray           # [N]
-    shard_scores: np.ndarray   # [N, k]
+    shard_scores: Optional[np.ndarray]  # [N, k]; None on the serving
+    #                            path of score-merged worlds
+    #                            (fetch_candidates_policy)
     shard_ids: np.ndarray      # [N, k]
     merged_score: np.ndarray   # [k]
     merged_shard: np.ndarray   # [k]
@@ -157,12 +173,7 @@ class QueryBatcher:
             embs[enc] = arr
         out = self.engine.search(
             embs, strategy=self.strategy, staged=self.staged,
-            # only feb4rag reads per-source candidate SCORES host-side
-            # (qrels-oracle rerank); skipping the [B,N,k] f32 transfer
-            # for the score-merged worlds was the profile's top win
-            # (RAGROUTE_FETCH_CANDIDATES=1 forces the full fetch, A/B)
-            fetch_candidates=(world.name == "feb4rag" or os.environ.get(
-                "RAGROUTE_FETCH_CANDIDATES") == "1"))
+            fetch_candidates=fetch_candidates_policy(world))
         return out, n
 
     async def _worker(self) -> None:

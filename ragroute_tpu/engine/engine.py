@@ -45,7 +45,10 @@ class SearchOutput:
 
     probs: np.ndarray           # [B, N] router probabilities
     mask: np.ndarray            # [B, N] routing decisions
-    shard_scores: np.ndarray    # [B, N, k] natural per-shard scores
+    shard_scores: Optional[np.ndarray]  # [B, N, k] natural per-shard
+    #                             scores; None when the search ran with
+    #                             fetch_candidates=False (the serving
+    #                             default for score-merged worlds)
     shard_ids: np.ndarray       # [B, N, k] local doc indices
     merged_score: np.ndarray    # [B, k] natural merged scores
     merged_shard: np.ndarray    # [B, k] winning shard index (-1 = invalid)

@@ -131,7 +131,9 @@ class FederationServer:
                 for enc, d in dims.items()
             }
             staged = self.batcher.staged  # compile the SERVING path
-            fetch = self.world.name == "feb4rag"  # batcher's fetch policy
+            from ragroute_tpu.engine.batcher import fetch_candidates_policy
+
+            fetch = fetch_candidates_policy(self.world)
             self.engine.search(embs, strategy=self.strategy, staged=staged,
                                fetch_candidates=fetch)
             t0 = time.perf_counter()
@@ -294,10 +296,14 @@ class FederationServer:
 
         docs_tokens = 0
         generate_time = 0.0
+        llm_wall = 0.0  # wall time in the LLM stage (excluded from the
+        #                 assemble host-profile metric; includes timeouts)
         if self.disable_llm:
             response["answer"] = ""
             if self.simulate:
+                t0 = time.time()
                 await asyncio.sleep(LLM_DELAY)
+                llm_wall = time.time() - t0
         else:
             t0 = time.time()
             if self.world.name == "wikipedia":
@@ -311,6 +317,7 @@ class FederationServer:
                 llm_res.generate_time if llm_res.generate_time >= 0
                 else -1)
             response["answer"] = llm_res.answer
+            llm_wall = time.time() - t0
 
         e2e = time.time() - start
         self.metrics.observe_query(
@@ -318,8 +325,7 @@ class FederationServer:
             doc_select=res.doc_select_time, generate=generate_time,
             e2e=e2e, batch_size=res.batch_size,
             batch_wait=batch_wait,
-            assemble=time.time() - t_assemble - generate_time
-            if generate_time > 0 else time.time() - t_assemble)
+            assemble=max(0.0, time.time() - t_assemble - llm_wall))
         response["metadata"] = {
             "data_sources": selected,
             "embedding_time": embedding_time,

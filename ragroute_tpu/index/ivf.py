@@ -425,28 +425,28 @@ def load_ivf(path: str,
     stale."""
     import ml_dtypes
 
-    z = np.load(path)
-    if expect_fingerprint is not None:
-        stored = str(z["fingerprint"]) if "fingerprint" in z else ""
-        if stored != expect_fingerprint:
-            logger.warning(
-                "ivf cache %s does not match current embeddings "
-                "(stored fingerprint %r vs %r); rebuilding",
-                path, stored[:12], expect_fingerprint[:12])
-            return None
-    dtype_name = str(z["dtype_name"])
-    docs = z["docs"]
-    if dtype_name == "bfloat16":
-        docs = docs.view(ml_dtypes.bfloat16)
-    scale = z["scale"]
-    c, _, cap = docs.shape
-    return IVFData(
-        centroids=jnp.asarray(z["centroids"]),
-        cbias=jnp.asarray(z["cbias"]),
-        docs=jnp.asarray(docs),
-        bias=jnp.asarray(z["bias"]),
-        scale=None if scale.size == 0 else jnp.asarray(scale),
-        perm=jnp.asarray(z["perm"]),
-        n_clusters=int(c),
-        capacity=int(cap),
-    )
+    with np.load(path) as z:
+        if expect_fingerprint is not None:
+            stored = str(z["fingerprint"]) if "fingerprint" in z else ""
+            if stored != expect_fingerprint:
+                logger.warning(
+                    "ivf cache %s does not match current embeddings "
+                    "(stored fingerprint %r vs %r); rebuilding",
+                    path, stored[:12], expect_fingerprint[:12])
+                return None
+        dtype_name = str(z["dtype_name"])
+        docs = z["docs"]
+        if dtype_name == "bfloat16":
+            docs = docs.view(ml_dtypes.bfloat16)
+        scale = z["scale"]
+        c, _, cap = docs.shape
+        return IVFData(
+            centroids=jnp.asarray(z["centroids"]),
+            cbias=jnp.asarray(z["cbias"]),
+            docs=jnp.asarray(docs),
+            bias=jnp.asarray(z["bias"]),
+            scale=None if scale.size == 0 else jnp.asarray(scale),
+            perm=jnp.asarray(z["perm"]),
+            n_clusters=int(c),
+            capacity=int(cap),
+        )

@@ -317,6 +317,12 @@ def _worker_entry(args_dict: dict) -> None:
     import argparse
     import asyncio as aio
 
+    from ragroute_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()  # spawn'd children don't inherit the parent's
+    #                         in-process jit cache; the persistent cache
+    #                         keeps N-worker boots from paying N full
+    #                         Mosaic compiles per bucket
     args = argparse.Namespace(**args_dict)
     system = ServingSystem(args)
     try:
@@ -350,13 +356,18 @@ def run_workers(args, n_workers: int) -> None:
         p.start()
     logger.info("started %d SO_REUSEPORT workers: %s",
                 n_workers, [p.pid for p in procs])
+    reported = set()
     try:
         while any(p.is_alive() for p in procs):
             _time.sleep(WATCHDOG_POLL_S)
-            dead = [p for p in procs if not p.is_alive()]
-            if dead and any(p.is_alive() for p in procs):
-                logger.error("worker(s) died: %s",
-                             [p.pid for p in dead])
+            dead = [p for p in procs
+                    if not p.is_alive() and p.pid not in reported]
+            for p in dead:
+                reported.add(p.pid)
+                logger.error(
+                    "worker %s died (exit %s); capacity degraded to "
+                    "%d/%d workers", p.pid, p.exitcode,
+                    sum(q.is_alive() for q in procs), n_workers)
     except KeyboardInterrupt:
         pass
     finally:

@@ -93,15 +93,6 @@ def import_feb4rag_source(feb_root: str, source: str, encoder: str,
     return emb
 
 
-DOC_SIDE_ENCODER = {
-    # world -> doc-side encoder that built the reference indexes (the
-    # query-side zoo encoders differ for medrag/wikipedia; feb4rag
-    # indexes were built with each source's own zoo encoder)
-    "medrag": "ncbi/MedCPT-Article-Encoder",
-    "wikipedia": "facebook/dpr-ctx_encoder-single-nq-base",
-}
-
-
 def _doc_text(world_name: str, payload) -> str:
     """Raw text to embed per world schema (doc-side concat semantics:
     '{title} {text}'.strip(), reference custom_models.py:47-53,113-116;
@@ -129,7 +120,9 @@ def encode_from_jsonl(world, jsonl_dir: str, out_root: str, *,
     wikipedia default to the article/context encoders that built the
     reference indexes, DOC_SIDE_ENCODER).
     """
-    from ragroute_tpu.encoders.zoo import load_encoder, resolve_spec
+    from ragroute_tpu.config import DOC_SIDE_ENCODER
+    from ragroute_tpu.encoders.zoo import (
+        encode_corpus_batched, load_encoder, resolve_spec)
     from ragroute_tpu.index.shard import ShardSet
 
     wroot = os.path.join(out_root, world.name)
@@ -163,10 +156,8 @@ def encode_from_jsonl(world, jsonl_dir: str, out_root: str, *,
             enc_cache[enc_name] = load_encoder(
                 resolve_spec(enc_name, src.embed_dim), prefer)
         enc = enc_cache[enc_name]
-        fn = getattr(enc, "encode_corpus", enc.encode)
-        chunks = [fn(texts[i:i + batch_size])
-                  for i in range(0, len(texts), batch_size)]
-        emb = np.concatenate(chunks, axis=0).astype(np.float32)
+        emb = encode_corpus_batched(enc, texts, batch_size) \
+            .astype(np.float32)
         if emb.shape[1] != src.embed_dim:
             raise ValueError(
                 f"{src.name}: encoder {enc_name} produced dim "

@@ -81,7 +81,7 @@ def test_instructor_encode_corpus_uses_corpus_instruction():
     assert qi != ci and "document" in ci.lower()
 
 
-@pytest.mark.parametrize("world_name", ["medrag", "feb4rag"])
+@pytest.mark.parametrize("world_name", ["medrag", "feb4rag", "wikipedia"])
 def test_encode_from_jsonl_builds_servable_world(tmp_path, world_name):
     """Raw <source>.jsonl corpora -> encoded shards -> served search."""
     from ragroute_tpu.config import get_world
@@ -99,6 +99,8 @@ def test_encode_from_jsonl_builds_servable_world(tmp_path, world_name):
                 if world_name == "medrag":
                     p = {"id": f"{src.name}_{i}", "title": f"t {i}",
                          "content": f"passage number {i} of {src.name}"}
+                elif world_name == "wikipedia":
+                    p = [f"page {i}", f"chunk {i} of cluster {src.name}"]
                 else:
                     p = {"_id": f"{src.name}-d{i}", "title": f"t {i}",
                          "text": f"text number {i} of {src.name}"}
