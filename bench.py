@@ -20,6 +20,9 @@ Env knobs:
                            world; per-batch router/merge overheads
                            amortize and compaction sub-batches fill)
     RAGROUTE_BENCH_REPS    timed batches                  (default 16)
+    RAGROUTE_BENCH_WORLD_CACHE  1 (default) caches generated worlds in
+                           ~/.cache/ragroute_bench_world (world-gen is
+                           minutes of single-core host time); 0 disables
     RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8      (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
     RAGROUTE_BENCH_IMPL    auto | ivf | hybrid            (default auto/exact)
@@ -86,11 +89,56 @@ def main():
     log(f"building synthetic {world_name} world: {sizes} "
         f"(dtype={dtype_name})")
     t0 = time.time()
-    syn = make_synthetic_world(
-        world_name, docs_per_source_map=sizes, docs_per_source=4096,
-        num_queries=batch, seed=0, with_payloads=False,
-        subclusters=int(os.environ.get("RAGROUTE_BENCH_SUBCLUSTERS", "1")))
-    log(f"generated in {time.time() - t0:.1f}s")
+    subclusters = int(os.environ.get("RAGROUTE_BENCH_SUBCLUSTERS", "1"))
+    # world-gen is 1.5-5 min of host time (1M-row gaussians + latent
+    # projection on one core) and is deterministic in these parameters,
+    # so cache the generated arrays on disk; dtype/impl variants of the
+    # bench share one entry (quantization happens later in ShardSet.build)
+    import hashlib
+
+    import ragroute_tpu.index.synthetic as _syn_mod
+    gen_src = open(_syn_mod.__file__, "rb").read()
+    cache_key = "-".join(
+        [world_name, str(batch), str(subclusters),
+         hashlib.sha256(gen_src).hexdigest()[:12]]
+        + [f"{n}_{sizes[n]}" for n in sorted(sizes)])
+    cache_dir = os.environ.get(
+        "RAGROUTE_BENCH_WORLD_CACHE_DIR",
+        os.path.expanduser("~/.cache/ragroute_bench_world"))
+    cache_npz = os.path.join(cache_dir, f"w{cache_key}.npz")
+    syn = None
+    if os.environ.get("RAGROUTE_BENCH_WORLD_CACHE", "1") == "1":
+        try:
+            with np.load(cache_npz) as z:
+                from ragroute_tpu.index.synthetic import SyntheticWorld
+                srcs = [s.name for s in world_cfg.sources]
+                syn = SyntheticWorld(
+                    world=world_cfg,
+                    embeddings={s: z[f"emb_{s}"] for s in srcs},
+                    centroids={s: z[f"cent_{s}"] for s in srcs},
+                    doc_payloads={s: [] for s in srcs},
+                    doc_ids={s: [] for s in srcs},
+                    query_embs={e: z[f"q_{e}"] for e in world_cfg.encoders},
+                    relevant=z["relevant"],
+                    questions=[])
+            log(f"world cache hit ({cache_npz}) in {time.time() - t0:.1f}s")
+        except (FileNotFoundError, KeyError):
+            syn = None
+    if syn is None:
+        syn = make_synthetic_world(
+            world_name, docs_per_source_map=sizes, docs_per_source=4096,
+            num_queries=batch, seed=0, with_payloads=False,
+            subclusters=subclusters)
+        log(f"generated in {time.time() - t0:.1f}s")
+        if os.environ.get("RAGROUTE_BENCH_WORLD_CACHE", "1") == "1":
+            os.makedirs(cache_dir, exist_ok=True)
+            arrs = {f"emb_{s}": a for s, a in syn.embeddings.items()}
+            arrs |= {f"cent_{s}": a for s, a in syn.centroids.items()}
+            arrs |= {f"q_{e}": a for e, a in syn.query_embs.items()}
+            tmp = cache_npz + ".tmp.npz"
+            np.savez(tmp, relevant=syn.relevant, **arrs)
+            os.replace(tmp, cache_npz)
+            log(f"world cached to {cache_npz}")
 
     t0 = time.time()
     shard_set = ShardSet.build(

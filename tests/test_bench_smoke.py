@@ -54,6 +54,46 @@ def test_bench_all_worlds_and_strategies(monkeypatch, capsys):
         assert rec["value"] > 0, (world, strategy)
 
 
+def test_bench_world_cache_roundtrip(monkeypatch, capsys, tmp_path):
+    """The on-disk world cache must reproduce the generated world exactly:
+    a cache-hit bench run reports the same q/s-denominator world (and the
+    cache file must exist after the first run). Guards the driver's bench
+    wall time — world-gen is minutes at the 1M-doc point."""
+    monkeypatch.setenv("RAGROUTE_BENCH_DOCS", "8192")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "16")
+    monkeypatch.setenv("RAGROUTE_BENCH_REPS", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_WORLD_CACHE", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_WORLD_CACHE_DIR", str(tmp_path))
+    import bench
+
+    bench.main()
+    err1 = capsys.readouterr()
+    assert json.loads(err1.out.strip().splitlines()[-1])["value"] > 0
+    cached = list(tmp_path.glob("w*.npz"))
+    assert len(cached) == 1, "first run must write exactly one cache entry"
+
+    bench.main()
+    err2 = capsys.readouterr()
+    assert json.loads(err2.out.strip().splitlines()[-1])["value"] > 0
+    assert "world cache hit" in err2.err
+
+    # the cached arrays are byte-identical to a fresh generation
+    import numpy as np
+
+    from ragroute_tpu.index import make_synthetic_world
+    weights = {"pubmed": 0.70, "statpearls": 0.10,
+               "textbooks": 0.08, "wikipedia": 0.12}
+    sizes = {n: max(2048, int(8192 * w)) for n, w in weights.items()}
+    syn = make_synthetic_world("medrag", docs_per_source_map=sizes,
+                               docs_per_source=4096, num_queries=16,
+                               seed=0, with_payloads=False)
+    with np.load(cached[0]) as z:
+        for s, emb in syn.embeddings.items():
+            assert (z[f"emb_{s}"] == emb).all()
+        for e, q in syn.query_embs.items():
+            assert (z[f"q_{e}"] == q).all()
+
+
 def test_graft_entry_single_chip():
     """__graft_entry__.entry() must jit-compile and run (driver check)."""
     import jax
