@@ -139,6 +139,11 @@ def main():
             np.savez(tmp, relevant=syn.relevant, **arrs)
             os.replace(tmp, cache_npz)
             log(f"world cached to {cache_npz}")
+    if os.environ.get("RAGROUTE_BENCH_GEN_ONLY") == "1":
+        # pre-bake the world cache without touching the device (lets a
+        # CPU box prepare multi-GB worlds while the chip is busy)
+        log("RAGROUTE_BENCH_GEN_ONLY=1: world ready, exiting")
+        return
 
     t0 = time.time()
     shard_set = ShardSet.build(

@@ -77,6 +77,18 @@ def test_bench_world_cache_roundtrip(monkeypatch, capsys, tmp_path):
     assert json.loads(err2.out.strip().splitlines()[-1])["value"] > 0
     assert "world cache hit" in err2.err
 
+    # gen-only mode (pre-baking worlds for a busy chip) must write the
+    # cache and exit before any device work
+    monkeypatch.setenv("RAGROUTE_BENCH_GEN_ONLY", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "32")  # fresh cache key
+    bench.main()
+    out3 = capsys.readouterr()
+    assert "world ready, exiting" in out3.err
+    assert out3.out.strip() == ""          # no driver JSON line emitted
+    assert len(list(tmp_path.glob("w*.npz"))) == 2
+    monkeypatch.delenv("RAGROUTE_BENCH_GEN_ONLY")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "16")
+
     # the cached arrays are byte-identical to a fresh generation
     import numpy as np
 
