@@ -32,7 +32,6 @@ import numpy as np
 from flax import struct
 
 from ragroute_tpu.config import WorldConfig
-from ragroute_tpu.ops.topk import doc_bias
 
 # Shards are padded to a multiple of the kernel doc tile so the hot path
 # never re-pads (see ops/pallas_topk._pick_tiles upper bound).
@@ -174,9 +173,17 @@ class ShardSet:
             n_pad = _round_up(max(n, SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
             if n_pad != n:
                 emb = np.pad(emb, ((0, n_pad - n), (0, 0)))
-            # gain-form bias computed in f32 BEFORE dtype downcast
-            b = doc_bias(jnp.asarray(emb), src.score_mode)
-            if b is None:
+            # gain-form bias computed in f32 BEFORE dtype downcast — on
+            # the HOST: doc_bias(jnp.asarray(emb)) would stage the whole
+            # padded f32 slab on device (17 GB transient for an 8M-doc
+            # shard — device OOM long before the int8 bytes that actually
+            # need to fit; surfaced as a deferred RESOURCE_EXHAUSTED at
+            # first sync on the async tunnel)
+            if src.score_mode == "l2":
+                b = jnp.asarray(
+                    -np.einsum("nd,nd->n", emb, emb,
+                               dtype=np.float32, optimize=True))
+            else:
                 b = jnp.zeros((n_pad,), jnp.float32)
             if n_pad != n:
                 # -inf bias makes padding unselectable even on code paths
@@ -192,7 +199,11 @@ class ShardSet:
                 s_row = np.where(s_row == 0.0, 1.0, s_row)
                 emb = np.clip(np.round(emb / s_row[:, None]), -127, 127)
                 scale = jnp.asarray(s_row, dtype=jnp.float32)
-            docs = jnp.asarray(emb, dtype=dtype)
+            # cast on the HOST so only the final bytes cross to the
+            # device (int8 ships 4x less than the f32 working array;
+            # ml_dtypes handles the numpy-side bf16 cast)
+            emb = emb.astype(jnp.dtype(dtype).type, copy=False)
+            docs = jnp.asarray(emb)
             if device is not None:
                 docs = jax.device_put(docs, device)
                 b = jax.device_put(b, device)
