@@ -75,11 +75,29 @@ def parse_args(argv=None):
                              "(virtual CPU devices work: JAX_PLATFORMS="
                              "cpu XLA_FLAGS=--xla_force_host_platform_"
                              "device_count=8)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 — serve over a "
+                             "multi-host jax.distributed cluster (DCN). "
+                             "Launch the same command on every host with "
+                             "--num-processes N --process-id I; process 0 "
+                             "owns the HTTP front-end and broadcasts each "
+                             "batch, the others follow in lockstep. "
+                             "--mesh then spans the GLOBAL device list "
+                             "(keep idx within one host's device count)")
+    parser.add_argument("--num-processes", type=int, default=1)
+    parser.add_argument("--process-id", type=int, default=0)
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.num_processes > 1:
+        if not args.coordinator:
+            raise SystemExit("--num-processes > 1 requires --coordinator")
+        from ragroute_tpu.parallel import initialize_multihost
+
+        initialize_multihost(
+            args.coordinator, args.num_processes, args.process_id)
     from ragroute_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()

@@ -10,17 +10,15 @@ The scaling axes of a federated index-and-query engine (SURVEY §5.7-5.8):
   generalized: a corpus larger than one chip's HBM spans chips; per-device
   local top-k then an all-gather merge over ICI).
 
-Multi-host (DCN) note: everything in :mod:`ragroute_tpu.parallel` is
-plain SPMD — ``shard_map`` bodies with ``all_gather``/``psum`` over
-named axes — so a multi-host deployment only changes mesh construction:
-initialize ``jax.distributed``, build the mesh from ``jax.devices()``
-(global) with the ``idx`` axis laid out WITHIN each host's ICI domain
-(candidate all-gathers ride ICI; only the dp-sharded query scatter and
-the tiny merged results cross DCN), and feed per-host query slices via
-``jax.make_array_from_process_local_data``. The reference cannot do any
-of this — its ZMQ sockets are hardcoded to localhost
-(``config.py:3-10``). Untestable in this single-host image, hence
-documented rather than gated.
+Multi-host (DCN): everything in :mod:`ragroute_tpu.parallel` is plain
+SPMD — ``shard_map`` bodies with ``all_gather``/``psum`` over named
+axes — so a multi-host deployment only changes mesh construction and
+batch feeding. Both live in :mod:`ragroute_tpu.parallel.multihost`
+(initialize the distributed runtime, global mesh with ``idx`` inside
+each host's ICI domain, lockstep broadcast serving) and are GATED by
+``tests/test_multihost.py`` on a real 2-process gloo cluster. The
+reference cannot do any of this — its ZMQ sockets are hardcoded to
+localhost (``config.py:3-10``).
 """
 
 from __future__ import annotations

@@ -298,6 +298,12 @@ class ShardedSearch:
         self._key = jax.random.key(seed)
         n_idx = mesh.shape["idx"]
         self.dp = mesh.shape["dp"]
+        # multi-host mesh: some shards live on other processes, so host
+        # fetches must go through a collective (process_allgather) — a
+        # plain device_get cannot read non-addressable shards
+        self._multiprocess = any(
+            d.process_index != jax.process_index()
+            for d in np.asarray(mesh.devices).flat)
 
         repl = NamedSharding(mesh, P())
         docs_sh = NamedSharding(mesh, P("idx", None))
@@ -421,6 +427,20 @@ class ShardedSearch:
         self._q_sharding = NamedSharding(mesh, P("dp", None))
         self._mask_sharding = NamedSharding(mesh, P("dp", None))
 
+    def _fetch(self, tree):
+        """Coalesced device->host fetch of an output pytree.
+
+        Single-process: one ``jax.device_get``. Multi-process: every
+        process joins a ``process_allgather`` (all processes call
+        ``search`` in lockstep, so the collective is globally ordered)
+        and receives the full global value of each leaf.
+        """
+        if self._multiprocess:
+            from jax.experimental import multihost_utils as mhu
+
+            return mhu.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
+
     def _device_embs(self, query_embs: Dict[str, np.ndarray]):
         embs = {}
         for enc in self.world.encoders:
@@ -454,12 +474,15 @@ class ShardedSearch:
             t0 = time.perf_counter()
             probs, mask = self._route_step(
                 self.params, self.bank, embs, sub, strategy=strategy)
-            mask_h = jax.device_get(mask)
+            mask_h = self._fetch(mask)
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             scored = self._score_step(
                 self.arrays, self.ivf_arrays, embs, mask)
-            np.asarray(scored[2])
+            if self._multiprocess:
+                jax.block_until_ready(scored)
+            else:
+                np.asarray(scored[2])
             doc_t = time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
@@ -470,14 +493,14 @@ class ShardedSearch:
             probs, mask, scored = out[0], out[1], out[2:]
         if fetch_candidates:
             (probs, mask, shard_scores, shard_ids, merged_score,
-             merged_shard, merged_local, merged_valid) = jax.device_get(
+             merged_shard, merged_local, merged_valid) = self._fetch(
                 (probs, mask) + tuple(scored))
         else:
             # skip the [B, N, k] per-shard score transfer (see the
             # single-chip engine's docstring; profile-measured win)
             shard_scores = None
             (probs, mask, shard_ids, merged_score, merged_shard,
-             merged_local, merged_valid) = jax.device_get(
+             merged_local, merged_valid) = self._fetch(
                 (probs, mask, scored[1]) + tuple(scored[2:]))
         if not staged:
             doc_t = time.perf_counter() - t0

@@ -174,6 +174,10 @@ class ServingSystem:
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
+        # multi-host (DCN): >1 jax.distributed processes; process 0 owns
+        # HTTP and broadcasts batches, the rest follow in lockstep
+        self.num_processes = getattr(args, "num_processes", 1) or 1
+        self.process_id = getattr(args, "process_id", 0) or 0
         self.reuse_port = getattr(args, "reuse_port", False)
         self.server: Optional[FederationServer] = None
         self._watchdog: Optional[asyncio.Task] = None
@@ -225,13 +229,25 @@ class ServingSystem:
 
             dp, idx = parse_mesh_spec(self.mesh_spec)
             n = dp * idx
-            if len(jax.devices()) < n:
-                raise ValueError(
-                    f"--mesh {self.mesh_spec} needs {n} devices, have "
-                    f"{len(jax.devices())} (for CPU dev runs set "
-                    f"JAX_PLATFORMS=cpu XLA_FLAGS="
-                    f"--xla_force_host_platform_device_count={n})")
-            mesh = make_mesh(dp=dp, idx=idx, devices=jax.devices()[:n])
+            if self.num_processes > 1:
+                # multi-host: --mesh spans the GLOBAL device list; the
+                # multihost layout keeps each idx group within one host
+                from ragroute_tpu.parallel import make_multihost_mesh
+
+                if jax.device_count() != n:
+                    raise ValueError(
+                        f"--mesh {self.mesh_spec} needs exactly {n} "
+                        f"global devices across the cluster, have "
+                        f"{jax.device_count()}")
+                mesh = make_multihost_mesh(dp=dp, idx=idx)
+            else:
+                if len(jax.devices()) < n:
+                    raise ValueError(
+                        f"--mesh {self.mesh_spec} needs {n} devices, have "
+                        f"{len(jax.devices())} (for CPU dev runs set "
+                        f"JAX_PLATFORMS=cpu XLA_FLAGS="
+                        f"--xla_force_host_platform_device_count={n})")
+                mesh = make_mesh(dp=dp, idx=idx, devices=jax.devices()[:n])
             # batch buckets must be dp-multiples (the batch axis splits
             # evenly over dp); round each up and dedupe
             self.buckets = sorted({max(b, dp) + (-max(b, dp)) % dp
@@ -239,6 +255,11 @@ class ServingSystem:
             engine = ShardedSearch(
                 shard_set, params, bank, mesh, impl=self.impl,
                 threshold=threshold, nprobe=self.nprobe)
+            if self.num_processes > 1:
+                from ragroute_tpu.parallel import LockstepEngine
+
+                engine = LockstepEngine(
+                    engine, self.buckets, leader=self.process_id == 0)
         else:
             engine = FederatedSearchEngine(
                 shard_set, params, bank, impl=self.impl,
@@ -293,6 +314,15 @@ class ServingSystem:
                 await b.start()
 
     async def run_forever(self) -> None:
+        if self.num_processes > 1 and self.process_id > 0:
+            # follower host: no HTTP front-end; join the leader's
+            # broadcast step loop until the leader's stop flag
+            if self.server is None:
+                self.build()
+            logger.info("process %d following the lockstep feed",
+                        self.process_id)
+            await asyncio.to_thread(self.server.engine.follow)
+            return
         await self.start()
         while not self._stopping:
             await asyncio.sleep(1.0)
@@ -306,6 +336,9 @@ class ServingSystem:
             self._watchdog.cancel()
         if self.server:
             await self.server.stop()
+            if self.num_processes > 1 and self.process_id == 0:
+                # release follower hosts from their broadcast loop
+                self.server.engine.stop()
         logger.info("Shutdown complete")
 
 
