@@ -75,6 +75,13 @@ def parse_args(argv=None):
                              "(virtual CPU devices work: JAX_PLATFORMS="
                              "cpu XLA_FLAGS=--xla_force_host_platform_"
                              "device_count=8)")
+    parser.add_argument("--embedder", type=str, default="auto",
+                        choices=["auto", "precomputed", "hash", "zoo"],
+                        help="Query-embedding provider: auto (precomputed "
+                             "table if present, else hash), or zoo = LIVE "
+                             "encoder models per query (the reference's "
+                             "serving execution model; JAX-first with "
+                             "torch/hash fallbacks)")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="host:port of process 0 — serve over a "
                              "multi-host jax.distributed cluster (DCN). "

@@ -57,7 +57,7 @@ def parse_mesh_spec(spec: str):
 
 
 def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
-                         ivf_clusters=None):
+                         ivf_clusters=None, embedder: str = "auto"):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
@@ -65,6 +65,13 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
     no router checkpoint → fresh params (warning), no query table → hash
     embeddings. ``ivf_clusters`` additionally builds the balanced-IVF
     layouts for the approximate search mode.
+
+    ``embedder`` picks the query-embedding provider: ``auto`` =
+    precomputed table when present else hash; ``zoo`` = LIVE encoder
+    models through the model zoo (the reference's serving execution
+    model — it encodes every query on arrival,
+    ``ragroute/router.py:285-303``; JAX-first with torch→hash
+    fallbacks); ``precomputed`` / ``hash`` force those providers.
     """
     import jax
     import jax.numpy as jnp
@@ -125,7 +132,16 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
 
     provider = None
     qdir = os.path.join(wroot, "queries")
-    if os.path.exists(os.path.join(qdir, "encoders.json")):
+    if embedder == "zoo":
+        from ragroute_tpu.engine.embedding import EncoderZooEmbeddings
+
+        provider = EncoderZooEmbeddings(world)
+    elif embedder == "hash":
+        provider = HashEmbeddings(world)
+    elif embedder not in ("auto", "precomputed"):
+        raise ValueError(
+            f"unknown embedder {embedder!r} (auto|precomputed|hash|zoo)")
+    elif os.path.exists(os.path.join(qdir, "encoders.json")):
         with open(os.path.join(qdir, "encoders.json")) as f:
             encoders = json.load(f)
         with open(os.path.join(qdir, "qids.json")) as f:
@@ -137,6 +153,9 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
             for i, qid in enumerate(qids)
         }
         provider = PrecomputedEmbeddings(world, table)
+    elif embedder == "precomputed":
+        raise FileNotFoundError(
+            f"--embedder precomputed: no query table under {qdir}")
     else:
         provider = HashEmbeddings(world)
 
@@ -173,6 +192,7 @@ class ServingSystem:
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
+        self.embedder = getattr(args, "embedder", "auto") or "auto"
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
         # multi-host (DCN): >1 jax.distributed processes; process 0 owns
         # HTTP and broadcasts batches, the rest follow in lockstep
@@ -216,7 +236,8 @@ class ServingSystem:
                 self.data_root, self.world, dtype=dtype,
                 ivf_clusters=(self.ivf_clusters
                               if self.impl in ("ivf", "hybrid")
-                              else None))
+                              else None),
+                embedder=self.embedder)
 
         if self.mesh_spec:
             # BASELINE config #5: the federation served over a device

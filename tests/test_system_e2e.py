@@ -9,6 +9,7 @@ import pytest
 
 import run_benchmark
 from ragroute_tpu.index.synthetic import make_synthetic_world, save_world
+from ragroute_tpu.config import get_world
 from ragroute_tpu.system import ServingSystem
 
 
@@ -184,3 +185,46 @@ def test_feb4rag_full_system(tmp_path):
             await system.stop()
 
     asyncio.run(run())
+
+
+def test_embedder_selection(world_root):
+    """--embedder picks the query-embedding provider: zoo = live encoder
+    models (the reference encodes every query on arrival,
+    router.py:285-303), hash/precomputed force those providers, and
+    precomputed without a table must fail loudly."""
+    from ragroute_tpu.engine.embedding import (
+        EncoderZooEmbeddings, HashEmbeddings, PrecomputedEmbeddings)
+    from ragroute_tpu.system import load_world_artifacts
+
+    world = get_world("medrag")
+
+    def provider_for(embedder):
+        return load_world_artifacts(
+            world_root, world, embedder=embedder)[3]
+
+    assert isinstance(provider_for("auto"), PrecomputedEmbeddings)
+    assert isinstance(provider_for("precomputed"), PrecomputedEmbeddings)
+    assert isinstance(provider_for("hash"), HashEmbeddings)
+
+    zoo = provider_for("zoo")
+    assert isinstance(zoo, EncoderZooEmbeddings)
+    embs = zoo.embed("What is the treatment for hypertension?", "q0")
+    assert set(embs) == set(world.encoders)
+    for s in world.sources:
+        assert embs[s.encoder].shape == (s.embed_dim,)
+
+    with pytest.raises(ValueError):
+        provider_for("bogus")
+
+    import shutil
+    import tempfile
+
+    bare = tempfile.mkdtemp()
+    try:
+        shutil.copytree(os.path.join(world_root, "medrag"),
+                        os.path.join(bare, "medrag"),
+                        ignore=shutil.ignore_patterns("queries"))
+        with pytest.raises(FileNotFoundError):
+            load_world_artifacts(bare, world, embedder="precomputed")
+    finally:
+        shutil.rmtree(bare, ignore_errors=True)
