@@ -75,6 +75,15 @@ def parse_args(argv=None):
                              "(virtual CPU devices work: JAX_PLATFORMS="
                              "cpu XLA_FLAGS=--xla_force_host_platform_"
                              "device_count=8)")
+    parser.add_argument("--mutable", action="store_true",
+                        help="Serve a LIVE index: POST /docs/add and "
+                             "/docs/delete insert/remove documents at "
+                             "serve time (donated device scatters, no "
+                             "recompiles). Single-chip engines only; "
+                             "incompatible with --impl ivf/hybrid")
+    parser.add_argument("--reserve-docs", type=int, default=0,
+                        help="Extra free slots per shard for live adds "
+                             "(with --mutable)")
     parser.add_argument("--embedder", type=str, default="auto",
                         choices=["auto", "precomputed", "hash", "zoo"],
                         help="Query-embedding provider: auto (precomputed "

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -253,7 +254,10 @@ class FederatedSearchEngine:
         self.compaction = compaction
         self.nprobe = nprobe
         self._key = jax.random.key(seed)
-        n_docs = tuple(s.n_docs for s in shard_set.shards)
+        # scan_docs == n_docs for immutable shards; capacity for mutable
+        # ones (their liveness rides the per-row bias, so live adds and
+        # deletes change no static shape and trigger no recompile here)
+        n_docs = tuple(s.scan_docs for s in shard_set.shards)
         if impl == "ivf":
             missing = [s.name for s in shard_set.shards if s.ivf is None]
             if missing:
@@ -292,9 +296,20 @@ class FederatedSearchEngine:
         self._route_step = route_step
         self._score_step = score_step
         self._full_step = full_step
-        self._arrays = shard_set.arrays()
         self._ivf = (shard_set.ivf_arrays()
                      if impl in ("ivf", "hybrid") else None)
+        # serializes live updates against in-flight search dispatches: a
+        # donated update between arrays() read and dispatch would hand XLA
+        # a deleted buffer (search itself is already serialized by the
+        # batcher; updates come from a different handler thread)
+        self._step_lock = threading.Lock()
+
+    @property
+    def _arrays(self):
+        # read through to the ShardSet on every step: live add/delete
+        # replaces the shard arrays (donated scatters), and a cached list
+        # here would hand XLA deleted buffers
+        return self.shard_set.arrays()
 
     # ------------------------------------------------------------------
 
@@ -358,6 +373,19 @@ class FederatedSearchEngine:
         scripts/profile_http.py --cprofile). feb4rag keeps the full
         fetch (its qrels-oracle rerank consumes per-source candidates).
         """
+        with self._step_lock:
+            return self._search_locked(
+                query_embs, strategy=strategy, staged=staged,
+                fetch_candidates=fetch_candidates)
+
+    def _search_locked(
+        self,
+        query_embs: Dict[str, np.ndarray],
+        *,
+        strategy: str,
+        staged: bool,
+        fetch_candidates: bool,
+    ) -> SearchOutput:
         embs = self._device_embs(query_embs)
         rng = self._next_key()
         if strategy == "ragroute":
@@ -414,6 +442,20 @@ class FederatedSearchEngine:
             selection_time=sel_t,
             doc_select_time=doc_t,
         )
+
+    # -- live updates ---------------------------------------------------
+
+    def add_docs(self, source: str, embeddings, doc_ids=None) -> List[int]:
+        """Insert documents into a mutable shard (serialized against
+        in-flight search steps); see :meth:`ShardSet.add_docs`."""
+        with self._step_lock:
+            return self.shard_set.add_docs(source, embeddings, doc_ids)
+
+    def delete_docs(self, source: str, *, doc_ids=None,
+                    slots=None) -> List[int]:
+        with self._step_lock:
+            return self.shard_set.delete_docs(
+                source, doc_ids=doc_ids, slots=slots)
 
     # ------------------------------------------------------------------
 

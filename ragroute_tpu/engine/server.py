@@ -92,9 +92,19 @@ class FederationServer:
         self.app.add_routes([
             web.get("/query", self.handle_query),
             web.post("/query", self.handle_query),
+            web.post("/query/batch", self.handle_query_batch),
+            web.post("/docs/add", self.handle_docs_add),
+            web.post("/docs/delete", self.handle_docs_delete),
             web.get("/healthz", self.handle_health),
             web.get("/stats", self.handle_stats),
         ])
+        if getattr(engine.shard_set, "mutable", False):
+            # live updates need a writable payload overlay so docs added
+            # at serve time resolve to their payloads (and recycled slots
+            # never leak the base corpus's old payload)
+            from ragroute_tpu.index.store import OverlayDocStore
+
+            self.doc_store = doc_store = OverlayDocStore(doc_store)
         self.warmup = warmup
         self._runner: Optional[web.AppRunner] = None
         self._site: Optional[web.TCPSite] = None
@@ -225,6 +235,165 @@ class FederationServer:
         except asyncio.TimeoutError:
             logger.error("Query timed out")
             return web.Response(text="Search timed out", status=504)
+
+    async def handle_query_batch(self, request):
+        """Bulk variant of ``/query``: many queries per HTTP request.
+
+        The single-query protocol pays ~0.67 ms of host CPU per request in
+        aiohttp parse/header/socket work (measured, BENCHMARKS.md) — a hard
+        ~1.5k q/s ceiling on one core regardless of how fast the device is.
+        ``POST /query/batch`` amortizes that per-request cost over the whole
+        batch: body ``{"queries": [{"q", "choices", "qid"}, ...]}``, response
+        ``{"results": [<per-query /query body or {"error": ...}>, ...]}``
+        in input order. Per-item semantics (validation strings, metadata
+        schema, timeout handling) match ``/query`` exactly; the queries ride
+        the same micro-batcher, so one bulk request typically becomes one
+        device step. Beyond-reference (the reference is strictly
+        one-query-per-request), but its own clients stripe requests for the
+        same reason (``run_benchmark_parallel.py``).
+        """
+        try:
+            data = await request.json()
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return web.Response(text="Invalid JSON body", status=400)
+        queries = data.get("queries") if isinstance(data, dict) else data
+        if not isinstance(queries, list) or not queries:
+            return web.Response(
+                text="Provide a non-empty 'queries' list", status=400)
+
+        async def one(item) -> dict:
+            if not isinstance(item, dict):
+                return {"error": "Each query must be an object"}
+            query = item.get("q", "")
+            choices = item.get("choices", "")
+            question_id = str(item.get("qid", "") or "")
+            # validation parity with /query (http_server.py:117-130)
+            if not query:
+                return {"error": "Please provide a query"}
+            if not choices:
+                return {"error": "Please provide choices"}
+            if self.world.name == "feb4rag" and not question_id:
+                return {"error":
+                        "For FeB4RAG, please provide a question ID (qid)"}
+            if isinstance(choices, str):  # bulk bodies may inline JSON
+                try:
+                    choices = json.loads(choices)
+                except json.JSONDecodeError:
+                    return {"error": "Invalid choices format"}
+            try:
+                return await asyncio.wait_for(
+                    self._process(query, choices, question_id),
+                    timeout=QUERY_TIMEOUT_S)
+            except asyncio.TimeoutError:
+                return {"error": "Search timed out"}
+
+        results = await asyncio.gather(*[one(it) for it in queries])
+        return web.json_response({"results": list(results)}, dumps=_dumps)
+
+    # -- live index updates ------------------------------------------------
+
+    def _update_source_index(self, source: str) -> Optional[int]:
+        for si, s in enumerate(self.world.sources):
+            if s.name == source:
+                return si
+        return None
+
+    def _invalidate_doc_caches(self, si: int) -> None:
+        self._size_cache.pop(si, None)
+        if self._get_doc is not None:
+            self._get_doc.cache_clear()
+
+    async def handle_docs_add(self, request):
+        """``POST /docs/add``: insert documents into a live shard.
+
+        Body: ``{"source": name, "docs": [{"embedding": [...], "id": ...,
+        "payload": {...}}, ...]}``. Requires the server to run on a
+        mutable ShardSet (``--mutable``); the embeddings get the shard's
+        build-time treatment and are visible to the next device batch.
+        """
+        if not getattr(self.engine.shard_set, "mutable", False):
+            return web.Response(
+                text="Index is immutable; start with --mutable to enable "
+                     "live updates", status=400)
+        try:
+            data = await request.json()
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return web.Response(text="Invalid JSON body", status=400)
+        source = data.get("source")
+        docs = data.get("docs")
+        si = self._update_source_index(source) if source else None
+        if si is None:
+            return web.Response(
+                text=f"Unknown source {source!r}", status=400)
+        if not isinstance(docs, list) or not docs:
+            return web.Response(
+                text="Provide a non-empty 'docs' list", status=400)
+        if any("embedding" not in d for d in docs):
+            return web.Response(
+                text="Every doc needs an 'embedding'", status=400)
+        try:
+            embs = np.asarray([d["embedding"] for d in docs],
+                              dtype=np.float32)
+        except ValueError:
+            return web.Response(
+                text="Malformed embeddings (ragged or non-numeric)",
+                status=400)
+        ids = ([d.get("id") for d in docs]
+               if any("id" in d for d in docs) else None)
+        loop = asyncio.get_running_loop()
+        try:
+            slots = await loop.run_in_executor(
+                None, self.engine.add_docs, source, embs, ids)
+        except (ValueError, KeyError) as e:
+            return web.Response(text=str(e), status=400)
+        for sl, d in zip(slots, docs):
+            if "payload" in d:
+                self.doc_store.set(source, sl, d["payload"])
+        self._invalidate_doc_caches(si)
+        return web.json_response({
+            "added": len(slots),
+            "slots": slots,
+            "live_docs": self.engine.shard_set.live_docs(source),
+            "free_slots": self.engine.shard_set.free_slots(source),
+        }, dumps=_dumps)
+
+    async def handle_docs_delete(self, request):
+        """``POST /docs/delete``: remove documents from a live shard.
+
+        Body: ``{"source": name, "ids": [...]}`` or
+        ``{"source": name, "slots": [...]}``.
+        """
+        if not getattr(self.engine.shard_set, "mutable", False):
+            return web.Response(
+                text="Index is immutable; start with --mutable to enable "
+                     "live updates", status=400)
+        try:
+            data = await request.json()
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return web.Response(text="Invalid JSON body", status=400)
+        source = data.get("source")
+        si = self._update_source_index(source) if source else None
+        if si is None:
+            return web.Response(
+                text=f"Unknown source {source!r}", status=400)
+        ids = data.get("ids")
+        slots = data.get("slots")
+        loop = asyncio.get_running_loop()
+        try:
+            removed = await loop.run_in_executor(
+                None,
+                lambda: self.engine.delete_docs(
+                    source, doc_ids=ids, slots=slots))
+        except (ValueError, KeyError) as e:
+            return web.Response(text=str(e), status=400)
+        for sl in removed:
+            self.doc_store.delete(source, sl)
+        self._invalidate_doc_caches(si)
+        return web.json_response({
+            "deleted": len(removed),
+            "live_docs": self.engine.shard_set.live_docs(source),
+            "free_slots": self.engine.shard_set.free_slots(source),
+        }, dumps=_dumps)
 
     # -- core pipeline -------------------------------------------------------
 

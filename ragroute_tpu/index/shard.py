@@ -37,9 +37,65 @@ from ragroute_tpu.config import WorldConfig
 # never re-pads (see ops/pallas_topk._pick_tiles upper bound).
 SHARD_PAD_MULTIPLE = 512
 
+# Live updates scatter in fixed-width chunks so every add/delete of any
+# size reuses ONE compiled scatter per shard; short chunks pad by
+# repeating their last (slot, value) pair — duplicate same-value writes
+# are idempotent, so the result is deterministic.
+UPDATE_CHUNK = 512
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_rows(docs, bias, slots, rows, brows):
+    return docs.at[slots].set(rows), bias.at[slots].set(brows)
+
+
+@_functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_rows_scaled(docs, bias, scale, slots, rows, brows, srows):
+    return (docs.at[slots].set(rows), bias.at[slots].set(brows),
+            scale.at[slots].set(srows))
+
+
+@_functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_bias(bias, slots, values):
+    return bias.at[slots].set(values)
+
+
+def _id_key(d):
+    """Hashable key for a doc-id payload (payloads may be JSON objects)."""
+    try:
+        hash(d)
+        return d
+    except TypeError:
+        return json.dumps(d, sort_keys=True, default=str)
+
+
+def _pad_chunk_1d(slots, values):
+    """Pad a (slots, values) pair to UPDATE_CHUNK with idempotent repeats."""
+    m = len(slots)
+    pad = UPDATE_CHUNK - m
+    sl = np.asarray(list(slots) + [slots[-1]] * pad, dtype=np.int32)
+    vals = np.concatenate(
+        [values, np.repeat(values[-1:], pad, axis=0)]) if pad else values
+    return jnp.asarray(sl), jnp.asarray(vals)
+
+
+def _pad_chunk(slots, rows, brows, srows):
+    m = len(slots)
+    pad = UPDATE_CHUNK - m
+    sl = np.asarray(list(slots) + [slots[-1]] * pad, dtype=np.int32)
+    if pad:
+        rows = np.concatenate([rows, np.repeat(rows[-1:], pad, axis=0)])
+        brows = np.concatenate([brows, np.repeat(brows[-1:], pad)])
+        if srows is not None:
+            srows = np.concatenate([srows, np.repeat(srows[-1:], pad)])
+    return jnp.asarray(sl), rows, brows, srows
 
 
 @struct.dataclass
@@ -54,6 +110,22 @@ class DeviceShard:
     n_docs: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False)
     score_mode: str = struct.field(pytree_node=False)
+    mutable: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def scan_docs(self) -> int:
+        """Static doc-count bound handed to the scoring kernels.
+
+        Immutable shards bound the scan at the build-time doc count (the
+        kernel folds rows >= scan_docs into a NEG_INF bias tail). Mutable
+        shards scan the full capacity: liveness is carried ONLY by the
+        per-row bias (-inf on free slots), so adds/deletes never change a
+        static shape or trigger a recompile."""
+        return self.docs.shape[0] if self.mutable else self.n_docs
+
+    @property
+    def capacity(self) -> int:
+        return self.docs.shape[0]
 
 
 @dataclasses.dataclass
@@ -63,6 +135,9 @@ class ShardSet:
     world: WorldConfig
     shards: List[DeviceShard]
     doc_ids: Dict[str, Optional[list]]  # source -> id payloads (host side)
+    # mutable-mode bookkeeping (set by build(mutable=True)):
+    _live: Optional[Dict[str, int]] = None   # source -> live doc count
+    _free: Optional[Dict[str, List[int]]] = None  # source -> free slot stack
 
     @classmethod
     def build(
@@ -77,6 +152,8 @@ class ShardSet:
         ivf_clusters: Optional[int] = None,
         ivf_seed: int = 0,
         ivf_cache_dirs: Optional[Mapping[str, str]] = None,
+        mutable: bool = False,
+        reserve_docs: int = 0,
     ) -> "ShardSet":
         """Upload per-source embedding matrices to HBM.
 
@@ -98,7 +175,21 @@ class ShardSet:
             cluster count (~4*sqrt(n)); any positive value is the cluster
             count C. The flat exact layout is always kept (the exact path
             and parity gates stay available).
+          mutable: enable live document adds/deletes (:meth:`add_docs` /
+            :meth:`delete_docs`). Row liveness then rides the per-row
+            bias (-inf = free slot) instead of a static doc-count mask,
+            so updates are donated device scatters with ZERO recompiles.
+            Incompatible with ``ivf_clusters`` (a cluster layout would go
+            stale on update; rebuild instead).
+          reserve_docs: extra empty slots per shard for future adds
+            (mutable mode; capacity = round_up(n + reserve_docs, 512)).
         """
+        if mutable and ivf_clusters:
+            raise ValueError(
+                "mutable shards cannot carry a balanced-IVF layout "
+                "(adds/deletes would leave the cluster slabs stale); "
+                "build with ivf_clusters=None and rebuild the IVF layout "
+                "offline when the corpus settles")
         shards: List[DeviceShard] = []
         ids: Dict[str, Optional[list]] = {}
         for src in world.sources:
@@ -170,7 +261,8 @@ class ShardSet:
                     if cache:
                         save_ivf(ivf, cache, fingerprint=fp)
             n = emb.shape[0]
-            n_pad = _round_up(max(n, SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
+            n_pad = _round_up(max(n + (reserve_docs if mutable else 0),
+                                  SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
             if n_pad != n:
                 emb = np.pad(emb, ((0, n_pad - n), (0, 0)))
             # gain-form bias computed in f32 BEFORE dtype downcast — on
@@ -213,14 +305,22 @@ class ShardSet:
                     center = jax.device_put(center, device)
             shards.append(DeviceShard(
                 docs=docs, bias=b, scale=scale, center=center, ivf=ivf,
-                n_docs=n, name=src.name, score_mode=src.score_mode))
+                n_docs=n, name=src.name, score_mode=src.score_mode,
+                mutable=mutable))
             ids[src.name] = (
                 list(doc_ids[src.name]) if doc_ids and src.name in doc_ids
                 else None)
-        return cls(world=world, shards=shards, doc_ids=ids)
+        out = cls(world=world, shards=shards, doc_ids=ids)
+        if mutable:
+            out._live = {s.name: s.n_docs for s in shards}
+            out._free = {s.name: list(range(s.capacity - 1, s.n_docs - 1, -1))
+                         for s in shards}
+        return out
 
     @property
     def total_docs(self) -> int:
+        if self._live is not None:
+            return sum(self._live.values())
         return sum(s.n_docs for s in self.shards)
 
     @property
@@ -240,6 +340,183 @@ class ShardSet:
         separate from :meth:`arrays` so exact-path callers never see a
         tuple-arity change."""
         return [s.ivf for s in self.shards]
+
+    # -- live updates (mutable shards) --------------------------------------
+
+    @property
+    def mutable(self) -> bool:
+        return self._free is not None
+
+    def _mutable_index(self, source: str) -> int:
+        if self._free is None:
+            raise ValueError(
+                "live updates need ShardSet.build(mutable=True); this set "
+                "was built immutable")
+        for si, s in enumerate(self.shards):
+            if s.name == source:
+                return si
+        raise KeyError(f"unknown source {source!r}")
+
+    def live_docs(self, source: str) -> int:
+        """Current live doc count of a mutable shard."""
+        si = self._mutable_index(source)
+        return self._live[source] if self._live else self.shards[si].n_docs
+
+    def free_slots(self, source: str) -> int:
+        self._mutable_index(source)
+        return len(self._free[source])
+
+    def add_docs(
+        self,
+        source: str,
+        embeddings: np.ndarray,
+        doc_ids: Optional[Sequence] = None,
+    ) -> List[int]:
+        """Insert documents into a live shard; returns their slot indices.
+
+        The rows get the exact build-time treatment (cos normalization,
+        mean-centering with the shard's frozen build-time ``center``, l2
+        gain bias, int8 per-doc quantization, host-side dtype cast) and are
+        written into free slots with a donated device scatter — an
+        in-place HBM update, no reallocation, no recompile (liveness is
+        the per-row bias, see :attr:`DeviceShard.scan_docs`). Queries see
+        the new documents on the next engine step.
+
+        The reference has no equivalent (its FAISS indexes are read-only
+        at serve time, ``data_source.py:69-80``); this is the production
+        freshness path.
+        """
+        si = self._mutable_index(source)
+        shard = self.shards[si]
+        src = self.world.sources[si]
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[1] != src.embed_dim:
+            raise ValueError(
+                f"{source}: add shape {emb.shape} != [m, {src.embed_dim}]")
+        m = emb.shape[0]
+        if doc_ids is not None and len(doc_ids) != m:
+            raise ValueError(
+                f"{source}: {len(doc_ids)} doc_ids for {m} embeddings")
+        free = self._free[source]
+        if m > len(free):
+            raise ValueError(
+                f"{source}: adding {m} docs but only {len(free)} free "
+                f"slots (capacity {shard.capacity}, live "
+                f"{self._live[source]}); build with a larger reserve_docs "
+                f"or delete first")
+
+        # identical preprocessing to build()
+        if src.score_mode == "cos":
+            emb = emb / np.maximum(
+                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        if shard.center is not None:
+            emb = emb - np.asarray(shard.center)
+        if src.score_mode == "l2":
+            brows = -np.einsum("nd,nd->n", emb, emb,
+                               dtype=np.float32, optimize=True)
+        else:
+            brows = np.zeros(m, np.float32)
+        srows = None
+        if shard.docs.dtype == jnp.int8:
+            s_row = np.abs(emb).max(axis=1) / 127.0
+            s_row = np.where(s_row == 0.0, 1.0, s_row).astype(np.float32)
+            emb = np.clip(np.round(emb / s_row[:, None]), -127, 127)
+            srows = s_row
+        rows = emb.astype(shard.docs.dtype.type, copy=False)
+
+        slots = [free.pop() for _ in range(m)]
+        shard = self._scatter(shard, slots, rows,
+                              brows.astype(np.float32), srows)
+        self.shards[si] = shard
+
+        table = self.doc_ids.get(source)
+        if table is None and doc_ids is not None:
+            # docs so far were identified by local index; materialize that
+            table = list(range(shard.n_docs))
+            self.doc_ids[source] = table
+        if table is not None:
+            if len(table) < shard.capacity:
+                table.extend([None] * (shard.capacity - len(table)))
+            for sl, did in zip(
+                    slots, doc_ids if doc_ids is not None else slots):
+                table[sl] = did
+        self._live[source] += m
+        return slots
+
+    def delete_docs(
+        self,
+        source: str,
+        *,
+        doc_ids: Optional[Sequence] = None,
+        slots: Optional[Sequence[int]] = None,
+    ) -> List[int]:
+        """Remove documents from a live shard (by id payload or by slot).
+
+        A delete writes ``-inf`` into the deleted rows' bias (one donated
+        device scatter): the scoring kernels can then never select them,
+        the slots return to the free list for reuse by :meth:`add_docs`.
+        """
+        si = self._mutable_index(source)
+        shard = self.shards[si]
+        table = self.doc_ids.get(source)
+        if (doc_ids is None) == (slots is None):
+            raise ValueError("pass exactly one of doc_ids= / slots=")
+        if doc_ids is not None:
+            if table is None:
+                raise ValueError(
+                    f"{source} has no doc-id table; delete by slots=")
+            # id payloads may be arbitrary JSON (the reference's medrag
+            # metadatas are dicts) — key them hashably
+            pos = {_id_key(d): i for i, d in enumerate(table)
+                   if d is not None}
+            missing = [d for d in doc_ids if _id_key(d) not in pos]
+            if missing:
+                raise KeyError(f"{source}: unknown doc ids {missing[:5]}")
+            slots = [pos[_id_key(d)] for d in doc_ids]
+        slots = [int(s) for s in slots]
+        free_set = set(self._free[source])
+        bad = [s for s in slots
+               if s < 0 or s >= shard.capacity or s in free_set]
+        if bad or len(set(slots)) != len(slots):
+            raise ValueError(
+                f"{source}: invalid/free/duplicate slots in delete: "
+                f"{(bad or 'duplicates')!r:.80s}")
+
+        neg = np.full(len(slots), -np.inf, dtype=np.float32)
+        for off in range(0, len(slots), UPDATE_CHUNK):
+            sl = slots[off:off + UPDATE_CHUNK]
+            vals = neg[:len(sl)]
+            sl_a, vals = _pad_chunk_1d(sl, vals)
+            bias = _scatter_bias(shard.bias, sl_a, vals)
+            shard = shard.replace(bias=bias)
+        self.shards[si] = shard
+        self._free[source].extend(slots)
+        if table is not None:
+            for sl in slots:
+                table[sl] = None
+        self._live[source] -= len(slots)
+        return slots
+
+    def _scatter(self, shard: DeviceShard, slots: List[int],
+                 rows: np.ndarray, brows: np.ndarray,
+                 srows: Optional[np.ndarray]) -> DeviceShard:
+        for off in range(0, len(slots), UPDATE_CHUNK):
+            sl = slots[off:off + UPDATE_CHUNK]
+            r = rows[off:off + UPDATE_CHUNK]
+            b = brows[off:off + UPDATE_CHUNK]
+            s = None if srows is None else srows[off:off + UPDATE_CHUNK]
+            sl_a, r, b, s = _pad_chunk(sl, r, b, s)
+            if shard.scale is not None:
+                docs, bias, scale = _scatter_rows_scaled(
+                    shard.docs, shard.bias, shard.scale, sl_a,
+                    jnp.asarray(r), jnp.asarray(b), jnp.asarray(s))
+                shard = shard.replace(docs=docs, bias=bias, scale=scale)
+            else:
+                docs, bias = _scatter_rows(
+                    shard.docs, shard.bias, sl_a,
+                    jnp.asarray(r), jnp.asarray(b))
+                shard = shard.replace(docs=docs, bias=bias)
+        return shard
 
     # -- persistence --------------------------------------------------------
 

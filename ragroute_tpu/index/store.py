@@ -43,6 +43,47 @@ class MemoryDocStore:
         return cls(syn.doc_payloads)
 
 
+class OverlayDocStore:
+    """Writable overlay over any base store, for live document updates.
+
+    Lookups hit the overlay first (payloads of docs added at serve time,
+    keyed by (source, slot)), then fall through to the base store. Slots
+    freed by a delete are masked so a recycled slot never leaks the old
+    payload from the base store.
+    """
+
+    def __init__(self, base: Optional[DocStore] = None):
+        self.base = base
+        self._overlay: Dict[tuple, object] = {}
+
+    def set(self, source: str, local_idx: int, payload) -> None:
+        self._overlay[(source, local_idx)] = payload
+
+    def delete(self, source: str, local_idx: int) -> None:
+        self._overlay[(source, local_idx)] = None
+
+    def get(self, source: str, local_idx: int):
+        key = (source, local_idx)
+        if key in self._overlay:
+            return self._overlay[key]
+        if self.base is not None:
+            return self.base.get(source, local_idx)
+        return None
+
+    def raw_lengths(self, source: str):
+        # message-size tables come from the base corpus; overlay docs are
+        # estimated by the server's fallback path
+        fn = getattr(self.base, "raw_lengths", None)
+        return fn(source) if fn else None
+
+    def get_raw(self, source: str, local_idx: int):
+        if (source, local_idx) in self._overlay:
+            p = self._overlay[(source, local_idx)]
+            return None if p is None else json.dumps(p)
+        fn = getattr(self.base, "get_raw", None)
+        return fn(source, local_idx) if fn else None
+
+
 class JsonlDirDocStore:
     """``<root>/<source>.jsonl`` corpora with lazy line caches.
 

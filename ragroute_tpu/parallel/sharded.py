@@ -296,6 +296,14 @@ class ShardedSearch:
         self.nprobe = nprobe
         self.threshold = threshold
         self._key = jax.random.key(seed)
+        if any(s.mutable for s in shard_set.shards):
+            # the mesh engine re-device_puts sharded COPIES of the arrays
+            # below; live scatters into the single-device originals would
+            # silently never reach them
+            raise ValueError(
+                "mutable ShardSets are not servable over a mesh yet; "
+                "build with mutable=False for --mesh (live updates are a "
+                "single-chip capability)")
         n_idx = mesh.shape["idx"]
         self.dp = mesh.shape["dp"]
         # multi-host mesh: some shards live on other processes, so host

@@ -57,7 +57,8 @@ def parse_mesh_spec(spec: str):
 
 
 def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
-                         ivf_clusters=None, embedder: str = "auto"):
+                         ivf_clusters=None, embedder: str = "auto",
+                         mutable: bool = False, reserve_docs: int = 0):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
@@ -80,7 +81,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
     wroot = os.path.join(root, world.name)
 
     shard_set = ShardSet.load(root, world, dtype=dtype,
-                              ivf_clusters=ivf_clusters)
+                              ivf_clusters=ivf_clusters,
+                              mutable=mutable, reserve_docs=reserve_docs)
 
     cent_path = os.path.join(wroot, "centroids.json")
     if os.path.exists(cent_path):
@@ -193,7 +195,14 @@ class ServingSystem:
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
         self.embedder = getattr(args, "embedder", "auto") or "auto"
+        self.mutable = getattr(args, "mutable", False)
+        self.reserve_docs = getattr(args, "reserve_docs", 0) or 0
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
+        if self.mutable and self.mesh_spec:
+            raise ValueError(
+                "--mutable is a single-chip capability (the mesh engine "
+                "serves sharded copies; live scatters would not reach "
+                "them) — drop --mesh or --mutable")
         # multi-host (DCN): >1 jax.distributed processes; process 0 owns
         # HTTP and broadcasts batches, the rest follow in lockstep
         self.num_processes = getattr(args, "num_processes", 1) or 1
@@ -220,7 +229,8 @@ class ServingSystem:
                 syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype,
                 ivf_clusters=(self.ivf_clusters
                               if self.impl in ("ivf", "hybrid")
-                              else None))
+                              else None),
+                mutable=self.mutable, reserve_docs=self.reserve_docs)
             import jax
 
             params = init_router_params(
@@ -237,7 +247,8 @@ class ServingSystem:
                 ivf_clusters=(self.ivf_clusters
                               if self.impl in ("ivf", "hybrid")
                               else None),
-                embedder=self.embedder)
+                embedder=self.embedder,
+                mutable=self.mutable, reserve_docs=self.reserve_docs)
 
         if self.mesh_spec:
             # BASELINE config #5: the federation served over a device

@@ -73,6 +73,7 @@ async def run(args):
         "--concurrency", str(args.concurrency),
         "--seconds", str(args.seconds),
         "--warmup-seconds", "3",
+        "--bulk", str(args.bulk),
     ]
     print(f"driving load: {' '.join(load_cmd[1:])}", file=sys.stderr)
 
@@ -113,6 +114,9 @@ def main():
     ap.add_argument("--seconds", type=float, default=15.0)
     ap.add_argument("--concurrency", type=int, default=256)
     ap.add_argument("--docs-per-source", type=int, default=4096)
+    ap.add_argument("--bulk", type=int, default=0,
+                    help="queries per request via POST /query/batch "
+                         "(0 = single-query GET mode)")
     ap.add_argument("--cprofile", action="store_true")
     args = ap.parse_args()
     asyncio.run(run(args))

@@ -132,6 +132,59 @@ def test_batched_concurrent_queries():
     asyncio.run(run())
 
 
+def test_bulk_query_endpoint():
+    """POST /query/batch: per-item /query semantics, input order, and the
+    whole bulk request riding the micro-batcher as one device batch."""
+    async def run():
+        syn, server = make_server(strategy="all")
+        await server.start()
+        try:
+            port = server.bound_port
+            items = [
+                {"q": q["question"], "choices": q["options"],
+                 "qid": q["qid"]}
+                for q in syn.questions[:4]
+            ]
+            # per-item validation errors must not fail the whole request
+            items.append({"q": "", "choices": {"A": "x"}, "qid": "bad0"})
+            items.append({"q": "no choices", "choices": "", "qid": "bad1"})
+            items.append({"q": "bad json choices", "choices": "[oops",
+                          "qid": "bad2"})
+            async with aiohttp.ClientSession() as s:
+                async with s.post(f"http://127.0.0.1:{port}/query/batch",
+                                  json={"queries": items}) as r:
+                    assert r.status == 200
+                    body = await r.json()
+                results = body["results"]
+                assert len(results) == len(items)
+                for res, q in zip(results[:4], syn.questions[:4]):
+                    assert set(res) == {"query_id", "query", "answer",
+                                        "metadata"}
+                    assert res["query"] == q["question"]  # input order kept
+                    md = res["metadata"]
+                    assert len(md["top_docs"]) == syn.world.k
+                    assert sorted(md["data_sources"]) == sorted(
+                        src.name for src in syn.world.sources)
+                # one bulk request -> one micro-batch for the valid items
+                assert max(r["metadata"]["batch_size"]
+                           for r in results[:4]) >= 2
+                assert results[4] == {"error": "Please provide a query"}
+                assert results[5] == {"error": "Please provide choices"}
+                assert results[6] == {"error": "Invalid choices format"}
+
+                # malformed envelopes
+                async with s.post(f"http://127.0.0.1:{port}/query/batch",
+                                  data=b"not json") as r:
+                    assert r.status == 400
+                async with s.post(f"http://127.0.0.1:{port}/query/batch",
+                                  json={"queries": []}) as r:
+                    assert r.status == 400
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
 def test_llm_echo_backend():
     async def run():
         syn, server = make_server(disable_llm=False)
