@@ -457,6 +457,13 @@ class FederatedSearchEngine:
             return self.shard_set.delete_docs(
                 source, doc_ids=doc_ids, slots=slots)
 
+    @property
+    def update_lock(self):
+        """Lock serializing index mutations against search steps; callers
+        that must see a mutation-consistent view across several reads
+        (e.g. snapshot + payload compaction) hold it for the duration."""
+        return self._step_lock
+
     # ------------------------------------------------------------------
 
     def resolve_doc_ids(

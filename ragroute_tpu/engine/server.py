@@ -20,6 +20,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import time
 import uuid
 from typing import Dict, List, Optional
@@ -73,6 +74,7 @@ class FederationServer:
         port: int = HTTP_PORT,
         warmup: bool = True,
         reuse_port: bool = False,
+        data_root: Optional[str] = None,
     ):
         self.engine = engine
         self.world: WorldConfig = engine.world
@@ -88,6 +90,7 @@ class FederationServer:
         self.host = host
         self.port = port
         self.reuse_port = reuse_port
+        self.data_root = data_root
         self.app = web.Application()
         self.app.add_routes([
             web.get("/query", self.handle_query),
@@ -95,6 +98,7 @@ class FederationServer:
             web.post("/query/batch", self.handle_query_batch),
             web.post("/docs/add", self.handle_docs_add),
             web.post("/docs/delete", self.handle_docs_delete),
+            web.post("/admin/snapshot", self.handle_snapshot),
             web.get("/healthz", self.handle_health),
             web.get("/stats", self.handle_stats),
         ])
@@ -393,6 +397,68 @@ class FederationServer:
             "deleted": len(removed),
             "live_docs": self.engine.shard_set.live_docs(source),
             "free_slots": self.engine.shard_set.free_slots(source),
+        }, dumps=_dumps)
+
+    def _raw_payload(self, source: str, slot: int) -> Optional[str]:
+        """Serialized payload of one doc slot, preferring the store's raw
+        bytes (native mmap / overlay) over parse-and-redump."""
+        fn = getattr(self.doc_store, "get_raw", None)
+        raw = fn(source, slot) if fn else None
+        if raw is None:
+            p = self.doc_store.get(source, slot)
+            return None if p is None else _dumps(p)
+        return raw.decode() if isinstance(raw, (bytes, bytearray)) else raw
+
+    def _do_snapshot(self) -> Dict[str, dict]:
+        """Persist index + payloads under the engine's update lock, so the
+        embeddings and the payload jsonl compact the SAME slot view even
+        while /docs/add traffic is in flight."""
+        with self.engine.update_lock:
+            report = self.engine.shard_set.snapshot(self.data_root)
+            if self.doc_store is not None:
+                pay_dir = os.path.join(
+                    self.data_root, self.world.name, "payloads")
+                os.makedirs(pay_dir, exist_ok=True)
+                for name, info in report.items():
+                    tmp = os.path.join(pay_dir, f"{name}.jsonl.tmp")
+                    with open(tmp, "w") as f:
+                        for s in info["slots"]:
+                            raw = self._raw_payload(name, s)
+                            f.write((raw if raw is not None else "null")
+                                    + "\n")
+                    os.replace(tmp,
+                               os.path.join(pay_dir, f"{name}.jsonl"))
+        return report
+
+    async def handle_snapshot(self, request):
+        """``POST /admin/snapshot``: persist the live index durably.
+
+        Writes the mutated corpus (embeddings, doc ids, payload jsonl)
+        back to the data root atomically, compacted to live docs, so the
+        next boot of ``main.py`` serves exactly what this server is
+        serving now — closing the CRUD durability loop that
+        ``/docs/add`` + ``/docs/delete`` opened. The reference has no
+        equivalent (its FAISS indexes are read-only at serve time).
+        """
+        if not getattr(self.engine.shard_set, "mutable", False):
+            return web.Response(
+                text="Index is immutable; start with --mutable to enable "
+                     "live updates", status=400)
+        if not self.data_root:
+            return web.Response(
+                text="Server was started without a data root; pass "
+                     "data_root= (main.py wires --data-root / "
+                     "$RAGROUTE_DATA automatically)", status=400)
+        loop = asyncio.get_running_loop()
+        try:
+            report = await loop.run_in_executor(None, self._do_snapshot)
+        except (OSError, ValueError) as e:
+            return web.Response(text=f"Snapshot failed: {e}", status=500)
+        return web.json_response({
+            "data_root": self.data_root,
+            "world": self.world.name,
+            "sources": {n: {"live_docs": i["live_docs"]}
+                        for n, i in report.items()},
         }, dumps=_dumps)
 
     # -- core pipeline -------------------------------------------------------

@@ -44,6 +44,20 @@ SHARD_PAD_MULTIPLE = 512
 UPDATE_CHUNK = 512
 
 
+def _atomic_np_save(path: str, arr: np.ndarray) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:  # explicit handle: np.save(str) appends .npy
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def _atomic_json_dump(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -138,6 +152,13 @@ class ShardSet:
     # mutable-mode bookkeeping (set by build(mutable=True)):
     _live: Optional[Dict[str, int]] = None   # source -> live doc count
     _free: Optional[Dict[str, List[int]]] = None  # source -> free slot stack
+    # snapshot support (mutable mode): the raw build-time embeddings per
+    # source (possibly an mmap of embeddings.npy) and the raw f32 rows of
+    # every live added doc, keyed by slot. The device arrays are lossy
+    # (bf16/int8, centered, normalized), so an exact durable snapshot must
+    # come from retained host-side rows, not from reading HBM back.
+    _orig_emb: Optional[Dict[str, np.ndarray]] = None
+    _added_rows: Optional[Dict[str, Dict[int, np.ndarray]]] = None
 
     @classmethod
     def build(
@@ -315,6 +336,11 @@ class ShardSet:
             out._live = {s.name: s.n_docs for s in shards}
             out._free = {s.name: list(range(s.capacity - 1, s.n_docs - 1, -1))
                          for s in shards}
+            # keep the raw inputs for snapshot(): references only — under
+            # ShardSet.load these are read-only mmaps of embeddings.npy,
+            # so this costs no RAM for the build-time corpus
+            out._orig_emb = {s.name: embeddings[s.name] for s in shards}
+            out._added_rows = {s.name: {} for s in shards}
         return out
 
     @property
@@ -404,6 +430,7 @@ class ShardSet:
                 f"slots (capacity {shard.capacity}, live "
                 f"{self._live[source]}); build with a larger reserve_docs "
                 f"or delete first")
+        raw = emb.copy()  # pre-preprocessing rows, retained for snapshot()
 
         # identical preprocessing to build()
         if src.score_mode == "cos":
@@ -428,6 +455,8 @@ class ShardSet:
         shard = self._scatter(shard, slots, rows,
                               brows.astype(np.float32), srows)
         self.shards[si] = shard
+        for i, sl in enumerate(slots):
+            self._added_rows[source][sl] = raw[i]
 
         table = self.doc_ids.get(source)
         if table is None and doc_ids is not None:
@@ -494,6 +523,9 @@ class ShardSet:
         if table is not None:
             for sl in slots:
                 table[sl] = None
+        added = self._added_rows[source]
+        for sl in slots:
+            added.pop(sl, None)
         self._live[source] -= len(slots)
         return slots
 
@@ -517,6 +549,58 @@ class ShardSet:
                     jnp.asarray(r), jnp.asarray(b))
                 shard = shard.replace(docs=docs, bias=bias)
         return shard
+
+    def live_slots(self, source: str) -> List[int]:
+        """Ascending slot indices of every live document in a mutable
+        shard (the compaction order used by :meth:`snapshot`)."""
+        self._mutable_index(source)
+        dead = set(self._free[source])
+        cap = self.shards[self._mutable_index(source)].capacity
+        return [s for s in range(cap) if s not in dead]
+
+    def snapshot(self, root: str) -> Dict[str, dict]:
+        """Persist the LIVE state of a mutable world back to the data root.
+
+        Writes ``<root>/<world>/<source>/embeddings.npy`` (float32 rows of
+        every live document, compacted in ascending slot order) and
+        ``doc_ids.json`` where an id table exists, atomically (tmp +
+        rename), so the next :meth:`load` boots the mutated corpus. Rows
+        come from retained host-side f32 inputs — build-time rows from the
+        original (usually mmap'd) array, serve-time adds from
+        :attr:`_added_rows` — NOT from reading lossy device bytes back, so
+        a snapshot→reload round trip applies dtype rounding exactly once,
+        same as a cold build. Returns ``{source: {"live_docs": n,
+        "slots": [old slot of each new row, ascending]}}`` so callers can
+        compact side tables (payload stores) in the same order.
+        """
+        if self._free is None:
+            raise ValueError(
+                "snapshot() needs ShardSet.build(mutable=True); immutable "
+                "worlds are already durable in the data root")
+        report: Dict[str, dict] = {}
+        for si, shard in enumerate(self.shards):
+            name = shard.name
+            orig = self._orig_emb[name]
+            added = self._added_rows[name]
+            slots = self.live_slots(name)
+            rows = np.empty((len(slots), self.world.sources[si].embed_dim),
+                            np.float32)
+            for i, s in enumerate(slots):
+                if s in added:
+                    rows[i] = added[s]
+                else:
+                    # a live, never-readded slot is always a build-time row
+                    rows[i] = np.asarray(orig[s], np.float32)
+            d = self.source_dir(root, self.world.name, name)
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "embeddings.npy")
+            _atomic_np_save(path, rows)
+            table = self.doc_ids.get(name)
+            if table is not None:
+                ids_path = os.path.join(d, "doc_ids.json")
+                _atomic_json_dump(ids_path, [table[s] for s in slots])
+            report[name] = {"live_docs": len(slots), "slots": slots}
+        return report
 
     # -- persistence --------------------------------------------------------
 

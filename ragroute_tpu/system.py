@@ -315,6 +315,7 @@ class ServingSystem:
             batcher=QueryBatcher(engine, strategy=strategy,
                                  buckets=self.buckets),
             reuse_port=self.reuse_port,
+            data_root=self.data_root,
         )
         return self.server
 
