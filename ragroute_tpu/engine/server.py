@@ -54,6 +54,24 @@ import functools as _functools
 _dumps = _functools.partial(json.dumps, separators=(",", ":"))
 
 
+def _device_memory_stats() -> Optional[dict]:
+    """Per-device HBM stats (bytes in use / limit / peak) where the
+    backend exposes them; None on backends without memory_stats (CPU)."""
+    import jax
+
+    out = {}
+    for d in jax.local_devices():
+        try:
+            st = d.memory_stats()
+        except (RuntimeError, AttributeError, jax.errors.JaxRuntimeError):
+            st = None
+        if st:
+            out[str(d)] = {k: st[k] for k in
+                           ("bytes_in_use", "bytes_limit", "peak_bytes_in_use")
+                           if k in st}
+    return out or None
+
+
 class FederationServer:
     """aiohttp front-end over the batched TPU engine."""
 
@@ -99,6 +117,7 @@ class FederationServer:
             web.post("/docs/add", self.handle_docs_add),
             web.post("/docs/delete", self.handle_docs_delete),
             web.post("/admin/snapshot", self.handle_snapshot),
+            web.post("/admin/profile", self.handle_profile),
             web.get("/healthz", self.handle_health),
             web.get("/stats", self.handle_stats),
         ])
@@ -113,6 +132,7 @@ class FederationServer:
         self._runner: Optional[web.AppRunner] = None
         self._site: Optional[web.TCPSite] = None
         self.metrics = ServerMetrics()
+        self._profiling = False
         self._size_cache: Dict[int, tuple] = {}
         # parsed-doc LRU: hot docs repeat across queries; parsing the same
         # jsonl line per query was a measured host hot path
@@ -204,7 +224,52 @@ class FederationServer:
         })
 
     async def handle_stats(self, request):
-        return web.json_response(self.metrics.snapshot())
+        snap = self.metrics.snapshot()
+        snap["device_memory"] = _device_memory_stats()
+        return web.json_response(snap)
+
+    async def handle_profile(self, request):
+        """``POST /admin/profile``: capture a device+host profiler trace.
+
+        Body (optional): ``{"seconds": 2.0, "dir": "/tmp/..."}``. Runs
+        ``jax.profiler`` for the window and returns the trace directory
+        (perfetto/tensorboard-loadable) — XLA-level visibility into the
+        serving step that the reference's wall-clock metadata timers
+        (``http_server.py:233-248``) cannot give: per-fusion device time,
+        dispatch gaps, transfer cost.
+        """
+        try:
+            data = await request.json() if request.can_read_body else {}
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return web.Response(text="Invalid JSON body", status=400)
+        try:
+            seconds = float(data.get("seconds", 2.0))
+        except (TypeError, ValueError):
+            return web.Response(text="'seconds' must be a number",
+                                status=400)
+        if not (0.0 < seconds <= 60.0):
+            return web.Response(
+                text="'seconds' must be in (0, 60]", status=400)
+        logdir = data.get("dir") or os.path.join(
+            "/tmp", f"ragroute_profile_{int(time.time())}")
+        import jax
+
+        if self._profiling:
+            return web.Response(
+                text="A profile capture is already running", status=409)
+        self._profiling = True
+        try:
+            jax.profiler.start_trace(logdir)
+            try:
+                await asyncio.sleep(seconds)
+            finally:
+                jax.profiler.stop_trace()
+        except RuntimeError as e:
+            return web.Response(text=f"Profiler failed: {e}", status=500)
+        finally:
+            self._profiling = False
+        return web.json_response({"trace_dir": logdir,
+                                  "seconds": seconds}, dumps=_dumps)
 
     async def handle_query(self, request):
         if request.method == "GET":

@@ -278,6 +278,48 @@ def test_stats_endpoint_aggregates():
             assert stats["stages_s"]["e2e"]["count"] == 3
             assert stats["stages_s"]["doc_select"]["p50"] > 0
             assert stats["batch_size"]["count"] == 3
+            # present on every backend; a dict of per-device HBM stats
+            # where exposed (TPU), None on CPU
+            assert "device_memory" in stats
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_profile_capture_endpoint(tmp_path):
+    """POST /admin/profile captures a jax.profiler trace around live
+    queries and returns a loadable trace directory."""
+    import os
+
+    async def run():
+        syn, server = make_server(strategy="all")
+        await server.start()
+        try:
+            port = server.bound_port
+            async with aiohttp.ClientSession() as s:
+                body = {"seconds": 0.4, "dir": str(tmp_path / "trace")}
+                task = asyncio.create_task(
+                    s.post(f"http://127.0.0.1:{port}/admin/profile",
+                           json=body))
+                # give the profiler a real device step to record
+                await asyncio.sleep(0.05)
+                q = syn.questions[0]
+                await query_server(port, q["question"], q["options"],
+                                   q["qid"])
+                r = await task
+                assert r.status == 200, await r.text()
+                res = await r.json()
+                # trace files land under <dir>/plugins/profile/<run>/
+                found = []
+                for root, _, files in os.walk(res["trace_dir"]):
+                    found.extend(files)
+                assert found, f"no trace files under {res['trace_dir']}"
+
+                async with s.post(
+                        f"http://127.0.0.1:{port}/admin/profile",
+                        json={"seconds": 0}) as r:
+                    assert r.status == 400
         finally:
             await server.stop()
 
