@@ -23,7 +23,7 @@ Env knobs:
     RAGROUTE_BENCH_WORLD_CACHE  1 (default) caches generated worlds in
                            ~/.cache/ragroute_bench_world (world-gen is
                            minutes of single-core host time); 0 disables
-    RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8      (default bfloat16)
+    RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8 | int4  (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
     RAGROUTE_BENCH_IMPL    auto | ivf | hybrid            (default auto/exact)
     RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
@@ -69,7 +69,7 @@ def main():
     nprobe = int(os.environ.get("RAGROUTE_BENCH_NPROBE", "0")) or None
     mesh_spec = os.environ.get("RAGROUTE_BENCH_MESH")  # e.g. "2x4"
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-             "int8": jnp.int8}[dtype_name]
+             "int8": jnp.int8, "int4": "int4"}[dtype_name]
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 

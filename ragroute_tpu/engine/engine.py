@@ -105,6 +105,7 @@ def _score_fn(
     compaction: bool = True,
     ivf_arrays=None,
     nprobe: Optional[int] = None,
+    packed: Optional[Tuple[bool, ...]] = None,
 ):
     """Score all shards and merge, with routing-aware batch compaction.
 
@@ -163,7 +164,8 @@ def _score_fn(
 
         def score(qq, docs=docs, bias=bias, scale=scale, src=src,
                   center=center, n=n_docs[i], ivf=ivf,
-                  ivf_nprobe=ivf_nprobe):
+                  ivf_nprobe=ivf_nprobe,
+                  p4=bool(packed[i]) if packed else False):
             if ivf is not None:
                 from ragroute_tpu.ops.ivf_topk import ivf_topk
 
@@ -174,7 +176,7 @@ def _score_fn(
                 qq, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, scale=scale, center=center,
                 impl="auto" if impl in ("ivf", "hybrid")
-                else impl)
+                else impl, packed4=p4)
 
         def full(q=q, score=score):
             return score(q)
@@ -258,6 +260,12 @@ class FederatedSearchEngine:
         # ones (their liveness rides the per-row bias, so live adds and
         # deletes change no static shape and trigger no recompile here)
         n_docs = tuple(s.scan_docs for s in shard_set.shards)
+        packed = tuple(getattr(s, "packed4", False)
+                       for s in shard_set.shards)
+        if any(packed) and impl in ("ivf", "hybrid"):
+            raise ValueError(
+                "int4 shards have no balanced-IVF path; use --impl "
+                "exact/pallas/auto with --dtype int4")
         if impl == "ivf":
             missing = [s.name for s in shard_set.shards if s.ivf is None]
             if missing:
@@ -281,7 +289,7 @@ class FederatedSearchEngine:
         def score_step(shard_arrays, ivf_arrays, query_embs, mask):
             return _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_, ivf_arrays, nprobe_)
+                compaction_, ivf_arrays, nprobe_, packed)
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
         def full_step(params, bank, shard_arrays, ivf_arrays, query_embs,
@@ -290,7 +298,7 @@ class FederatedSearchEngine:
                 world, strategy, params, bank, query_embs, rng, thr)
             scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_, ivf_arrays, nprobe_)
+                compaction_, ivf_arrays, nprobe_, packed)
             return (probs, mask) + scored
 
         self._route_step = route_step

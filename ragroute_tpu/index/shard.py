@@ -21,7 +21,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import TYPE_CHECKING, Dict, List, Mapping, Optional, Sequence
+from typing import (TYPE_CHECKING, Dict, List, Mapping, Optional, Sequence,
+                    Tuple)
 
 if TYPE_CHECKING:  # annotation only; runtime import stays lazy
     from ragroute_tpu.index.ivf import IVFData
@@ -56,6 +57,72 @@ def _atomic_json_dump(path: str, obj) -> None:
     with open(tmp, "w") as f:
         json.dump(obj, f)
     os.replace(tmp, path)
+
+
+def _quantize_sym(emb: np.ndarray, levels: int,
+                  mse_opt: bool = False
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-doc symmetric quantization to ``[-levels, levels]`` int codes:
+    ``d_q = round(d / s)``, ``s = max|d| / levels``. Returns (codes int8,
+    scales f32). levels=127 → int8 storage; levels=7 → int4 codes.
+
+    ``mse_opt`` (the int4 path): with only 15 levels a max-scaled row
+    wastes most of its resolution on one outlier dim, so (1) each doc
+    picks the clip percentile (90/95/97/99/99.9/max) minimizing its own
+    reconstruction MSE — values beyond the clip saturate — and (2) the
+    scale is then corrected so the dequantized row's NORM is exact,
+    removing the systematic magnitude shrink saturation causes. Measured
+    on the synthetic gate corpora (seed 21, routing=ragroute — the
+    hardest cell, where winners come from few shards so the k boundary
+    sits deep in one ranking): feb4rag cos-4096d recall@10 0.779 →
+    0.892, wikipedia/medrag unchanged-or-better. A random-rotation
+    pre-transform was considered and rejected: it only helps structured
+    outliers, and these corpora (like most dense-encoder embeddings) are
+    near-isotropic — ~0.89 on 4096-d cos is close to the 4-bit/dim
+    information limit. int8's 127 levels need none of this.
+    """
+    if not mse_opt:
+        amax = np.abs(emb).max(axis=1)
+        s_row = np.where(amax <= 0.0, 1.0, amax / float(levels))
+        s_row = s_row.astype(np.float32)
+        codes = np.clip(np.round(emb / s_row[:, None]),
+                        -levels, levels).astype(np.int8)
+        return codes, s_row
+    best_err = best_codes = best_s = None
+    for pct in (90.0, 95.0, 97.0, 99.0, 99.9, None):
+        amax = (np.abs(emb).max(axis=1) if pct is None
+                else np.percentile(np.abs(emb), pct, axis=1))
+        s = np.maximum(amax / float(levels), 1e-12).astype(np.float32)
+        codes = np.clip(np.round(emb / s[:, None]),
+                        -levels, levels).astype(np.int8)
+        err = ((codes.astype(np.float32) * s[:, None] - emb) ** 2).sum(1)
+        if best_err is None:
+            best_err, best_codes, best_s = err, codes, s
+        else:
+            m = err < best_err
+            best_err = np.where(m, err, best_err)
+            best_codes[m] = codes[m]
+            best_s = np.where(m, s, best_s)
+    deq_norm = np.linalg.norm(
+        best_codes.astype(np.float32) * best_s[:, None], axis=1)
+    true_norm = np.linalg.norm(emb, axis=1)
+    fix = np.where(deq_norm > 0,
+                   true_norm / np.maximum(deq_norm, 1e-12), 1.0)
+    return best_codes, (best_s * fix).astype(np.float32)
+
+
+def _pack_int4(codes: np.ndarray) -> np.ndarray:
+    """Pack int4 codes ``[n, d]`` (values in [-7, 7]) into int8 bytes
+    ``[n, d//2]``: byte j carries dim ``j`` in its low nibble and dim
+    ``j + d//2`` in its high nibble (half-concat layout, so the kernel
+    unpacks with two shifts + one concat — no lane interleave)."""
+    n, d = codes.shape
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even embed dim, got {d}")
+    h = d // 2
+    lo = codes[:, :h].astype(np.int16)
+    hi = codes[:, h:].astype(np.int16)
+    return (((hi << 4) | (lo & 0xF)) & 0xFF).astype(np.uint8).view(np.int8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -125,6 +192,9 @@ class DeviceShard:
     name: str = struct.field(pytree_node=False)
     score_mode: str = struct.field(pytree_node=False)
     mutable: bool = struct.field(pytree_node=False, default=False)
+    # int4 mode: docs is int8 [n_pad, d//2] with two 4-bit codes per byte
+    # (see _pack_int4); scale dequantizes per doc, like int8
+    packed4: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def scan_docs(self) -> int:
@@ -211,6 +281,15 @@ class ShardSet:
                 "(adds/deletes would leave the cluster slabs stale); "
                 "build with ivf_clusters=None and rebuild the IVF layout "
                 "offline when the corpus settles")
+        packed4 = isinstance(dtype, str) and dtype == "int4"
+        if isinstance(dtype, str) and not packed4:
+            raise ValueError(f"unknown dtype string {dtype!r} "
+                             f"(only 'int4' is a string dtype)")
+        if packed4 and ivf_clusters:
+            raise ValueError(
+                "int4 shards cannot carry a balanced-IVF layout yet "
+                "(the grouped-GEMM slabs have no nibble-unpack path); "
+                "use dtype=int8 with IVF, or int4 flat")
         shards: List[DeviceShard] = []
         ids: Dict[str, Optional[list]] = {}
         for src in world.sources:
@@ -305,17 +384,24 @@ class ShardSet:
                 # relative to each device's local slice).
                 b = b.at[n:].set(-jnp.inf)
             scale = None
-            if dtype == jnp.int8:
+            if packed4:
+                # symmetric per-doc 4-bit quantization (levels ±7), two
+                # codes packed per byte: 2x capacity over int8, dequant
+                # via the same fused per-doc scale epilogue
+                codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+                scale = jnp.asarray(s_row)
+                emb = _pack_int4(codes)
+            elif dtype == jnp.int8:
                 # symmetric per-doc quantization: d_q = round(d / s),
                 # s = max|d| / 127; dequant fused into the scoring kernel
-                s_row = np.abs(emb).max(axis=1) / 127.0
-                s_row = np.where(s_row == 0.0, 1.0, s_row)
-                emb = np.clip(np.round(emb / s_row[:, None]), -127, 127)
-                scale = jnp.asarray(s_row, dtype=jnp.float32)
-            # cast on the HOST so only the final bytes cross to the
-            # device (int8 ships 4x less than the f32 working array;
-            # ml_dtypes handles the numpy-side bf16 cast)
-            emb = emb.astype(jnp.dtype(dtype).type, copy=False)
+                codes, s_row = _quantize_sym(emb, 127)
+                scale = jnp.asarray(s_row)
+                emb = codes
+            else:
+                # cast on the HOST so only the final bytes cross to the
+                # device (int8 ships 4x less than the f32 working array;
+                # ml_dtypes handles the numpy-side bf16 cast)
+                emb = emb.astype(jnp.dtype(dtype).type, copy=False)
             docs = jnp.asarray(emb)
             if device is not None:
                 docs = jax.device_put(docs, device)
@@ -327,7 +413,7 @@ class ShardSet:
             shards.append(DeviceShard(
                 docs=docs, bias=b, scale=scale, center=center, ivf=ivf,
                 n_docs=n, name=src.name, score_mode=src.score_mode,
-                mutable=mutable))
+                mutable=mutable, packed4=packed4))
             ids[src.name] = (
                 list(doc_ids[src.name]) if doc_ids and src.name in doc_ids
                 else None)
@@ -444,11 +530,12 @@ class ShardSet:
         else:
             brows = np.zeros(m, np.float32)
         srows = None
-        if shard.docs.dtype == jnp.int8:
-            s_row = np.abs(emb).max(axis=1) / 127.0
-            s_row = np.where(s_row == 0.0, 1.0, s_row).astype(np.float32)
-            emb = np.clip(np.round(emb / s_row[:, None]), -127, 127)
-            srows = s_row
+        if shard.packed4:
+            codes, srows = _quantize_sym(emb, 7, mse_opt=True)
+            emb = _pack_int4(codes)
+        elif shard.docs.dtype == jnp.int8:
+            codes, srows = _quantize_sym(emb, 127)
+            emb = codes
         rows = emb.astype(shard.docs.dtype.type, copy=False)
 
         slots = [free.pop() for _ in range(m)]

@@ -354,6 +354,7 @@ def _merge_gains_tile(
 def _topk_kernel(
     q_ref, docs_ref, *rest,
     k: int, td: int, n_doc_tiles: int, scaled: bool, biased: bool,
+    packed4: bool = False,
 ):
     bias_ref = scale_ref = None
     if biased:
@@ -370,7 +371,18 @@ def _topk_kernel(
 
     q = q_ref[:]
     docs = docs_ref[:]
-    if docs.dtype == jnp.int8:
+    if packed4:
+        # int4 index: [TD, d/2] bytes, two codes each (low nibble = dim j,
+        # high nibble = dim j + d/2 — index.shard._pack_int4). Unpack on
+        # the VPU (two arithmetic shifts + concat; natural dim order, no
+        # interleave), then the MXU runs the bf16 cast like int8. Halves
+        # HBM traffic/capacity again vs int8; dequant rides the same
+        # per-doc scale epilogue.
+        x = docs.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(x, 28), 28)  # sign-extended
+        hi = jnp.right_shift(x, 4)
+        docs = jnp.concatenate([lo, hi], axis=1).astype(q.dtype)
+    elif docs.dtype == jnp.int8:
         # int8 index: halve HBM traffic/capacity; dequantize via the fused
         # per-doc scale epilogue below (MXU runs the bf16 cast of the tile)
         docs = docs.astype(q.dtype)
@@ -481,7 +493,7 @@ def pallas_stream_topk(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "mode", "valid_docs"),
+    static_argnames=("k", "mode", "valid_docs", "packed4"),
 )
 def pallas_topk(
     queries: jnp.ndarray,
@@ -492,6 +504,7 @@ def pallas_topk(
     valid_docs: Optional[int] = None,
     bias: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
+    packed4: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k of ``score(q, d)`` over a document shard, fused on-chip.
 
@@ -513,14 +526,24 @@ def pallas_topk(
     bsz, d = queries.shape
     n = docs.shape[0]
     valid = n if valid_docs is None else int(valid_docs)
+    if packed4:
+        if docs.shape[1] * 2 != d:
+            raise ValueError(
+                f"packed4 docs width {docs.shape[1]} != d/2 = {d // 2}")
+        if bias is None and mode == "l2":
+            raise ValueError(
+                "packed4 l2 shards must pass the precomputed bias "
+                "(it cannot be derived from packed bytes)")
 
     q = _prepare_queries(queries, mode)
     if bias is None:
-        b = doc_bias(docs, mode)
+        b = None if packed4 else doc_bias(docs, mode)
     else:
         b = bias.astype(jnp.float32)
 
-    tq, td = _pick_tiles(bsz, d, docs.dtype.itemsize)
+    # packed4 budgets as f32: the packed tile is tiny, but the unpack
+    # materializes int32 + bf16 [TD, d] temporaries in VMEM
+    tq, td = _pick_tiles(bsz, d, 4 if packed4 else docs.dtype.itemsize)
     b_pad = _round_up(bsz, tq)
     n_pad = _round_up(max(n, td), td)
 
@@ -553,12 +576,14 @@ def pallas_topk(
     kernel = functools.partial(
         _topk_kernel, k=k, td=td, n_doc_tiles=n_j,
         scaled=scale2d is not None, biased=bias2d is not None,
+        packed4=packed4,
     )
 
+    d_store = d // 2 if packed4 else d
     flops = 2 * b_pad * n_pad * d
     bytes_accessed = (
         b_pad * d * q.dtype.itemsize
-        + n_pad * d * docs.dtype.itemsize
+        + n_pad * d_store * docs.dtype.itemsize
         + 4 * n_pad
         + 8 * b_pad * k
     )
@@ -569,7 +594,7 @@ def pallas_topk(
         in_specs=[
             pl.BlockSpec((tq, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, d), lambda i, j: (j, 0),
+            pl.BlockSpec((td, d_store), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec((1, td), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)

@@ -63,6 +63,19 @@ def _prepare_queries(queries: jnp.ndarray, mode: str) -> jnp.ndarray:
     return q
 
 
+def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack int4 shard bytes ``[n, d//2]`` into int8 codes ``[n, d]``.
+
+    Inverse of ``index.shard._pack_int4``: byte j holds dim ``j`` in its
+    low nibble and dim ``j + d//2`` in its high nibble, so two arithmetic
+    shifts + one concat recover the natural dim order (no interleave).
+    """
+    x = packed.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(x, 28), 28)   # sign-extend low
+    hi = jnp.right_shift(x, 4)                        # byte sign = hi sign
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+
+
 def doc_bias(docs: jnp.ndarray, mode: str) -> Optional[jnp.ndarray]:
     """Per-document additive bias in gain form (``-|d|^2`` for l2)."""
     if mode == "l2":
@@ -223,8 +236,13 @@ def shard_topk(
     center: Optional[jnp.ndarray] = None,
     impl: str = "auto",
     chunk: int = 16384,
+    packed4: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dispatch to the best exact top-k implementation.
+
+    ``packed4``: docs is an int4-packed shard ``[N, d//2]`` int8 (two
+    codes per byte, see :func:`unpack_int4`); the Pallas kernel unpacks
+    per tile, other impls unpack up front.
 
     ``impl``: "auto" | "exact" | "chunked" | "pallas". "auto" picks the
     Pallas kernel on TPU backends and the chunked scan elsewhere (e.g. the
@@ -254,6 +272,8 @@ def shard_topk(
             impl = "pallas"
         else:
             impl = "chunked"
+    if packed4 and impl != "pallas":
+        docs = unpack_int4(docs)    # int8 codes; scale dequant as for int8
     if impl == "exact":
         s, i = exact_topk(queries, docs, k, mode=mode,
                           valid_docs=valid_docs, bias=bias, scale=scale)
@@ -265,7 +285,8 @@ def shard_topk(
         from ragroute_tpu.ops.pallas_topk import pallas_topk
 
         s, i = pallas_topk(queries, docs, k, mode=mode,
-                           valid_docs=valid_docs, bias=bias, scale=scale)
+                           valid_docs=valid_docs, bias=bias, scale=scale,
+                           packed4=packed4)
     else:
         raise ValueError(f"Unknown impl {impl!r}")
     if dot_restore is not None:

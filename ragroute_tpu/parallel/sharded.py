@@ -51,8 +51,13 @@ def sharded_shard_topk(
     routed: Optional[jnp.ndarray] = None,
     scale: Optional[jnp.ndarray] = None,
     center: Optional[jnp.ndarray] = None,
+    packed4: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a doc-axis-sharded corpus.
+
+    ``packed4``: docs is an int4-packed shard ``[N, d//2]`` int8 — the
+    doc-axis sharding splits rows, so packing is orthogonal and flows
+    straight to the per-device :func:`shard_topk`.
 
     ``queries [B, d]`` is split over ``dp`` (replicated over ``idx``);
     ``docs [N, d]`` / ``bias [N]`` are split over ``idx`` (replicated over
@@ -85,19 +90,20 @@ def sharded_shard_topk(
     def local_topk(q_l, docs_l, bias_l, routed_l, scale_l):
         if routed_l is None:
             return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
-                              scale=scale_l, impl=impl)
+                              scale=scale_l, impl=impl, packed4=packed4)
         bsz_l = q_l.shape[0]
         half = bsz_l // 2
 
         def full():
             return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
-                              scale=scale_l, impl=impl)
+                              scale=scale_l, impl=impl, packed4=packed4)
 
         def compact():
             order = jnp.argsort(jnp.logical_not(routed_l), stable=True)
             sel = order[:half]
             s_c, i_c = shard_topk(q_l[sel], docs_l, k, mode=mode,
-                                  bias=bias_l, scale=scale_l, impl=impl)
+                                  bias=bias_l, scale=scale_l, impl=impl,
+                                  packed4=packed4)
             s = jnp.full((bsz_l, k), worst,
                          dtype=jnp.float32).at[sel].set(s_c)
             idx = jnp.zeros((bsz_l, k), dtype=jnp.int32).at[sel].set(i_c)
@@ -373,6 +379,10 @@ class ShardedSearch:
         mesh_ = mesh
         impl__ = "auto" if impl in ("ivf", "hybrid") else impl
         n_docs = tuple(s.n_docs for s in shard_set.shards)
+        packed = tuple(getattr(s, "packed4", False)
+                       for s in shard_set.shards)
+        if any(packed) and impl in ("ivf", "hybrid"):
+            raise ValueError("int4 shards have no balanced-IVF path")
         nprobe_ = nprobe
         impl_mode = impl
 
@@ -405,7 +415,8 @@ class ShardedSearch:
                     s, gi = sharded_shard_topk(
                         mesh_, query_embs[src.encoder], docs, bias, k,
                         mode=src.score_mode, impl=impl__,
-                        routed=mask[:, i], scale=scale, center=center)
+                        routed=mask[:, i], scale=scale, center=center,
+                        packed4=packed[i])
                 per_scores.append(s)
                 per_ids.append(gi)
             return gate_and_merge(world, k, mask, per_scores, per_ids)

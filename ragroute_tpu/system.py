@@ -216,7 +216,7 @@ class ServingSystem:
         import jax.numpy as jnp
 
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-                 "int8": jnp.int8}[self.dtype_name]
+                 "int8": jnp.int8, "int4": "int4"}[self.dtype_name]
 
         if self.simulate:
             # Simulation parity (reference --simulate): tiny synthetic world

@@ -142,7 +142,7 @@ def test_delete_docs_removes_and_recycles_slots():
         syn.world, emb, ids, syn.query_embs, syn.world.k)
 
 
-@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8])
+@pytest.mark.parametrize("dtype", [jnp.bfloat16, jnp.int8, "int4"])
 def test_add_docs_lossy_dtypes_top1_selfmatch(dtype):
     """Lossy shards: an added doc must be the top-1 hit for its own
     embedding as the query (dot mode; self-similarity dominates)."""

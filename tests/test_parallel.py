@@ -184,6 +184,33 @@ def test_sharded_int8():
         assert len(got & want) >= int(0.95 * syn.world.k)
 
 
+def test_sharded_int4():
+    """int4-packed medrag shards over the mesh: the doc-axis split slices
+    packed rows (columns untouched), so winners must match the
+    single-chip int4 engine."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=12, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings, dtype="int4")
+    assert all(s.packed4 and s.docs.shape[1] == 384
+               for s in shard_set.shards)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="exact")
+    out = sharded.search(syn.query_embs, strategy="all")
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ref = engine.search(syn.query_embs, strategy="all")
+    for qi in range(8):
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
+
+
 def test_sharded_compaction_matches_engine():
     """Per-device compaction on the mesh matches single-chip results with
     sparse (random 2-of-4) routing."""

@@ -6,7 +6,8 @@ This gate FAILS the suite if:
 * float32 winner-set recall drops below 1.0 (exactness — the f32 engine is
   bit-parity with brute force) on any world x strategy, or
 * bfloat16 recall@k drops below 0.99, or
-* int8 (per-doc symmetric quantization) recall@k drops below 0.95.
+* int8 (per-doc symmetric quantization) recall@k drops below 0.95, or
+* int4 (packed pairs, MSE-opt per-doc scales) drops below 0.85.
 
 Every run also emits a JSON artifact (all worlds x dtypes x strategies) to
 ``$RAGROUTE_RECALL_ARTIFACT`` if set (the per-round RECALL_r{N}.json),
@@ -29,7 +30,13 @@ from ragroute_tpu.router import RouterBank, init_router_params
 WORLDS = ["medrag", "feb4rag", "wikipedia"]
 DTYPES = {"float32": (jnp.float32, 1.0),
           "bfloat16": (jnp.bfloat16, 0.99),
-          "int8": (jnp.int8, 0.95)}
+          "int8": (jnp.int8, 0.95),
+          # int4 packed (two codes/byte, per-doc MSE-optimal clipped +
+          # norm-corrected scales): 4x capacity over bf16. 768-d dot/l2
+          # worlds measure >= 0.95; the floor is set by feb4rag's 4096-d
+          # cos shards under sparse routing (0.892 — near the 4-bit/dim
+          # information limit on isotropic data, see shard._quantize_sym)
+          "int4": ("int4", 0.85)}
 STRATEGIES = ["all", "ragroute", "random", "none"]
 
 _results = {}
@@ -201,4 +208,9 @@ def test_emit_artifact(tmp_path):
     }
     with open(path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    assert min(_results.values()) >= 0.95
+    # int4 is the capacity tier and carries its own (lower) gate; every
+    # serving-default dtype must stay >= 0.95 across all cells
+    assert min(v for cell, v in _results.items()
+               if "/int4/" not in cell) >= 0.95
+    assert min(v for cell, v in _results.items()
+               if "/int4/" in cell) >= 0.85

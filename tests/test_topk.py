@@ -191,6 +191,56 @@ def test_int8_scale_topk(rng):
                                    atol=0.3)
 
 
+def test_int4_pack_unpack_roundtrip(rng):
+    """_pack_int4 and unpack_int4 are exact inverses over all 15 levels."""
+    from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
+    from ragroute_tpu.ops.topk import unpack_int4
+
+    docs = rng.standard_normal((257, 62)).astype(np.float32)
+    codes, _ = _quantize_sym(docs, 7)
+    got = np.asarray(unpack_int4(jnp.asarray(_pack_int4(codes))))
+    np.testing.assert_array_equal(got, codes)
+    # every code value survives, incl. negative extremes in both nibbles
+    edge = np.tile(np.arange(-7, 8, dtype=np.int8), (4, 2))[:, :30]
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(jnp.asarray(_pack_int4(edge)))), edge)
+
+
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_int4_packed_topk_all_impls_agree(rng, mode):
+    """packed4 search is INDEX-EXACT across every impl (incl. the Pallas
+    in-kernel nibble unpack): integer-valued queries/codes and
+    power-of-two scales make every product exact in both f32 and the
+    kernel's bf16-operand path, so the oracle comparison is bit-strict."""
+    from ragroute_tpu.index.shard import _pack_int4
+    from ragroute_tpu.ops.topk import unpack_int4
+
+    b, n, d, k = 8, 4096, 64, 16
+    q = rng.integers(-8, 9, size=(b, d)).astype(np.float32)
+    codes = rng.integers(-7, 8, size=(n, d)).astype(np.int8)
+    s_row = np.exp2(rng.integers(-3, 4, size=n)).astype(np.float32)
+    packed = _pack_int4(codes)
+    scale = jnp.asarray(s_row)
+    deq = codes.astype(np.float32) * s_row[:, None]
+    bias = (jnp.asarray(-np.einsum("nd,nd->n", deq, deq))
+            if mode == "l2" else None)
+
+    want_s, want_i = shard_topk(
+        jnp.asarray(q), jnp.asarray(unpack_int4(jnp.asarray(packed))), k,
+        mode=mode, scale=scale, bias=bias, impl="exact")
+    for impl in IMPLS:
+        got_s, got_i = shard_topk(
+            jnp.asarray(q), jnp.asarray(packed), k, mode=mode,
+            scale=scale, bias=bias, impl=impl, chunk=512, packed4=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_i), np.asarray(want_i), err_msg=f"{impl} {mode}")
+        np.testing.assert_allclose(
+            np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+    # and vs the f32 numpy oracle on the dequantized docs: same winners
+    true_s, true_i = numpy_oracle(q, deq, k, mode)
+    np.testing.assert_array_equal(np.asarray(want_i), true_i)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("mode", ["dot", "l2"])
 def test_topk_float_ties_across_tiles(rng, impl, mode):
