@@ -25,8 +25,12 @@ Env knobs:
                            minutes of single-core host time); 0 disables
     RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8 | int4  (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
-    RAGROUTE_BENCH_IMPL    auto | ivf | hybrid            (default auto/exact)
+    RAGROUTE_BENCH_IMPL    auto | ivf | hybrid | lowrank  (default auto/exact)
     RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
+    RAGROUTE_BENCH_RANK    coarse rank in lowrank mode (default -1 = auto
+                           by spectral energy)
+    RAGROUTE_BENCH_REFINE  refine candidate depth k' in lowrank mode
+                           (default LOWRANK_REFINE_MULT * k)
     RAGROUTE_BENCH_SUBCLUSTERS  within-source topic clusters (default 1;
                            IVF rows use a topical corpus, see BENCHMARKS.md)
     RAGROUTE_BENCH_RECALL  1 = also measure recall@k of the selected impl
@@ -67,6 +71,8 @@ def main():
     strategy = os.environ.get("RAGROUTE_BENCH_STRATEGY", "ragroute")
     impl = os.environ.get("RAGROUTE_BENCH_IMPL", "auto")
     nprobe = int(os.environ.get("RAGROUTE_BENCH_NPROBE", "0")) or None
+    lowrank = int(os.environ.get("RAGROUTE_BENCH_RANK", "-1"))
+    k_refine = int(os.environ.get("RAGROUTE_BENCH_REFINE", "0")) or None
     mesh_spec = os.environ.get("RAGROUTE_BENCH_MESH")  # e.g. "2x4"
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
              "int8": jnp.int8, "int4": "int4"}[dtype_name]
@@ -148,7 +154,8 @@ def main():
     t0 = time.time()
     shard_set = ShardSet.build(
         syn.world, syn.embeddings, dtype=dtype,
-        ivf_clusters=-1 if impl in ("ivf", "hybrid") else None)
+        ivf_clusters=-1 if impl in ("ivf", "hybrid") else None,
+        lowrank=lowrank if impl == "lowrank" else None)
     for docs, *_ in shard_set.arrays():
         docs.block_until_ready()
     log(f"uploaded {shard_set.index_bytes / 1e9:.2f} GB index "
@@ -156,6 +163,11 @@ def main():
     if impl == "ivf":
         log("ivf layouts: " + ", ".join(
             f"{s.name}: C={s.ivf.n_clusters} S={s.ivf.capacity}"
+            for s in shard_set.shards))
+    if impl == "lowrank":
+        log("lowrank coarse indexes: " + ", ".join(
+            f"{s.name}: r={s.lr.rank} energy={s.lr.energy:.4f}"
+            if s.lr is not None else f"{s.name}: refused (exact fallback)"
             for s in shard_set.shards))
 
     world = shard_set.world
@@ -184,6 +196,7 @@ def main():
     # compile would ship the whole clustered index
     ivf_arrays = (shard_set.ivf_arrays()
                   if impl in ("ivf", "hybrid") else None)
+    lr_arrays = shard_set.lr_arrays() if impl == "lowrank" else None
 
     if mesh_spec:
         # mesh-sharded bench: the same scanned loop over the ShardedSearch
@@ -201,26 +214,29 @@ def main():
         mesh = make_mesh(dp=dp, idx=idx, devices=jax.devices()[:dp * idx])
         log(f"mesh bench: {dict(mesh.shape)}")
         sharded = ShardedSearch(shard_set, params, bank, mesh, impl=impl,
-                                nprobe=nprobe)
+                                nprobe=nprobe, k_refine=k_refine)
         params, bank = sharded.params, sharded.bank
         arrays, ivf_arrays = sharded.arrays, sharded.ivf_arrays
+        lr_arrays = sharded.lr_arrays if impl == "lowrank" else None
         emb_sharding = NamedSharding(mesh, P(None, "dp", None))
 
-        def one_step(params, bank, arrays, ivf_arrays, query_embs,
-                     rng_key):
+        def one_step(params, bank, arrays, ivf_arrays, lr_arrays,
+                     query_embs, rng_key):
             out = sharded.full_fn(params, bank, arrays, ivf_arrays,
+                                  lr_arrays or [None] * len(arrays),
                                   query_embs, rng_key, strategy=strategy)
             return out[4], out[5]  # merged scores/shards
     else:
         emb_sharding = None
 
-        def one_step(params, bank, arrays, ivf_arrays, query_embs,
-                     rng_key):
+        def one_step(params, bank, arrays, ivf_arrays, lr_arrays,
+                     query_embs, rng_key):
             probs, mask = _route_fn(
                 world, strategy, params, bank, query_embs, rng_key)
             out = _score_fn(world, world.k, impl, n_docs, arrays,
                             query_embs, mask, ivf_arrays=ivf_arrays,
-                            nprobe=nprobe)
+                            nprobe=nprobe, lr_arrays=lr_arrays,
+                            k_refine=k_refine)
             return out[2], out[3]  # merged scores/shards
 
     if emb_sharding is not None:
@@ -228,10 +244,12 @@ def main():
                   for e, v in embs_r.items()}
 
     @jax.jit
-    def loop(params, bank, arrays, ivf_arrays, query_embs_r, keys):
+    def loop(params, bank, arrays, ivf_arrays, lr_arrays, query_embs_r,
+             keys):
         def body(carry, xs):
             qe, key = xs
-            s, sh = one_step(params, bank, arrays, ivf_arrays, qe, key)
+            s, sh = one_step(params, bank, arrays, ivf_arrays, lr_arrays,
+                             qe, key)
             return carry + s.sum() + sh.sum(), None
         out, _ = jax.lax.scan(body, jnp.float32(0), (query_embs_r, keys))
         return out
@@ -241,7 +259,7 @@ def main():
     t0 = time.time()
     # float() forces a device->host transfer: block_until_ready alone does
     # not synchronize through the axon remote-TPU tunnel
-    float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
+    float(loop(params, bank, arrays, ivf_arrays, lr_arrays, embs_r, keys))
     log(f"compiled in {time.time() - t0:.1f}s; timing {reps} batches of "
         f"{batch}...")
 
@@ -258,7 +276,8 @@ def main():
 
     with ctx:
         t0 = time.time()
-        float(loop(params, bank, arrays, ivf_arrays, embs_r, keys))
+        float(loop(params, bank, arrays, ivf_arrays, lr_arrays, embs_r,
+                   keys))
         elapsed = time.time() - t0
 
     if os.environ.get("RAGROUTE_BENCH_RECALL") == "1" and mesh_spec:
@@ -276,27 +295,30 @@ def main():
             return _route_fn(world, strategy, params, bank, query_embs, key)
 
         @functools.partial(jax.jit, static_argnames=("use",))
-        def score_once(arrays, ivf_arrays, query_embs, mask, use):
+        def score_once(arrays, ivf_arrays, lr_arrays, query_embs, mask,
+                       use):
             return _score_fn(world, world.k, use, n_docs, arrays,
                              query_embs, mask, ivf_arrays=ivf_arrays,
-                             nprobe=nprobe)
+                             nprobe=nprobe, lr_arrays=lr_arrays,
+                             k_refine=k_refine)
 
         embs0 = {e: embs_r[e][0] for e in embs_r}
         _, mask0 = route_once(params, bank, embs0, keys[0])
-        o_sel = score_once(arrays, ivf_arrays, embs0, mask0, impl)
+        o_sel = score_once(arrays, ivf_arrays, lr_arrays, embs0, mask0,
+                           impl)
         sh_a, lo_a = np.asarray(o_sel[3]), np.asarray(o_sel[4])
         if dtype == jnp.float32 and impl in ("auto", "pallas", "chunked",
                                              "exact"):
             log("recall oracle: dtype is already float32 exact; "
                 "comparing against the chunked-XLA scan (impl check)")
-            o_ref = score_once(arrays, None, embs0, mask0, "chunked")
+            o_ref = score_once(arrays, None, None, embs0, mask0, "chunked")
             sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
         else:
             log("building float32 oracle index for full-scale recall...")
             oracle_set = ShardSet.build(syn.world, syn.embeddings,
                                         dtype=jnp.float32)
             o_arrays = oracle_set.arrays()
-            o_ref = score_once(o_arrays, None, embs0, mask0, "auto")
+            o_ref = score_once(o_arrays, None, None, embs0, mask0, "auto")
             sh_b, lo_b = np.asarray(o_ref[3]), np.asarray(o_ref[4])
             del oracle_set, o_arrays
         hits = tot = 0
@@ -312,12 +334,13 @@ def main():
 
     qps = reps * batch / elapsed
     dims = [s.embed_dim for s in world.sources]
-    if impl in ("ivf", "hybrid"):
+    if impl in ("ivf", "hybrid", "lowrank"):
         # the exhaustive-scan FLOP formula would overstate delivered
-        # FLOPs by ~C/nprobe on approximate shards — omit the metric
+        # FLOPs on approximate impls (ivf scores a corpus subset; lowrank
+        # scans a rank-r projection) — omit the metric
         log(f"{elapsed * 1e3 / reps:.2f} ms/batch, {qps:.0f} q/s "
-            f"(TFLOPS metric omitted: {impl} scores a subset of the "
-            f"corpus)")
+            f"(TFLOPS metric omitted: {impl} does not scan the full "
+            f"corpus at full dimension)")
     else:
         flops = 2.0 * batch * reps * sum(
             n * d for n, d in zip(n_docs, dims))

@@ -51,18 +51,31 @@ def parse_args(argv=None):
                              "in-register)")
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact",
-                                 "ivf", "hybrid"],
+                                 "ivf", "hybrid", "lowrank"],
                         help="Top-k implementation; 'ivf' serves the "
                              "cluster-probed approximate mode (builds "
                              "balanced-IVF layouts at startup); 'hybrid' "
                              "uses ivf only where it measured faster "
-                             "(small batch buckets on large shards)")
+                             "(small batch buckets on large shards); "
+                             "'lowrank' serves the two-stage coarse-scan+"
+                             "exact-refine mode (rank-r projected scan, "
+                             "then full-precision rescore of the top "
+                             "candidates)")
     parser.add_argument("--nprobe", type=int, default=None,
                         help="Clusters probed per query with --impl ivf "
                              "(default C/8 per shard)")
     parser.add_argument("--ivf-clusters", type=int, default=-1,
                         help="Clusters per shard with --impl ivf "
                              "(-1 = ~4*sqrt(n))")
+    parser.add_argument("--rank", type=int, default=-1,
+                        help="Coarse projection rank with --impl lowrank "
+                             "(-1 = automatic by spectral energy; shards "
+                             "too flat to profit fall back to the exact "
+                             "scan)")
+    parser.add_argument("--refine-mult", type=int, default=None,
+                        help="Refine candidate depth multiplier with "
+                             "--impl lowrank: k' = mult * k (default "
+                             "config.LOWRANK_REFINE_MULT)")
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
                         help="Batch bucket sizes (each is compiled at "
                              "startup; default 1 8 32 128 512)")

@@ -74,6 +74,14 @@ IVF_HYBRID_MAX_BATCH = 16
 IVF_HYBRID_MIN_DOCS = 400_000
 IVF_HYBRID_NPROBE_DIVISOR = 32
 
+# impl="lowrank": two-stage exact-rescored retrieval (low-rank coarse scan
+# + full-precision refine, index/lowrank.py). Candidate depth per query is
+# k' = LOWRANK_REFINE_MULT * k; automatic rank selection keeps the
+# smallest 128-multiple rank covering LOWRANK_ENERGY of the corpus
+# spectrum (refusing shards whose spectrum is too flat to profit).
+LOWRANK_REFINE_MULT = 4
+LOWRANK_ENERGY = 0.99
+
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with
 # each source's own zoo encoder). Used by the corpus-ingest path

@@ -106,6 +106,8 @@ def _score_fn(
     ivf_arrays=None,
     nprobe: Optional[int] = None,
     packed: Optional[Tuple[bool, ...]] = None,
+    lr_arrays=None,
+    k_refine: Optional[int] = None,
 ):
     """Score all shards and merge, with routing-aware batch compaction.
 
@@ -126,8 +128,10 @@ def _score_fn(
     approximate search (:mod:`ragroute_tpu.ops.ivf_topk`) on shards that
     carry a balanced-IVF layout; ``impl="hybrid"`` does so only for the
     statically-known regime where it measured faster (small batch x
-    large shard, config.IVF_HYBRID_*); compaction and skip compose
-    unchanged.
+    large shard, config.IVF_HYBRID_*); ``impl="lowrank"`` swaps it for
+    the two-stage coarse-scan+exact-refine search
+    (:mod:`ragroute_tpu.ops.lowrank_topk`) on shards that carry a
+    low-rank coarse index; compaction and skip compose unchanged.
     """
     some_enc = world.sources[0].encoder
     bsz = query_embs[some_enc].shape[0]
@@ -157,6 +161,9 @@ def _score_fn(
                     ivf = ivf_arrays[i]
                     ivf_nprobe = nprobe or max(
                         1, ivf.n_clusters // IVF_HYBRID_NPROBE_DIVISOR)
+        lr = None
+        if impl == "lowrank" and lr_arrays and lr_arrays[i] is not None:
+            lr = lr_arrays[i]
         q = query_embs[src.encoder]
         routed = mask[:, i]
         cnt = routed.sum()
@@ -164,7 +171,7 @@ def _score_fn(
 
         def score(qq, docs=docs, bias=bias, scale=scale, src=src,
                   center=center, n=n_docs[i], ivf=ivf,
-                  ivf_nprobe=ivf_nprobe,
+                  ivf_nprobe=ivf_nprobe, lr=lr,
                   p4=bool(packed[i]) if packed else False):
             if ivf is not None:
                 from ragroute_tpu.ops.ivf_topk import ivf_topk
@@ -172,10 +179,17 @@ def _score_fn(
                 return ivf_topk(
                     qq, ivf, k, mode=src.score_mode, center=center,
                     nprobe=ivf_nprobe)
+            if lr is not None:
+                from ragroute_tpu.ops.lowrank_topk import lowrank_topk
+
+                return lowrank_topk(
+                    qq, lr, docs, k, mode=src.score_mode, valid_docs=n,
+                    bias=bias, scale=scale, center=center, packed4=p4,
+                    k_refine=k_refine)
             return shard_topk(
                 qq, docs, k, mode=src.score_mode, valid_docs=n,
                 bias=bias, scale=scale, center=center,
-                impl="auto" if impl in ("ivf", "hybrid")
+                impl="auto" if impl in ("ivf", "hybrid", "lowrank")
                 else impl, packed4=p4)
 
         def full(q=q, score=score):
@@ -246,6 +260,7 @@ class FederatedSearchEngine:
         threshold: float = None,
         compaction: bool = True,
         nprobe: Optional[int] = None,
+        k_refine: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
@@ -255,6 +270,7 @@ class FederatedSearchEngine:
         self.threshold = threshold
         self.compaction = compaction
         self.nprobe = nprobe
+        self.k_refine = k_refine
         self._key = jax.random.key(seed)
         # scan_docs == n_docs for immutable shards; capacity for mutable
         # ones (their liveness rides the per-row bias, so live adds and
@@ -272,6 +288,19 @@ class FederatedSearchEngine:
                 raise ValueError(
                     f"impl='ivf' needs shards built with ivf_clusters; "
                     f"missing balanced-IVF layout for {missing}")
+        if impl == "lowrank":
+            if not shard_set.lowrank_built:
+                raise ValueError(
+                    "impl='lowrank' needs shards built with lowrank= "
+                    "(e.g. lowrank=-1 for automatic rank selection)")
+            refused = [s.name for s in shard_set.shards if s.lr is None]
+            if refused:
+                import logging
+
+                logging.getLogger("engine").warning(
+                    "lowrank: shards %s have no coarse index (flat "
+                    "spectrum at build); they fall back to the exact "
+                    "exhaustive scan", refused)
 
         world = self.world
         k = world.k
@@ -279,6 +308,8 @@ class FederatedSearchEngine:
         thr = threshold
         compaction_ = compaction
         nprobe_ = nprobe
+        from ragroute_tpu.config import LOWRANK_REFINE_MULT
+        k_refine_ = k_refine or LOWRANK_REFINE_MULT * k
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
         def route_step(params, bank, query_embs, rng, *, strategy: str):
@@ -286,19 +317,22 @@ class FederatedSearchEngine:
                              thr)
 
         @jax.jit
-        def score_step(shard_arrays, ivf_arrays, query_embs, mask):
+        def score_step(shard_arrays, ivf_arrays, lr_arrays, query_embs,
+                       mask):
             return _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_, ivf_arrays, nprobe_, packed)
+                compaction_, ivf_arrays, nprobe_, packed, lr_arrays,
+                k_refine_)
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
-        def full_step(params, bank, shard_arrays, ivf_arrays, query_embs,
-                      rng, *, strategy: str):
+        def full_step(params, bank, shard_arrays, ivf_arrays, lr_arrays,
+                      query_embs, rng, *, strategy: str):
             probs, mask = _route_fn(
                 world, strategy, params, bank, query_embs, rng, thr)
             scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
-                compaction_, ivf_arrays, nprobe_, packed)
+                compaction_, ivf_arrays, nprobe_, packed, lr_arrays,
+                k_refine_)
             return (probs, mask) + scored
 
         self._route_step = route_step
@@ -306,6 +340,7 @@ class FederatedSearchEngine:
         self._full_step = full_step
         self._ivf = (shard_set.ivf_arrays()
                      if impl in ("ivf", "hybrid") else None)
+        self._lr = (shard_set.lr_arrays() if impl == "lowrank" else None)
         # serializes live updates against in-flight search dispatches: a
         # donated update between arrays() read and dispatch would hand XLA
         # a deleted buffer (search itself is already serialized by the
@@ -411,14 +446,15 @@ class FederatedSearchEngine:
             mask = jax.device_get(mask)
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
-            scored = self._score_step(self._arrays, self._ivf, embs, mask)
+            scored = self._score_step(
+                self._arrays, self._ivf, self._lr, embs, mask)
             np.asarray(scored[2])
             doc_t = time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
             out = self._full_step(
-                params, bank, self._arrays, self._ivf, embs, rng,
-                strategy=strategy)
+                params, bank, self._arrays, self._ivf, self._lr, embs,
+                rng, strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
 

@@ -26,6 +26,7 @@ from typing import (TYPE_CHECKING, Dict, List, Mapping, Optional, Sequence,
 
 if TYPE_CHECKING:  # annotation only; runtime import stays lazy
     from ragroute_tpu.index.ivf import IVFData
+    from ragroute_tpu.index.lowrank import LowRankData
 
 import jax
 import jax.numpy as jnp
@@ -195,6 +196,9 @@ class DeviceShard:
     # int4 mode: docs is int8 [n_pad, d//2] with two 4-bit codes per byte
     # (see _pack_int4); scale dequantizes per doc, like int8
     packed4: bool = struct.field(pytree_node=False, default=False)
+    # low-rank coarse index for the two-stage scan+refine mode
+    # (impl="lowrank"); None where not built or refused (flat spectrum)
+    lr: Optional["LowRankData"] = None
 
     @property
     def scan_docs(self) -> int:
@@ -219,6 +223,10 @@ class ShardSet:
     world: WorldConfig
     shards: List[DeviceShard]
     doc_ids: Dict[str, Optional[list]]  # source -> id payloads (host side)
+    # True when build() was asked for low-rank coarse indexes (individual
+    # shards may still have lr=None where the build refused a flat
+    # spectrum — those fall back to the exact scan at search time)
+    lowrank_built: bool = False
     # mutable-mode bookkeeping (set by build(mutable=True)):
     _live: Optional[Dict[str, int]] = None   # source -> live doc count
     _free: Optional[Dict[str, List[int]]] = None  # source -> free slot stack
@@ -243,6 +251,8 @@ class ShardSet:
         ivf_clusters: Optional[int] = None,
         ivf_seed: int = 0,
         ivf_cache_dirs: Optional[Mapping[str, str]] = None,
+        lowrank: Optional[int] = None,
+        lowrank_energy: Optional[float] = None,
         mutable: bool = False,
         reserve_docs: int = 0,
     ) -> "ShardSet":
@@ -266,6 +276,16 @@ class ShardSet:
             cluster count (~4*sqrt(n)); any positive value is the cluster
             count C. The flat exact layout is always kept (the exact path
             and parity gates stay available).
+          lowrank: also build a rank-``r`` coarse projection per shard for
+            the two-stage scan+refine mode (``impl="lowrank"``). ``0`` /
+            ``None`` skips it; ``-1`` picks the rank automatically by
+            spectral energy (``lowrank_energy``, default
+            config.LOWRANK_ENERGY); any positive value is the rank. A
+            shard whose spectrum is too flat for a profitable projection
+            gets no coarse index (``lr=None``) and falls back to the
+            exact scan at search time.
+          lowrank_energy: captured-variance fraction for automatic rank
+            selection (only with ``lowrank=-1``).
           mutable: enable live document adds/deletes (:meth:`add_docs` /
             :meth:`delete_docs`). Row liveness then rides the per-row
             bias (-inf = free slot) instead of a static doc-count mask,
@@ -281,6 +301,12 @@ class ShardSet:
                 "(adds/deletes would leave the cluster slabs stale); "
                 "build with ivf_clusters=None and rebuild the IVF layout "
                 "offline when the corpus settles")
+        if mutable and lowrank:
+            raise ValueError(
+                "mutable shards cannot carry a low-rank coarse index "
+                "(adds/deletes would leave the projected slab stale); "
+                "build with lowrank=None and rebuild offline when the "
+                "corpus settles")
         packed4 = isinstance(dtype, str) and dtype == "int4"
         if isinstance(dtype, str) and not packed4:
             raise ValueError(f"unknown dtype string {dtype!r} "
@@ -363,6 +389,33 @@ class ShardSet:
             n = emb.shape[0]
             n_pad = _round_up(max(n + (reserve_docs if mutable else 0),
                                   SHARD_PAD_MULTIPLE), SHARD_PAD_MULTIPLE)
+            lr = None
+            if lowrank:
+                from ragroute_tpu.config import LOWRANK_ENERGY
+                from ragroute_tpu.index.ivf import ivf_fingerprint
+                from ragroute_tpu.index.lowrank import (
+                    build_lowrank, load_lowrank, save_lowrank)
+
+                energy = (LOWRANK_ENERGY if lowrank_energy is None
+                          else lowrank_energy)
+                cache = None
+                fp = None
+                if ivf_cache_dirs and src.name in ivf_cache_dirs:
+                    tag = (f"auto{energy:g}" if lowrank < 0 else str(lowrank))
+                    cache = os.path.join(
+                        ivf_cache_dirs[src.name], f"lr_{tag}.npz")
+                    fp = ivf_fingerprint(emb)
+                loaded = False
+                if cache and os.path.exists(cache):
+                    lr = load_lowrank(cache, expect_fingerprint=fp)
+                    loaded = lr is not None
+                if not loaded:
+                    lr = build_lowrank(
+                        emb, n_pad=n_pad,
+                        rank=(None if lowrank < 0 else lowrank),
+                        energy=energy)
+                    if cache and lr is not None:
+                        save_lowrank(lr, cache, fingerprint=fp)
             if n_pad != n:
                 emb = np.pad(emb, ((0, n_pad - n), (0, 0)))
             # gain-form bias computed in f32 BEFORE dtype downcast — on
@@ -413,11 +466,12 @@ class ShardSet:
             shards.append(DeviceShard(
                 docs=docs, bias=b, scale=scale, center=center, ivf=ivf,
                 n_docs=n, name=src.name, score_mode=src.score_mode,
-                mutable=mutable, packed4=packed4))
+                mutable=mutable, packed4=packed4, lr=lr))
             ids[src.name] = (
                 list(doc_ids[src.name]) if doc_ids and src.name in doc_ids
                 else None)
-        out = cls(world=world, shards=shards, doc_ids=ids)
+        out = cls(world=world, shards=shards, doc_ids=ids,
+                  lowrank_built=bool(lowrank))
         if mutable:
             out._live = {s.name: s.n_docs for s in shards}
             out._free = {s.name: list(range(s.capacity - 1, s.n_docs - 1, -1))
@@ -452,6 +506,11 @@ class ShardSet:
         separate from :meth:`arrays` so exact-path callers never see a
         tuple-arity change."""
         return [s.ivf for s in self.shards]
+
+    def lr_arrays(self):
+        """Per-shard low-rank coarse-index pytrees (None where not built
+        or where the build refused a flat-spectrum corpus)."""
+        return [s.lr for s in self.shards]
 
     # -- live updates (mutable shards) --------------------------------------
 

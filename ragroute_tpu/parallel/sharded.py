@@ -52,6 +52,8 @@ def sharded_shard_topk(
     scale: Optional[jnp.ndarray] = None,
     center: Optional[jnp.ndarray] = None,
     packed4: bool = False,
+    lr=None,
+    k_refine: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a doc-axis-sharded corpus.
 
@@ -68,6 +70,15 @@ def sharded_shard_topk(
     neither branch contains a collective — the all-gather merge runs
     unconditionally after). Returns globally-merged
     ``(scores [B, k], global_indices [B, k])``, batch-sharded over ``dp``.
+
+    ``lr`` (a :class:`ragroute_tpu.index.lowrank.LowRankData` with
+    ``docs_lr`` row-sharded over ``idx`` and the basis replicated) swaps
+    the per-device exact scan for the two-stage coarse-scan+refine search
+    at candidate depth ``k_refine`` PER DEVICE: the refine gather indexes
+    only the device's own rows (coarse indices are local), so the only
+    collective stays the final candidate all-gather. Per-device depth
+    also means the mesh oversamples n_idx times more than one chip —
+    recall can only improve under sharding.
     """
     n_idx = mesh.shape["idx"]
     dot_restore = None
@@ -87,23 +98,31 @@ def sharded_shard_topk(
     l2 = mode == "l2"
     worst = jnp.inf if l2 else -jnp.inf
 
-    def local_topk(q_l, docs_l, bias_l, routed_l, scale_l):
-        if routed_l is None:
-            return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
+    def local_topk(q_l, docs_l, bias_l, routed_l, scale_l, lr_l):
+        def score(qq):
+            if lr_l is not None:
+                from ragroute_tpu.ops.lowrank_topk import lowrank_topk
+
+                # center handling was already applied outside shard_map
+                return lowrank_topk(
+                    qq, lr_l, docs_l, k, mode=mode, bias=bias_l,
+                    scale=scale_l, packed4=packed4, k_refine=k_refine,
+                    coarse_impl=impl)
+            return shard_topk(qq, docs_l, k, mode=mode, bias=bias_l,
                               scale=scale_l, impl=impl, packed4=packed4)
+
+        if routed_l is None:
+            return score(q_l)
         bsz_l = q_l.shape[0]
         half = bsz_l // 2
 
         def full():
-            return shard_topk(q_l, docs_l, k, mode=mode, bias=bias_l,
-                              scale=scale_l, impl=impl, packed4=packed4)
+            return score(q_l)
 
         def compact():
             order = jnp.argsort(jnp.logical_not(routed_l), stable=True)
             sel = order[:half]
-            s_c, i_c = shard_topk(q_l[sel], docs_l, k, mode=mode,
-                                  bias=bias_l, scale=scale_l, impl=impl,
-                                  packed4=packed4)
+            s_c, i_c = score(q_l[sel])
             s = jnp.full((bsz_l, k), worst,
                          dtype=jnp.float32).at[sel].set(s_c)
             idx = jnp.zeros((bsz_l, k), dtype=jnp.int32).at[sel].set(i_c)
@@ -117,7 +136,8 @@ def sharded_shard_topk(
         extras = list(extras)
         routed_l = extras.pop(0) if routed is not None else None
         scale_l = extras.pop(0) if scale is not None else None
-        s, i = local_topk(q_l, docs_l, bias_l, routed_l, scale_l)
+        lr_l = extras.pop(0) if lr is not None else None
+        s, i = local_topk(q_l, docs_l, bias_l, routed_l, scale_l, lr_l)
         key = -s if l2 else s
         gid = i + jax.lax.axis_index("idx") * n_local
         # all-gather candidate pairs over ICI: [idx, B/dp, k]
@@ -138,6 +158,10 @@ def sharded_shard_topk(
     if scale is not None:
         in_specs.append(P("idx"))
         args.append(scale)
+    if lr is not None:
+        # basis replicated (tiny), projected slab row-sharded like docs
+        in_specs.append(lr.replace(basis=P(), docs_lr=P("idx", None)))
+        args.append(lr)
     scores, gids = jax.shard_map(
         local_fn,
         mesh=mesh,
@@ -294,12 +318,14 @@ class ShardedSearch:
         seed: int = 0,
         threshold: float = None,
         nprobe: Optional[int] = None,
+        k_refine: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
         self.mesh = mesh
         self.impl = impl
         self.nprobe = nprobe
+        self.k_refine = k_refine
         self.threshold = threshold
         self._key = jax.random.key(seed)
         if any(s.mutable for s in shard_set.shards):
@@ -329,13 +355,19 @@ class ShardedSearch:
                 raise ValueError(
                     f"impl='ivf' needs shards built with ivf_clusters; "
                     f"missing balanced-IVF layout for {missing}")
+        if impl == "lowrank" and not shard_set.lowrank_built:
+            raise ValueError(
+                "impl='lowrank' needs shards built with lowrank= "
+                "(e.g. lowrank=-1 for automatic rank selection)")
 
         self.params = jax.device_put(params, repl)
         self.bank = jax.device_put(bank, repl)
         self.arrays = []
         self.ivf_arrays = []
+        self.lr_arrays = []
         for s in shard_set.shards:
             docs, bias, scale, center = s.docs, s.bias, s.scale, s.center
+            lr = s.lr if impl == "lowrank" else None
             n = docs.shape[0]
             if n % n_idx != 0:
                 # re-pad to the idx multiple; padding carries -inf bias
@@ -344,12 +376,19 @@ class ShardedSearch:
                 bias = jnp.pad(bias, (0, pad), constant_values=-jnp.inf)
                 if scale is not None:
                     scale = jnp.pad(scale, (0, pad))
+                if lr is not None:
+                    lr = lr.replace(docs_lr=jnp.pad(
+                        lr.docs_lr, ((0, pad), (0, 0))))
             self.arrays.append((
                 jax.device_put(docs, docs_sh),
                 jax.device_put(bias, bias_sh),
                 None if scale is None else jax.device_put(scale, bias_sh),
                 None if center is None else jax.device_put(center, repl),
             ))
+            if lr is not None:
+                lr = jax.device_put(lr, lr.replace(
+                    basis=repl, docs_lr=docs_sh))
+            self.lr_arrays.append(lr)
             ivf = s.ivf if impl in ("ivf", "hybrid") else None
             if ivf is not None:
                 if ivf.n_clusters % n_idx != 0:
@@ -377,7 +416,9 @@ class ShardedSearch:
         world = self.world
         k = world.k
         mesh_ = mesh
-        impl__ = "auto" if impl in ("ivf", "hybrid") else impl
+        impl__ = "auto" if impl in ("ivf", "hybrid", "lowrank") else impl
+        from ragroute_tpu.config import LOWRANK_REFINE_MULT
+        k_refine_ = k_refine or LOWRANK_REFINE_MULT * k
         n_docs = tuple(s.n_docs for s in shard_set.shards)
         packed = tuple(getattr(s, "packed4", False)
                        for s in shard_set.shards)
@@ -386,12 +427,13 @@ class ShardedSearch:
         nprobe_ = nprobe
         impl_mode = impl
 
-        def _score(arrays, ivf_arrays, query_embs, mask):
+        def _score(arrays, ivf_arrays, lr_arrays, query_embs, mask):
             bsz = query_embs[world.sources[0].encoder].shape[0]
             per_scores, per_ids = [], []
             for i, src in enumerate(world.sources):
                 docs, bias, scale, center = arrays[i]
                 ivf = ivf_arrays[i]
+                lr = lr_arrays[i] if lr_arrays else None
                 use_ivf = False
                 if ivf is not None:
                     if impl_mode == "ivf":
@@ -416,7 +458,7 @@ class ShardedSearch:
                         mesh_, query_embs[src.encoder], docs, bias, k,
                         mode=src.score_mode, impl=impl__,
                         routed=mask[:, i], scale=scale, center=center,
-                        packed4=packed[i])
+                        packed4=packed[i], lr=lr, k_refine=k_refine_)
                 per_scores.append(s)
                 per_ids.append(gi)
             return gate_and_merge(world, k, mask, per_scores, per_ids)
@@ -427,15 +469,15 @@ class ShardedSearch:
                              rng, threshold)
 
         @jax.jit
-        def score_step(arrays, ivf_arrays, query_embs, mask):
-            return _score(arrays, ivf_arrays, query_embs, mask)
+        def score_step(arrays, ivf_arrays, lr_arrays, query_embs, mask):
+            return _score(arrays, ivf_arrays, lr_arrays, query_embs, mask)
 
-        def full_fn(params, bank, arrays, ivf_arrays, query_embs, rng, *,
-                    strategy: str):
+        def full_fn(params, bank, arrays, ivf_arrays, lr_arrays,
+                    query_embs, rng, *, strategy: str):
             probs, mask = _route_fn(
                 world, strategy, params, bank, query_embs, rng, threshold)
             return (probs, mask) + _score(
-                arrays, ivf_arrays, query_embs, mask)
+                arrays, ivf_arrays, lr_arrays, query_embs, mask)
 
         self._route_step = route_step
         self._score_step = score_step
@@ -497,7 +539,7 @@ class ShardedSearch:
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             scored = self._score_step(
-                self.arrays, self.ivf_arrays, embs, mask)
+                self.arrays, self.ivf_arrays, self.lr_arrays, embs, mask)
             if self._multiprocess:
                 jax.block_until_ready(scored)
             else:
@@ -507,7 +549,7 @@ class ShardedSearch:
             t0 = time.perf_counter()
             out = self._step(
                 self.params, self.bank, self.arrays, self.ivf_arrays,
-                embs, sub, strategy=strategy)
+                self.lr_arrays, embs, sub, strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
         if fetch_candidates:

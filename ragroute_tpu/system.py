@@ -57,7 +57,8 @@ def parse_mesh_spec(spec: str):
 
 
 def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
-                         ivf_clusters=None, embedder: str = "auto",
+                         ivf_clusters=None, lowrank=None,
+                         embedder: str = "auto",
                          mutable: bool = False, reserve_docs: int = 0):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
@@ -81,7 +82,7 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
     wroot = os.path.join(root, world.name)
 
     shard_set = ShardSet.load(root, world, dtype=dtype,
-                              ivf_clusters=ivf_clusters,
+                              ivf_clusters=ivf_clusters, lowrank=lowrank,
                               mutable=mutable, reserve_docs=reserve_docs)
 
     cent_path = os.path.join(wroot, "centroids.json")
@@ -193,6 +194,11 @@ class ServingSystem:
         self.impl: str = getattr(args, "impl", "auto")
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
+        # --impl lowrank: rank of the coarse projection (-1 = automatic
+        # energy-based selection) and candidate depth k' = refine_mult * k
+        self.lowrank_rank = getattr(args, "rank", None) or -1
+        refine_mult = getattr(args, "refine_mult", None)
+        self.k_refine = (refine_mult * self.world.k) if refine_mult else None
         self.buckets = getattr(args, "buckets", None) or cfg.BATCH_BUCKETS
         self.embedder = getattr(args, "embedder", "auto") or "auto"
         self.mutable = getattr(args, "mutable", False)
@@ -230,6 +236,8 @@ class ServingSystem:
                 ivf_clusters=(self.ivf_clusters
                               if self.impl in ("ivf", "hybrid")
                               else None),
+                lowrank=(self.lowrank_rank if self.impl == "lowrank"
+                         else None),
                 mutable=self.mutable, reserve_docs=self.reserve_docs)
             import jax
 
@@ -247,6 +255,8 @@ class ServingSystem:
                 ivf_clusters=(self.ivf_clusters
                               if self.impl in ("ivf", "hybrid")
                               else None),
+                lowrank=(self.lowrank_rank if self.impl == "lowrank"
+                         else None),
                 embedder=self.embedder,
                 mutable=self.mutable, reserve_docs=self.reserve_docs)
 
@@ -286,7 +296,8 @@ class ServingSystem:
                                    for b in self.buckets})
             engine = ShardedSearch(
                 shard_set, params, bank, mesh, impl=self.impl,
-                threshold=threshold, nprobe=self.nprobe)
+                threshold=threshold, nprobe=self.nprobe,
+                k_refine=self.k_refine)
             if self.num_processes > 1:
                 from ragroute_tpu.parallel import LockstepEngine
 
@@ -295,7 +306,8 @@ class ServingSystem:
         else:
             engine = FederatedSearchEngine(
                 shard_set, params, bank, impl=self.impl,
-                threshold=threshold, nprobe=self.nprobe)
+                threshold=threshold, nprobe=self.nprobe,
+                k_refine=self.k_refine)
         # simulate mode routes to all sources (reference router.py:222-223)
         strategy = "all" if self.simulate else self.routing
         llm = LLMClient(

@@ -356,3 +356,67 @@ def test_sharded_ivf_build_matches_single_device(rng):
     for row in range(8):
         assert set(np.asarray(i_sh)[row].tolist()) == \
             set(np.asarray(i_ref)[row].tolist())
+
+
+def test_sharded_lowrank_matches_single_chip():
+    """Two-stage coarse+refine over the mesh: per-device coarse scan on
+    the row-sharded projected slab, device-LOCAL refine gather, candidate
+    all-gather merge — winners must match the single-chip lowrank engine
+    (identical synthetic rank-64 world, where coarse is lossless)."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=15, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings,
+                               dtype=jnp.float32, lowrank=-1)
+    assert all(s.lr is not None for s in shard_set.shards)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="lowrank")
+    out = sharded.search(syn.query_embs, strategy="all")
+
+    engine = FederatedSearchEngine(shard_set, params, bank, impl="lowrank")
+    ref = engine.search(syn.query_embs, strategy="all")
+    ref_ex = FederatedSearchEngine(shard_set, params, bank,
+                                   impl="exact").search(
+        syn.query_embs, strategy="all")
+
+    for qi in range(8):
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        exact = set(zip(ref_ex.merged_shard[qi].tolist(),
+                        ref_ex.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
+        # and the lowrank path is genuinely exact on this rank-64 world
+        assert len(got & exact) >= int(0.95 * syn.world.k)
+
+
+def test_sharded_lowrank_ragroute_compaction():
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=16, seed=16, with_payloads=False)
+    shard_set = ShardSet.build(syn.world, syn.embeddings,
+                               dtype=jnp.float32, lowrank=-1)
+    params = init_router_params(jax.random.key(2),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(shard_set, params, bank, mesh, impl="lowrank")
+    out = sharded.search(syn.query_embs, strategy="ragroute")
+
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    ref = FederatedSearchEngine(shard_set, params, bank,
+                                impl="lowrank").search(
+        syn.query_embs, strategy="ragroute")
+    np.testing.assert_array_equal(np.asarray(out.mask), ref.mask)
+    for qi in range(16):
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
