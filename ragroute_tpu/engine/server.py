@@ -143,6 +143,36 @@ class FederationServer:
                 doc_store.get)
         else:
             self._get_doc = None
+        # raw response splicing: with the LLM disabled nothing host-side
+        # reads the parsed payloads (feb4rag's qrels rerank excepted), so
+        # the k on-disk jsonl doc lines can be spliced VERBATIM into the
+        # response body — no json.loads per cache-miss doc and no
+        # iterencode over payload content, which the host profile showed
+        # dominating the loaded response path (BENCHMARKS.md serving
+        # notes). The metadata carries a 128-bit random token where
+        # top_docs belongs; the encoder splits the serialized body on the
+        # token and interleaves the raw fragments (one pass). Request
+        # text cannot collide with the token except by guessing it; a
+        # mismatch falls back to the parsed encoding.
+        import secrets
+
+        self._raw_token = "rawdocs" + secrets.token_hex(16)
+        self._get_raw = None
+        _graw = (getattr(doc_store, "get_raw", None)
+                 if doc_store is not None else None)
+        if (_graw is not None and disable_llm
+                and self.world.name != "feb4rag"
+                and os.environ.get("RAGROUTE_RAW_DOCS", "1") != "0"):
+            import functools
+
+            @functools.lru_cache(maxsize=65536)
+            def _raw_line(source, local):
+                r = _graw(source, local)
+                if isinstance(r, (bytes, bytearray)):
+                    r = r.decode("utf-8", "replace")
+                return r.strip() if r else None
+
+            self._get_raw = _raw_line
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -300,7 +330,7 @@ class FederationServer:
             result = await asyncio.wait_for(
                 self._process(query, choices, question_id),
                 timeout=QUERY_TIMEOUT_S)
-            return web.json_response(result, dumps=_dumps)
+            return self._json_response(result)
         except asyncio.TimeoutError:
             logger.error("Query timed out")
             return web.Response(text="Search timed out", status=504)
@@ -357,7 +387,21 @@ class FederationServer:
                 return {"error": "Search timed out"}
 
         results = await asyncio.gather(*[one(it) for it in queries])
-        return web.json_response({"results": list(results)}, dumps=_dumps)
+        results = list(results)
+        frags, owners = [], []
+        for r in results:
+            if isinstance(r, dict):
+                raw = r.pop("__rawdocs__", None)
+                if raw is not None:
+                    frags.append(raw)
+                    owners.append(r)
+        if frags:
+            body = self._splice_raw(
+                _dumps({"results": results}), frags, owners)
+            if body is not None:
+                return web.Response(text=body,
+                                    content_type="application/json")
+        return web.json_response({"results": results}, dumps=_dumps)
 
     # -- live index updates ------------------------------------------------
 
@@ -371,6 +415,8 @@ class FederationServer:
         self._size_cache.pop(si, None)
         if self._get_doc is not None:
             self._get_doc.cache_clear()
+        if self._get_raw is not None:
+            self._get_raw.cache_clear()
 
     async def handle_docs_add(self, request):
         """``POST /docs/add``: insert documents into a live shard.
@@ -585,8 +631,13 @@ class FederationServer:
                 "message_size": msg_size,
             }
 
-        top_docs = self._merge_top_docs(
-            res, question_id, per_source_ids, per_source_docs)
+        raw_docs = None
+        if self._get_raw is not None:
+            raw_docs = self._merge_top_docs_raw(res)
+        # raw mode implies disable_llm, so nothing below reads the parsed
+        # docs when the raw fragment exists
+        top_docs = (None if raw_docs is not None else self._merge_top_docs(
+            res, question_id, per_source_ids, per_source_docs))
 
         response = {
             "query_id": query_id,
@@ -633,7 +684,7 @@ class FederationServer:
             "doc_select_time": res.doc_select_time,
             "generate_time": generate_time,
             "data_sources_stats": ds_stats,
-            "top_docs": top_docs,
+            "top_docs": self._raw_token if raw_docs is not None else top_docs,
             "e2e_time": e2e,
             "docs_tokens": docs_tokens,
             "llm": self.model,
@@ -641,6 +692,8 @@ class FederationServer:
             "batch_size": res.batch_size,
             "routing_strategy": self.strategy,
         }
+        if raw_docs is not None:
+            response["__rawdocs__"] = raw_docs
         return response
 
     def _size_tables(self, si: int):
@@ -704,6 +757,53 @@ class FederationServer:
         if self.world.name == "feb4rag":
             scores = []  # parity: no scores for FeB4RAG (data_source.py:163)
         return ids, docs, scores
+
+    def _merge_top_docs_raw(self, res: QueryResult) -> Optional[str]:
+        """The merged top-k docs as ONE pre-serialized JSON array string,
+        built from raw doc-store lines (no parse, no re-encode). Returns
+        ``None`` when any doc has no raw form (e.g. overlay-deleted) —
+        the caller then takes the parsed path for this query."""
+        frags = []
+        for j in range(res.merged_shard.shape[0]):
+            si = int(res.merged_shard[j])
+            if si < 0:
+                continue
+            raw = self._get_raw(self.world.sources[si].name,
+                                int(res.merged_local[j]))
+            if raw is None:
+                return None
+            frags.append(raw)
+        return "[" + ",".join(frags) + "]"
+
+    def _splice_raw(self, body: str, frags: List[str],
+                    owners: List[dict]) -> str:
+        """Replace each raw-token occurrence in ``body`` (in order) with
+        its query's pre-serialized top_docs array — one split+join pass.
+        On a count mismatch (the 128-bit token appeared in request text,
+        i.e. someone guessed it) rebuild via the parsed encoder."""
+        parts = body.split('"' + self._raw_token + '"')
+        if len(parts) == len(frags) + 1:
+            out = []
+            for p, f in zip(parts, frags):
+                out.append(p)
+                out.append(f)
+            out.append(parts[-1])
+            return "".join(out)
+        for owner, frag in zip(owners, frags):  # collision fallback
+            owner["metadata"]["top_docs"] = json.loads(frag)
+        return None
+
+    def _json_response(self, result) -> web.Response:
+        """Encode one /query result, splicing raw doc fragments if the
+        fast path produced them."""
+        raw = (result.pop("__rawdocs__", None)
+               if isinstance(result, dict) else None)
+        if raw is not None:
+            body = self._splice_raw(_dumps(result), [raw], [result])
+            if body is not None:
+                return web.Response(text=body,
+                                    content_type="application/json")
+        return web.json_response(result, dumps=_dumps)
 
     def _merge_top_docs(self, res: QueryResult, question_id, per_ids, per_docs):
         """Global top-k docs, per world semantics."""

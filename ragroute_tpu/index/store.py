@@ -38,6 +38,12 @@ class MemoryDocStore:
             return None
         return seq[local_idx]
 
+    def get_raw(self, source: str, local_idx: int) -> Optional[str]:
+        """Serialized payload (enables the server's raw response
+        splicing; the server LRU-caches these per (source, idx))."""
+        p = self.get(source, local_idx)
+        return None if p is None else json.dumps(p)
+
     @classmethod
     def from_synthetic(cls, syn) -> "MemoryDocStore":
         return cls(syn.doc_payloads)

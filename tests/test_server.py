@@ -379,3 +379,79 @@ def test_reuse_port_two_servers_one_port():
             await s2.stop()
 
     asyncio.run(run())
+
+
+def test_raw_splice_matches_parsed_encoding():
+    """The raw-doc splice fast path (disable_llm: on-disk jsonl lines
+    spliced verbatim into the response body) must be semantically
+    identical to the parsed encoder — including under the bulk endpoint
+    and under a splice-token collision in request text (fallback)."""
+    async def run():
+        syn, server = make_server()
+        assert server._get_raw is not None  # raw mode active
+        await server.start()
+        try:
+            q = syn.questions[0]
+            status, body_raw = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+
+            # same query through the parsed path
+            server._get_raw = None
+            status, body_parsed = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+            assert body_raw["metadata"]["top_docs"] == \
+                body_parsed["metadata"]["top_docs"]
+            assert set(body_raw) == set(body_parsed)
+        finally:
+            await server.stop()
+    asyncio.run(run())
+
+
+def test_raw_splice_token_collision_falls_back():
+    async def run():
+        syn, server = make_server()
+        await server.start()
+        try:
+            q = syn.questions[0]
+            # a query containing the exact splice token: the split-count
+            # guard must detect it and rebuild via the parsed encoder
+            evil = f"what about {server._raw_token} eh"
+            status, body = await query_server(
+                server.bound_port, evil, q["options"], q["qid"])
+            assert status == 200
+            assert body["query"] == evil
+            docs = body["metadata"]["top_docs"]
+            assert len(docs) == syn.world.k
+            assert all(isinstance(d, dict) for d in docs)
+        finally:
+            await server.stop()
+    asyncio.run(run())
+
+
+def test_bulk_endpoint_raw_splice():
+    async def run():
+        syn, server = make_server()
+        assert server._get_raw is not None
+        await server.start()
+        try:
+            items = [{"q": q["question"], "choices": q["options"],
+                      "qid": q["qid"]} for q in syn.questions[:4]]
+            items.append({"choices": {"A": "x"}})     # error row: missing q
+            async with aiohttp.ClientSession() as session:
+                url = f"http://127.0.0.1:{server.bound_port}/query/batch"
+                async with session.post(url, json={"queries": items}) as r:
+                    assert r.status == 200
+                    body = await r.json()
+            res = body["results"]
+            assert len(res) == 5
+            assert res[4] == {"error": "Please provide a query"}
+            for r in res[:4]:
+                docs = r["metadata"]["top_docs"]
+                assert len(docs) == syn.world.k
+                assert all(isinstance(d, dict) for d in docs)
+                assert "__rawdocs__" not in r
+        finally:
+            await server.stop()
+    asyncio.run(run())
