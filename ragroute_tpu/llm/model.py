@@ -1,0 +1,384 @@
+"""Pure-JAX llama-family causal decoder with KV-cache generation.
+
+The TPU-native LLM forward behind ``LLMClient(backend="jax")`` — the
+reference delegates generation to an external Ollama daemon
+(``/root/reference/ragroute/http_server.py:309-327``); here the models in
+the registry (``config.LLM_MODELS``: Llama-3.1-8B-Instruct, Qwen3-8B/0.6B)
+run ON the TPU next to retrieval. One architecture covers both families:
+
+* RMSNorm (f32 accumulation), SwiGLU MLP, no biases;
+* rotary position embeddings in the half-rotation (NeoX) convention,
+  with optional Llama-3.1 long-context frequency rescaling
+  (``rope_scaling``);
+* grouped-query attention with an explicit ``head_dim`` (Qwen3 decouples
+  it from ``hidden/num_heads``) and optional per-head q/k RMSNorm
+  (Qwen3's qk-norm);
+* tied or untied LM head.
+
+Generation is XLA-shaped: prompts are LEFT-padded to a static bucket
+length so every row's next token lands at the same cache slot, the KV
+cache is a dense ``[L, B, S, Hkv, Dh]`` buffer donated through a
+``lax.scan`` decode loop (static ``max_new``), and per-row prompt lengths
+drive both the rotary position offsets and the key-validity masks — so a
+ragged batch decodes in lockstep with zero dynamic shapes. Verified
+logit- and greedy-sequence-exact against ``transformers``
+``LlamaForCausalLM`` / ``Qwen3ForCausalLM`` (``tests/test_llm_jax.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragroute_tpu.utils.precision import scoring_precision
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rms_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    qk_norm: bool = False           # Qwen3: RMSNorm on q/k per head
+    tie_embeddings: bool = False
+    # Llama-3.1 rope rescale: (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings); None = plain RoPE.
+    rope_scaling: Optional[Tuple[float, float, float, int]] = None
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+def _rms(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (y * scale).astype(x.dtype)
+
+
+def _dot(x, w):
+    return jnp.dot(x, w, precision=scoring_precision(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _inv_freq(cfg: DecoderConfig) -> np.ndarray:
+    inv = 1.0 / (cfg.rope_theta
+                 ** (np.arange(0, cfg.head_dim, 2) / cfg.head_dim))
+    if cfg.rope_scaling is not None:
+        # HF modeling_rope_utils._compute_llama3_parameters semantics
+        factor, low_ff, high_ff, orig_max = cfg.rope_scaling
+        low_wl = orig_max / low_ff
+        high_wl = orig_max / high_ff
+        wavelen = 2 * math.pi / inv
+        inv_scaled = np.where(wavelen > low_wl, inv / factor, inv)
+        smooth = (orig_max / wavelen - low_ff) / (high_ff - low_ff)
+        smoothed = (1 - smooth) / factor * inv + smooth * inv
+        is_medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+        inv = np.where(is_medium, smoothed, inv_scaled)
+    return inv.astype(np.float32)
+
+
+def _rope(x, positions, inv_freq):
+    """Half-rotation RoPE. x: [B, T, H, Dh], positions: [B, T] int32."""
+    ang = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,T,Dh/2]
+    cos = jnp.cos(ang)[:, :, None, :]
+    sin = jnp.sin(ang)[:, :, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin],
+        axis=-1).astype(x.dtype)
+
+
+def _qkv(layer, cfg: DecoderConfig, x, positions, inv_freq):
+    """Project + (qk-norm) + rope. Returns q [B,T,H,Dh], k/v [B,T,Hkv,Dh]."""
+    b, t = x.shape[:2]
+    q = _dot(x, layer["wq"]).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = _dot(x, layer["wk"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _dot(x, layer["wv"]).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:
+        q = _rms(q, layer["q_norm"], cfg.rms_eps)
+        k = _rms(k, layer["k_norm"], cfg.rms_eps)
+    return (_rope(q, positions, inv_freq), _rope(k, positions, inv_freq), v)
+
+
+def _attend(q, k, v, kmask, cfg: DecoderConfig):
+    """GQA attention. q: [B,Tq,H,Dh]; k/v: [B,S,Hkv,Dh]; kmask: [B,Tq,S]
+    True where the key may be attended. f32 logits/softmax."""
+    groups = cfg.num_heads // cfg.num_kv_heads
+    b, tq = q.shape[:2]
+    s = k.shape[1]
+    qg = q.reshape(b, tq, cfg.num_kv_heads, groups, cfg.head_dim)
+    att = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
+                     k.astype(jnp.float32),
+                     precision=scoring_precision(jnp.float32))
+    att = att * (1.0 / math.sqrt(cfg.head_dim))
+    att = jnp.where(kmask[:, None, None], att, jnp.finfo(jnp.float32).min)
+    att = jax.nn.softmax(att, axis=-1)
+    ctx = jnp.einsum("bhgqk,bkhd->bqhgd", att, v.astype(jnp.float32),
+                     precision=scoring_precision(jnp.float32))
+    return ctx.reshape(b, tq, cfg.q_dim).astype(q.dtype)
+
+
+def _mlp(layer, x):
+    return _dot(jax.nn.silu(_dot(x, layer["gate"])) * _dot(x, layer["up"]),
+                layer["down"])
+
+
+def _logits(params, cfg: DecoderConfig, h):
+    h = _rms(h, params["ln_f"], cfg.rms_eps)
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return jnp.dot(h, head, precision=scoring_precision(jnp.float32),
+                   preferred_element_type=jnp.float32)
+
+
+def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
+            cache) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Run the prompt (LEFT-padded to its bucket length P ≤ S) and fill
+    cache slots [0, P). Returns (last-position logits [B, V] f32, cache).
+
+    ``attention_mask`` is [B, P] 0/1 with the zeros on the LEFT; the
+    real tokens of row b sit in slots [P - len_b, P), so the next
+    generated token for every row lands at slot P.
+    """
+    b, p = input_ids.shape
+    inv_freq = jnp.asarray(_inv_freq(cfg))
+    mask = attention_mask.astype(jnp.int32)
+    # absolute position of each prompt token (0 for pads; they're masked)
+    positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+    causal = jnp.tril(jnp.ones((p, p), bool))
+    kmask = causal[None] & (mask[:, None, :] > 0)
+
+    h = params["embed"][input_ids]
+    new_k, new_v = [], []
+    for layer in params["layers"]:
+        x = _rms(h, layer["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+        new_k.append(k)
+        new_v.append(v)
+        h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
+        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+
+    cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], jnp.stack(new_k).astype(cache["k"].dtype),
+            (0, 0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], jnp.stack(new_v).astype(cache["v"].dtype),
+            (0, 0, 0, 0, 0)),
+    }
+    return _logits(params, cfg, h[:, -1:])[:, 0], cache
+
+
+def decode_step(params, cfg: DecoderConfig, cache, token, lengths,
+                prompt_pad: int, t) -> Tuple[jnp.ndarray, Dict]:
+    """One decode step: ``token`` [B] goes to cache slot ``prompt_pad + t``
+    (traced scalar ``t``); row b's rotary position is ``lengths[b] + t``.
+    Returns (logits [B, V] f32, cache)."""
+    b = token.shape[0]
+    s = cache["k"].shape[2]
+    inv_freq = jnp.asarray(_inv_freq(cfg))
+    positions = (lengths + t)[:, None]            # [B, 1]
+    slot = prompt_pad + t
+    iota = jnp.arange(s)
+    # valid keys: prompt tokens [P - len_b, P) plus generated [P, P + t]
+    kmask = ((iota[None, :] >= prompt_pad - lengths[:, None])
+             & (iota[None, :] <= slot))[:, None, :]  # [B, 1, S]
+
+    h = params["embed"][token][:, None]           # [B, 1, D]
+    for li, layer in enumerate(params["layers"]):
+        x = _rms(h, layer["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+        cache["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k[None].astype(cache["k"].dtype), (li, 0, slot, 0, 0))
+        cache["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v[None].astype(cache["v"].dtype), (li, 0, slot, 0, 0))
+        h = h + _dot(
+            _attend(q, cache["k"][li], cache["v"][li], kmask, cfg),
+            layer["wo"])
+        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    return _logits(params, cfg, h)[:, 0], cache
+
+
+def sample_token(logits, key, temperature: float):
+    """Greedy at temperature 0 else categorical; f32 logits [B, V]."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
+             max_new: int, *, eos_id: int, pad_id: int = 0,
+             temperature: float = 0.0, rng_seed: int = 0,
+             cache_dtype=jnp.float32,
+             first_token: Optional[jnp.ndarray] = None,
+             cache=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prefill + ``max_new`` lockstep decode steps under ``lax.scan``.
+
+    Returns (tokens [B, max_new] int32, done [B] bool). Rows emit
+    ``pad_id`` after their EOS. Jit this whole function (donate ``cache``
+    if passed) — shapes are static in (B, P, max_new).
+    """
+    b, p = input_ids.shape
+    lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+    if cache is None:
+        cache = init_cache(cfg, b, p + max_new, cache_dtype)
+    logits0, cache = prefill(params, cfg, input_ids, attention_mask, cache)
+    key = jax.random.key(rng_seed)
+    tok0 = (first_token if first_token is not None
+            else sample_token(logits0, jax.random.fold_in(key, 0),
+                              temperature))
+    done0 = tok0 == eos_id
+
+    def step(carry, t):
+        cache, tok, done, key = carry
+        logits, cache = decode_step(params, cfg, cache, tok, lengths, p, t)
+        nxt = sample_token(logits, jax.random.fold_in(key, t + 1),
+                           temperature)
+        nxt = jnp.where(done, pad_id, nxt)
+        done = done | (nxt == eos_id)
+        return (cache, nxt, done, key), nxt
+
+    if max_new <= 1:
+        return tok0[:, None], done0
+    (cache, _, done, _), rest = jax.lax.scan(
+        step, (cache, tok0, done0, key), jnp.arange(max_new - 1))
+    tokens = jnp.concatenate([tok0[:, None], rest.T], axis=1)
+    # mask everything after the first eos to pad
+    after = jnp.cumsum((tokens == eos_id).astype(jnp.int32), axis=1)
+    keep = (after == 0) | ((tokens == eos_id) & (after == 1))
+    return jnp.where(keep, tokens, pad_id), done
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint import (LlamaForCausalLM / Qwen3ForCausalLM state dicts)
+# ---------------------------------------------------------------------------
+
+def params_from_torch_causal_lm(state_dict, cfg: DecoderConfig,
+                                dtype=jnp.float32) -> Dict:
+    """Map a HF llama/qwen3 causal-LM state dict to our pytree."""
+
+    def get(name):
+        for prefix in ("", "model."):
+            if prefix + name in state_dict:
+                t = state_dict[prefix + name]
+                return np.asarray(
+                    t.detach().cpu().float().numpy()
+                    if hasattr(t, "detach") else t, dtype=np.float32)
+        raise KeyError(name)
+
+    def w(name):  # torch Linear stores [out, in]; we want [in, out]
+        return jnp.asarray(get(name).T, dtype)
+
+    params = {
+        "embed": jnp.asarray(get("embed_tokens.weight"), dtype),
+        "ln_f": jnp.asarray(get("norm.weight"), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w("lm_head.weight")
+    for i in range(cfg.num_layers):
+        e = f"layers.{i}"
+        layer = {
+            "ln1": jnp.asarray(get(f"{e}.input_layernorm.weight"), dtype),
+            "ln2": jnp.asarray(
+                get(f"{e}.post_attention_layernorm.weight"), dtype),
+            "wq": w(f"{e}.self_attn.q_proj.weight"),
+            "wk": w(f"{e}.self_attn.k_proj.weight"),
+            "wv": w(f"{e}.self_attn.v_proj.weight"),
+            "wo": w(f"{e}.self_attn.o_proj.weight"),
+            "gate": w(f"{e}.mlp.gate_proj.weight"),
+            "up": w(f"{e}.mlp.up_proj.weight"),
+            "down": w(f"{e}.mlp.down_proj.weight"),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.asarray(
+                get(f"{e}.self_attn.q_norm.weight"), dtype)
+            layer["k_norm"] = jnp.asarray(
+                get(f"{e}.self_attn.k_norm.weight"), dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def config_from_hf(hf_config) -> DecoderConfig:
+    """DecoderConfig from a HF LlamaConfig / Qwen3Config."""
+    head_dim = getattr(hf_config, "head_dim", None) or (
+        hf_config.hidden_size // hf_config.num_attention_heads)
+    scaling = None
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        scaling = (rs["factor"], rs["low_freq_factor"],
+                   rs["high_freq_factor"],
+                   rs["original_max_position_embeddings"])
+    return DecoderConfig(
+        vocab_size=hf_config.vocab_size,
+        hidden_size=hf_config.hidden_size,
+        num_layers=hf_config.num_hidden_layers,
+        num_heads=hf_config.num_attention_heads,
+        num_kv_heads=getattr(hf_config, "num_key_value_heads", None)
+        or hf_config.num_attention_heads,
+        head_dim=head_dim,
+        intermediate_size=hf_config.intermediate_size,
+        rms_eps=hf_config.rms_norm_eps,
+        rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+        qk_norm=type(hf_config).__name__.startswith("Qwen3"),
+        tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        rope_scaling=scaling,
+    )
+
+
+def init_decoder_params(key, cfg: DecoderConfig, dtype=jnp.float32) -> Dict:
+    """Deterministic random init (demo/test weights)."""
+    keys = iter(jax.random.split(key, 4 + 11 * cfg.num_layers))
+
+    def mat(shape, scale=None):
+        s = scale if scale is not None else 1.0 / math.sqrt(shape[0])
+        return (jax.random.normal(next(keys), shape, jnp.float32)
+                * s).astype(dtype)
+
+    params = {
+        "embed": mat((cfg.vocab_size, cfg.hidden_size), 0.02),
+        "ln_f": jnp.ones((cfg.hidden_size,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = mat((cfg.hidden_size, cfg.vocab_size))
+    for _ in range(cfg.num_layers):
+        layer = {
+            "ln1": jnp.ones((cfg.hidden_size,), dtype),
+            "ln2": jnp.ones((cfg.hidden_size,), dtype),
+            "wq": mat((cfg.hidden_size, cfg.q_dim)),
+            "wk": mat((cfg.hidden_size, cfg.kv_dim)),
+            "wv": mat((cfg.hidden_size, cfg.kv_dim)),
+            "wo": mat((cfg.q_dim, cfg.hidden_size)),
+            "gate": mat((cfg.hidden_size, cfg.intermediate_size)),
+            "up": mat((cfg.hidden_size, cfg.intermediate_size)),
+            "down": mat((cfg.intermediate_size, cfg.hidden_size)),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+        params["layers"].append(layer)
+    return params

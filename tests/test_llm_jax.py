@@ -1,0 +1,202 @@
+"""Parity gates for the pure-JAX llama-family decoder (ragroute_tpu.llm).
+
+Oracles are real ``transformers`` causal-LM modules built in-process with
+tiny random-weight configs — the same strategy as tests/test_encoders.py.
+Covers: Llama logits (incl. left-padded ragged batches and Llama-3.1 rope
+rescaling), Qwen3 logits (qk-norm, decoupled head_dim, tied embeddings),
+greedy generation vs ``model.generate``, and KV-cache internal
+consistency (decode_step == re-prefill at every step).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from ragroute_tpu.llm.model import (  # noqa: E402
+    DecoderConfig, config_from_hf, decode_step, generate, init_cache,
+    init_decoder_params, params_from_torch_causal_lm, prefill,
+)
+
+
+def _tiny_llama(rope_scaling=None, seed=0):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(seed)
+    hf_cfg = LlamaConfig(
+        vocab_size=97, hidden_size=48, intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10000.0,
+        rms_norm_eps=1e-6, rope_scaling=rope_scaling,
+        attn_implementation="eager")
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    params = params_from_torch_causal_lm(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def _tiny_qwen3(seed=1):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(seed)
+    hf_cfg = Qwen3Config(
+        vocab_size=83, hidden_size=40, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16,  # decoupled: != hidden/heads
+        max_position_embeddings=64, rope_theta=1e6, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, attn_implementation="eager")
+    model = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.qk_norm and cfg.tie_embeddings and cfg.head_dim == 16
+    params = params_from_torch_causal_lm(model.state_dict(), cfg)
+    return model, cfg, params
+
+
+def _left_padded_batch(vocab, lengths, p, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = np.zeros((len(lengths), p), np.int32)
+    mask = np.zeros((len(lengths), p), np.int32)
+    for b, n in enumerate(lengths):
+        ids[b, p - n:] = rng.integers(1, vocab, n)
+        mask[b, p - n:] = 1
+    return ids, mask
+
+
+def _torch_logits(model, ids, mask):
+    pos = np.maximum(np.cumsum(mask, axis=1) - 1, 0)
+    with torch.no_grad():
+        out = model(input_ids=torch.tensor(ids, dtype=torch.long),
+                    attention_mask=torch.tensor(mask, dtype=torch.long),
+                    position_ids=torch.tensor(pos, dtype=torch.long))
+    return out.logits.numpy()
+
+
+def _jax_prefill_all_logits(params, cfg, ids, mask):
+    """Full-sequence logits via prefill internals (for parity we rerun
+    prefill at every prefix length; cheap at test scale)."""
+    # prefill returns only the last position; get all positions by running
+    # the forward manually through generate's building blocks: reuse
+    # prefill on growing prefixes is O(P^2) — instead call the model once
+    # via a length-P "decode of every position" equivalent: simplest is to
+    # recompute with prefill over each prefix, but masking makes columns
+    # independent, so one prefill per row-length suffices. For tiny P just
+    # loop.
+    b, p = ids.shape
+    out = np.zeros((b, p, cfg.vocab_size), np.float32)
+    for t in range(1, p + 1):
+        cache = init_cache(cfg, b, p)
+        sub_ids = np.zeros_like(ids)
+        sub_mask = np.zeros_like(mask)
+        sub_ids[:, p - t:] = ids[:, :t]
+        sub_mask[:, p - t:] = mask[:, :t]
+        logits, _ = prefill(params, cfg, jnp.asarray(sub_ids),
+                            jnp.asarray(sub_mask), cache)
+        out[:, t - 1] = np.asarray(logits)
+    return out
+
+
+@pytest.mark.parametrize("rope_scaling", [
+    None,
+    {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+     "high_freq_factor": 4.0, "original_max_position_embeddings": 16},
+])
+def test_jax_llama_logits_match_torch(rope_scaling):
+    model, cfg, params = _tiny_llama(rope_scaling)
+    ids, mask = _left_padded_batch(cfg.vocab_size, [12, 7, 12], 12)
+    ref = _torch_logits(model, ids, mask)
+    cache = init_cache(cfg, ids.shape[0], ids.shape[1] + 1)
+    logits, _ = prefill(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                        cache)
+    np.testing.assert_allclose(np.asarray(logits), ref[:, -1], rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_jax_qwen3_logits_match_torch():
+    model, cfg, params = _tiny_qwen3()
+    ids, mask = _left_padded_batch(cfg.vocab_size, [9, 4], 9)
+    ref = _torch_logits(model, ids, mask)
+    cache = init_cache(cfg, ids.shape[0], ids.shape[1] + 2)
+    logits, _ = prefill(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                        cache)
+    np.testing.assert_allclose(np.asarray(logits), ref[:, -1], rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_greedy_generate_matches_torch_generate():
+    model, cfg, params = _tiny_llama()
+    lengths = [8, 3, 6]
+    p, max_new = 8, 10
+    ids, mask = _left_padded_batch(cfg.vocab_size, lengths, p, seed=11)
+    eos = cfg.vocab_size - 1  # unlikely to fire on random weights
+    with torch.no_grad():
+        ref = model.generate(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            max_new_tokens=max_new, do_sample=False,
+            eos_token_id=eos, pad_token_id=0)
+    ref_new = ref[:, p:].numpy()
+    toks, _ = jax.jit(
+        lambda pr, i, m: generate(pr, cfg, i, m, max_new, eos_id=eos,
+                                  pad_id=0))(params, jnp.asarray(ids),
+                                             jnp.asarray(mask))
+    toks = np.asarray(toks)
+    # compare up to each row's eos (HF pads after eos with pad_token_id=0,
+    # ours emits pad_id=0 as well → directly comparable)
+    np.testing.assert_array_equal(toks, ref_new[:, :max_new])
+
+
+def test_decode_step_consistent_with_prefill():
+    """Decoding token-by-token through the KV cache must equal running a
+    fresh full forward over the extended sequence at every step."""
+    _, cfg, params = _tiny_qwen3(seed=5)
+    lengths = [6, 2]
+    p, steps = 6, 5
+    ids, mask = _left_padded_batch(cfg.vocab_size, lengths, p, seed=7)
+    cache = init_cache(cfg, 2, p + steps)
+    logits, cache = prefill(params, cfg, jnp.asarray(ids),
+                            jnp.asarray(mask), cache)
+    lens = jnp.asarray(lengths, jnp.int32)
+
+    cur_ids, cur_mask = ids.copy(), mask.copy()
+    tok = np.asarray(jnp.argmax(logits, -1), np.int32)
+    for t in range(steps):
+        # oracle: extend the left-padded sequence and re-prefill
+        cur_ids = np.concatenate([cur_ids, tok[:, None]], axis=1)
+        cur_mask = np.concatenate(
+            [cur_mask, np.ones((2, 1), np.int32)], axis=1)
+        oracle_cache = init_cache(cfg, 2, cur_ids.shape[1])
+        oracle_logits, _ = prefill(params, cfg, jnp.asarray(cur_ids),
+                                   jnp.asarray(cur_mask), oracle_cache)
+        step_logits, cache = decode_step(
+            params, cfg, cache, jnp.asarray(tok), lens, p,
+            jnp.asarray(t, jnp.int32))
+        np.testing.assert_allclose(np.asarray(step_logits),
+                                   np.asarray(oracle_logits),
+                                   rtol=2e-4, atol=2e-4)
+        tok = np.asarray(jnp.argmax(step_logits, -1), np.int32)
+
+
+def test_generate_stops_at_eos_and_pads():
+    cfg = DecoderConfig(vocab_size=31, hidden_size=32, num_layers=1,
+                        num_heads=2, num_kv_heads=2, head_dim=16,
+                        intermediate_size=48)
+    params = init_decoder_params(jax.random.key(0), cfg)
+    # sample (temperature 1, fixed seed) so tokens vary; declare eos = the
+    # first token whose value has not appeared before it, then re-run with
+    # that eos: the sequence must match up to it and pad after it.
+    ids = jnp.asarray(np.full((1, 4), 5, np.int32))
+    mask = jnp.ones((1, 4), jnp.int32)
+    kw = dict(eos_id=-1, pad_id=0, temperature=1.0, rng_seed=9)
+    toks = np.asarray(generate(params, cfg, ids, mask, 6, **kw)[0])[0]
+    j, eos = next((j, int(t)) for j, t in enumerate(toks)
+                  if int(t) not in toks[:j])
+    kw["eos_id"] = eos
+    toks2, done = generate(params, cfg, ids, mask, 6, **kw)
+    toks2 = np.asarray(toks2)[0]
+    np.testing.assert_array_equal(toks2[:j + 1], toks[:j + 1])
+    assert toks2[j] == eos
+    assert (toks2[j + 1:] == 0).all()
+    assert bool(np.asarray(done)[0])
