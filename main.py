@@ -38,6 +38,23 @@ def parse_args(argv=None):
     parser.add_argument("--model", type=str, default=SUPPORTED_MODELS[0],
                         choices=list(SUPPORTED_MODELS),
                         help="The model to use for the LLM")
+    parser.add_argument("--llm-backend", type=str, default="auto",
+                        choices=["auto", "ollama", "openai", "echo", "jax"],
+                        help="Generation backend: auto = reference "
+                             "behavior (ollama daemon; echo when "
+                             "--disable-llm/--simulate); jax = TPU-native "
+                             "generation — the registry model runs as a "
+                             "pure-JAX decoder on the chip next to "
+                             "retrieval (micro-batched, KV-cache decode)")
+    parser.add_argument("--llm-checkpoint", type=str, default=None,
+                        help="Local HF causal-LM checkpoint directory for "
+                             "--llm-backend jax (Llama/Qwen3 layouts). "
+                             "Without it the jax backend serves a tiny "
+                             "DEMO decoder (offline; answers are "
+                             "gibberish, path is real)")
+    parser.add_argument("--llm-max-new", type=int, default=256,
+                        help="Max generated tokens per answer with "
+                             "--llm-backend jax")
     parser.add_argument("--data-root", type=str, default=None,
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)

@@ -17,6 +17,11 @@ parity and pluggable backends:
 * ``echo``    — deterministic canned answers for simulation/testing
   (answers "A" in the reference answer formats, optional delay matching
   ``LLM_DELAY``).
+* ``jax``     — TPU-NATIVE generation (beyond-reference): the registry
+  models run as pure-JAX decoders on the chip next to retrieval, through
+  the micro-batching :class:`ragroute_tpu.llm.GenerationService`
+  (``service=`` — a local HF checkpoint via
+  ``GenerationService.from_checkpoint``, or the offline demo model).
 """
 
 from __future__ import annotations
@@ -48,13 +53,17 @@ class LLMClient:
         delay_s: float = 0.0,
         endpoint: Optional[str] = None,
         timeout_s: float = LLM_TIMEOUT_S,
+        service=None,
     ):
-        if backend not in ("ollama", "openai", "echo"):
+        if backend not in ("ollama", "openai", "echo", "jax"):
             raise ValueError(f"unknown LLM backend {backend!r}")
+        if backend == "jax" and service is None:
+            raise ValueError("backend='jax' needs a GenerationService")
         self.backend = backend
         self.delay_s = delay_s
         self.endpoint = endpoint
         self.timeout_s = timeout_s
+        self.service = service
 
     async def chat(
         self, model: str, messages: List[Dict[str, str]]
@@ -75,6 +84,8 @@ class LLMClient:
                 f"Error generating response: {e}", time.time() - start, False)
 
     async def _dispatch(self, model: str, messages) -> str:
+        if self.backend == "jax":
+            return await self.service.chat(messages)
         if self.backend == "echo":
             if self.delay_s:
                 await asyncio.sleep(self.delay_s)

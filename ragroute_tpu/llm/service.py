@@ -1,0 +1,265 @@
+"""Batched async generation service over the pure-JAX decoder.
+
+This is the runtime half of ``LLMClient(backend="jax")`` — the
+reference's generation stage is one HTTP call per query into an external
+Ollama daemon (``/root/reference/ragroute/http_server.py:309-327``); here
+concurrent ``chat()`` calls are micro-batched (the same pattern as the
+retrieval ``QueryBatcher``), left-padded to a static prompt bucket, and
+run through ONE jitted prefill+decode per batch — so generation shares
+the retrieval engine's XLA execution model: static shapes, bucketed
+compilation, lockstep batches.
+
+Weights come from a local HF checkpoint directory
+(``GenerationService.from_checkpoint`` — any LlamaForCausalLM /
+Qwen3ForCausalLM layout, e.g. the registry models in
+``config.LLM_MODELS``), or from :func:`demo_service` — a tiny
+deterministic random-weight decoder + byte-level tokenizer that keeps
+the FULL path executable offline (CI, demos); its answers are
+explicitly gibberish and flagged as such in logs.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragroute_tpu.llm.model import (
+    DecoderConfig, config_from_hf, generate, init_decoder_params,
+    params_from_torch_causal_lm,
+)
+
+logger = logging.getLogger("llm.jax")
+
+DEMO_CFG = DecoderConfig(
+    vocab_size=260, hidden_size=128, num_layers=2, num_heads=8,
+    num_kv_heads=4, head_dim=16, intermediate_size=256)
+
+
+class ByteTokenizer:
+    """Offline byte-level tokenizer: ids 0-255 = raw bytes, then
+    pad/bos/eos. Lossless on any text; pairs with the demo decoder."""
+
+    pad_id = 256
+    bos_id = 257
+    eos_id = 258
+    vocab_size = 260
+    is_fallback = True
+
+    def encode(self, text: str) -> List[int]:
+        return [self.bos_id] + list(text.encode("utf-8"))
+
+    def decode(self, ids: Sequence[int]) -> str:
+        raw = bytes(i for i in ids if i < 256)
+        return raw.decode("utf-8", "replace")
+
+    def apply_chat_template(self, messages, add_generation_prompt=True,
+                            tokenize=False) -> str:
+        parts = [f"<|{m['role']}|>\n{m['content']}" for m in messages]
+        if add_generation_prompt:
+            parts.append("<|assistant|>\n")
+        return "\n".join(parts)
+
+
+def _render_prompt(tokenizer, messages: List[Dict[str, str]]) -> str:
+    """Chat-template the messages; fall back to role-tagged concat."""
+    tmpl = getattr(tokenizer, "apply_chat_template", None)
+    if tmpl is not None and getattr(tokenizer, "chat_template", True):
+        try:
+            return tmpl(messages, tokenize=False,
+                        add_generation_prompt=True)
+        except Exception:
+            pass
+    return "\n".join(
+        f"<|{m['role']}|>\n{m['content']}" for m in messages
+    ) + "\n<|assistant|>\n"
+
+
+class GenerationService:
+    """Micro-batching front-end over :func:`ragroute_tpu.llm.model.generate`.
+
+    Concurrency contract mirrors ``QueryBatcher``: ``chat()`` enqueues and
+    awaits a future; one worker drains the queue, pads the batch to the
+    smallest prompt bucket that fits, and runs the jitted generate (one
+    compile per (bucket, batch-bucket) pair, cached for the process
+    lifetime). Device work runs in an executor thread so the event loop
+    stays responsive while a batch decodes.
+    """
+
+    def __init__(self, params, cfg: DecoderConfig, tokenizer, *,
+                 max_new_tokens: int = 64,
+                 prompt_buckets: Sequence[int] = (128, 512, 2048),
+                 batch_buckets: Sequence[int] = (1, 4, 16),
+                 temperature: float = 0.0,
+                 cache_dtype=jnp.bfloat16,
+                 eos_id: Optional[int] = None,
+                 pad_id: Optional[int] = None,
+                 flush_interval_s: float = 0.004):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_new_tokens = int(max_new_tokens)
+        self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
+        self.temperature = float(temperature)
+        self.cache_dtype = cache_dtype
+        self.eos_id = int(eos_id if eos_id is not None else
+                          getattr(tokenizer, "eos_token_id", None)
+                          or getattr(tokenizer, "eos_id", 0))
+        self.pad_id = int(pad_id if pad_id is not None else
+                          getattr(tokenizer, "pad_token_id", None)
+                          or getattr(tokenizer, "pad_id", 0))
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._flush_s = flush_interval_s
+        self._compiled: Dict[Tuple[int, int], object] = {}
+        self.generated_tokens = 0
+        self.batches = 0
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "GenerationService":
+        """Load a local HF causal-LM checkpoint directory (torch weights;
+        converted once to a JAX pytree)."""
+        from transformers import (AutoConfig, AutoModelForCausalLM,
+                                  AutoTokenizer)
+
+        hf_cfg = AutoConfig.from_pretrained(path, local_files_only=True)
+        cfg = config_from_hf(hf_cfg)
+        model = AutoModelForCausalLM.from_pretrained(
+            path, local_files_only=True)
+        params = params_from_torch_causal_lm(
+            model.state_dict(), cfg, dtype=jnp.bfloat16)
+        del model
+        tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+        return cls(params, cfg, tok, **kw)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._worker())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    # -- API ---------------------------------------------------------------
+
+    async def chat(self, messages: List[Dict[str, str]]) -> str:
+        """Generate a completion for one chat; batches with concurrent
+        callers."""
+        if self._task is None:
+            await self.start()
+        prompt = _render_prompt(self.tokenizer, messages)
+        ids = self.tokenizer.encode(prompt)
+        if not isinstance(ids, list):
+            ids = list(ids)
+        max_p = self.prompt_buckets[-1]
+        if len(ids) > max_p:   # keep the TAIL (question + options are last)
+            ids = ids[-max_p:]
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((ids, fut))
+        return await fut
+
+    # -- internals ----------------------------------------------------------
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self._queue.get()
+            if self._flush_s:
+                await asyncio.sleep(self._flush_s)  # let a batch gather
+            items = [first]
+            max_b = self.batch_buckets[-1]
+            while len(items) < max_b:
+                try:
+                    items.append(self._queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            try:
+                texts = await loop.run_in_executor(
+                    None, self._run_batch, [it[0] for it in items])
+                for (_, fut), text in zip(items, texts):
+                    if not fut.done():
+                        fut.set_result(text)
+            except Exception as e:  # pragma: no cover - defensive
+                logger.exception("generation batch failed")
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def _bucket(self, seq: Sequence[int], n: int) -> int:
+        for b in seq:
+            if n <= b:
+                return b
+        return seq[-1]
+
+    def _run_batch(self, prompts: List[List[int]]) -> List[str]:
+        p = self._bucket(self.prompt_buckets, max(len(x) for x in prompts))
+        b = self._bucket(self.batch_buckets, len(prompts))
+        ids = np.full((b, p), self.pad_id, np.int32)
+        mask = np.zeros((b, p), np.int32)
+        for i, toks in enumerate(prompts):
+            toks = toks[-p:]
+            ids[i, p - len(toks):] = toks
+            mask[i, p - len(toks):] = 1
+        tokens = self._jit_generate(p, b)(
+            self.params, jnp.asarray(ids), jnp.asarray(mask))
+        tokens = np.asarray(tokens)
+        self.batches += 1
+        out = []
+        for i in range(len(prompts)):
+            row = [int(t) for t in tokens[i]]
+            if self.eos_id in row:
+                row = row[: row.index(self.eos_id)]
+            # strip pads the scan emitted after a row finished early
+            while row and row[-1] == self.pad_id:
+                row.pop()
+            self.generated_tokens += len(row)
+            out.append(self.tokenizer.decode(row))
+        return out
+
+    def _jit_generate(self, p: int, b: int):
+        fn = self._compiled.get((p, b))
+        if fn is not None:
+            return fn
+        cfg, max_new = self.cfg, self.max_new_tokens
+        temperature, eos, pad = self.temperature, self.eos_id, self.pad_id
+        cache_dtype = self.cache_dtype
+
+        def run(params, ids, mask):
+            toks, _ = generate(
+                params, cfg, ids, mask, max_new, eos_id=eos, pad_id=pad,
+                temperature=temperature, cache_dtype=cache_dtype)
+            return toks
+
+        fn = jax.jit(run)
+        self._compiled[(p, b)] = fn
+        return fn
+
+
+def demo_service(seed: int = 0, **kw) -> GenerationService:
+    """Offline demo: tiny deterministic decoder + byte tokenizer. The
+    full serving path executes end-to-end; answers are gibberish."""
+    logger.warning(
+        "jax LLM backend running DEMO weights (tiny random decoder): "
+        "answers are not meaningful. Point --llm-checkpoint at a local "
+        "HF causal-LM directory for real generation.")
+    tok = ByteTokenizer()
+    params = init_decoder_params(jax.random.key(seed), DEMO_CFG)
+    kw.setdefault("prompt_buckets", (128, 512))
+    kw.setdefault("max_new_tokens", 32)
+    kw.setdefault("cache_dtype", jnp.float32)
+    return GenerationService(params, DEMO_CFG, tok, eos_id=tok.eos_id,
+                             pad_id=tok.pad_id, **kw)

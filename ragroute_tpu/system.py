@@ -192,6 +192,11 @@ class ServingSystem:
         self.port: int = getattr(args, "port", None) or cfg.HTTP_PORT
         self.dtype_name: str = getattr(args, "dtype", "bfloat16")
         self.impl: str = getattr(args, "impl", "auto")
+        # LLM backend: auto = reference behavior (echo when disabled or
+        # simulated, otherwise ollama); jax = TPU-native generation
+        self.llm_backend: str = getattr(args, "llm_backend", None) or "auto"
+        self.llm_checkpoint = getattr(args, "llm_checkpoint", None)
+        self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         # --impl lowrank: rank of the coarse projection (-1 = automatic
@@ -310,9 +315,23 @@ class ServingSystem:
                 k_refine=self.k_refine)
         # simulate mode routes to all sources (reference router.py:222-223)
         strategy = "all" if self.simulate else self.routing
-        llm = LLMClient(
-            "echo" if (self.simulate or self.disable_llm) else "ollama",
-            delay_s=cfg.LLM_DELAY if self.simulate else 0.0)
+        backend = getattr(self, "llm_backend", "auto")
+        if backend == "auto":
+            backend = ("echo" if (self.simulate or self.disable_llm)
+                       else "ollama")
+        if backend == "jax":
+            from ragroute_tpu.llm.service import (GenerationService,
+                                                  demo_service)
+
+            ckpt = getattr(self, "llm_checkpoint", None)
+            service = (GenerationService.from_checkpoint(
+                ckpt, max_new_tokens=self.llm_max_new)
+                if ckpt else demo_service(
+                    max_new_tokens=min(self.llm_max_new, 32)))
+            llm = LLMClient("jax", service=service)
+        else:
+            llm = LLMClient(
+                backend, delay_s=cfg.LLM_DELAY if self.simulate else 0.0)
         self.server = FederationServer(
             engine,
             strategy=strategy,

@@ -74,30 +74,6 @@ def _torch_logits(model, ids, mask):
     return out.logits.numpy()
 
 
-def _jax_prefill_all_logits(params, cfg, ids, mask):
-    """Full-sequence logits via prefill internals (for parity we rerun
-    prefill at every prefix length; cheap at test scale)."""
-    # prefill returns only the last position; get all positions by running
-    # the forward manually through generate's building blocks: reuse
-    # prefill on growing prefixes is O(P^2) — instead call the model once
-    # via a length-P "decode of every position" equivalent: simplest is to
-    # recompute with prefill over each prefix, but masking makes columns
-    # independent, so one prefill per row-length suffices. For tiny P just
-    # loop.
-    b, p = ids.shape
-    out = np.zeros((b, p, cfg.vocab_size), np.float32)
-    for t in range(1, p + 1):
-        cache = init_cache(cfg, b, p)
-        sub_ids = np.zeros_like(ids)
-        sub_mask = np.zeros_like(mask)
-        sub_ids[:, p - t:] = ids[:, :t]
-        sub_mask[:, p - t:] = mask[:, :t]
-        logits, _ = prefill(params, cfg, jnp.asarray(sub_ids),
-                            jnp.asarray(sub_mask), cache)
-        out[:, t - 1] = np.asarray(logits)
-    return out
-
-
 @pytest.mark.parametrize("rope_scaling", [
     None,
     {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
@@ -200,3 +176,112 @@ def test_generate_stops_at_eos_and_pads():
     assert toks2[j] == eos
     assert (toks2[j + 1:] == 0).all()
     assert bool(np.asarray(done)[0])
+
+
+# ---------------------------------------------------------------------------
+# GenerationService (batched async front-end)
+# ---------------------------------------------------------------------------
+
+import asyncio  # noqa: E402
+
+from ragroute_tpu.llm.service import (  # noqa: E402
+    ByteTokenizer, GenerationService, demo_service,
+)
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    for text in ("hello", "ünïcödé ✓", ""):
+        ids = tok.encode(text)
+        assert ids[0] == tok.bos_id
+        assert tok.decode(ids) == text
+    tmpl = tok.apply_chat_template(
+        [{"role": "system", "content": "s"}, {"role": "user", "content": "u"}])
+    assert tmpl.endswith("<|assistant|>\n") and "<|user|>" in tmpl
+
+
+def test_generation_service_batches_concurrent_calls():
+    svc = demo_service(max_new_tokens=8, flush_interval_s=0.01)
+
+    async def run():
+        msgs = [[{"role": "user", "content": f"question {i}?"}]
+                for i in range(5)]
+        outs = await asyncio.gather(*[svc.chat(m) for m in msgs])
+        await svc.stop()
+        return outs
+
+    outs = asyncio.run(run())
+    assert len(outs) == 5
+    assert all(isinstance(o, str) for o in outs)
+    # 5 concurrent calls must have shared batches, not run 5 singles
+    assert svc.batches < 5
+    # deterministic: same prompt -> same completion (greedy, fixed weights)
+    svc2 = demo_service(max_new_tokens=8, flush_interval_s=0.01)
+
+    async def rerun():
+        out = await svc2.chat([{"role": "user", "content": "question 0?"}])
+        await svc2.stop()
+        return out
+
+    assert asyncio.run(rerun()) == outs[0]
+
+
+def test_generation_service_prompt_truncation_keeps_tail():
+    svc = demo_service(max_new_tokens=4, flush_interval_s=0.0)
+    long = "x" * 4096 + " FINAL"
+
+    async def run():
+        out = await svc.chat([{"role": "user", "content": long}])
+        await svc.stop()
+        return out
+
+    assert isinstance(asyncio.run(run()), str)
+    # the encoded prompt was clipped to the largest bucket from the LEFT
+    assert max(svc._compiled)[0] == svc.prompt_buckets[-1]
+
+
+def test_llm_client_jax_backend_timeout_contract():
+    from ragroute_tpu.engine.llm import LLMClient
+
+    svc = demo_service(max_new_tokens=4, flush_interval_s=0.0)
+    client = LLMClient("jax", service=svc)
+
+    async def run():
+        res = await client.chat("llama3.1-8B-instruct",
+                                [{"role": "user", "content": "hi"}])
+        await svc.stop()
+        return res
+
+    res = asyncio.run(run())
+    assert res.ok and res.generate_time >= 0
+    assert isinstance(res.answer, str)
+
+
+def test_server_e2e_with_jax_llm_backend():
+    """Full HTTP path with generation ON via the TPU-native backend: the
+    answer field is produced by the jax decoder (demo weights)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_server import make_server, query_server
+    from ragroute_tpu.engine.llm import LLMClient
+
+    svc = demo_service(max_new_tokens=8, flush_interval_s=0.0)
+
+    async def run():
+        syn, server = make_server(
+            disable_llm=False, llm=LLMClient("jax", service=svc))
+        await server.start()
+        try:
+            q = syn.questions[0]
+            status, body = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert status == 200
+            assert isinstance(body["answer"], str)
+            assert body["metadata"]["generate_time"] > 0
+            assert len(body["metadata"]["top_docs"]) == syn.world.k
+        finally:
+            await server.stop()
+            await svc.stop()
+
+    asyncio.run(run())
