@@ -285,3 +285,40 @@ def test_server_e2e_with_jax_llm_backend():
             await svc.stop()
 
     asyncio.run(run())
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel generation over the virtual mesh
+# ---------------------------------------------------------------------------
+
+def test_tp_sharded_generate_matches_single_device():
+    """(dp=2, idx=4) mesh: TP-sharded weights + dp-sharded batch must
+    produce the same greedy tokens as the unsharded single-device run."""
+    from jax.sharding import Mesh, NamedSharding
+    from ragroute_tpu.llm.sharding import (data_spec, decoder_param_specs,
+                                           shard_decoder_params)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=8, num_kv_heads=4, head_dim=8,
+                        intermediate_size=64)
+    params = init_decoder_params(jax.random.key(2), cfg)
+    ids, mask = _left_padded_batch(cfg.vocab_size, [8, 3, 6, 8], 8, seed=13)
+    max_new = 6
+
+    ref, _ = jax.jit(lambda pr, i, m: generate(
+        pr, cfg, i, m, max_new, eos_id=-1, pad_id=0))(
+        params, jnp.asarray(ids), jnp.asarray(mask))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("dp", "idx"))
+    sharded = shard_decoder_params(params, cfg, mesh, axis="idx")
+    dspec = data_spec(mesh)
+    ds = NamedSharding(mesh, dspec)
+    toks, _ = jax.jit(
+        lambda pr, i, m: generate(pr, cfg, i, m, max_new, eos_id=-1,
+                                  pad_id=0),
+        in_shardings=(jax.tree.map(
+            lambda s: NamedSharding(mesh, s), decoder_param_specs(cfg)),
+            ds, ds))(sharded, jnp.asarray(ids), jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
