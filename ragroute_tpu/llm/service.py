@@ -123,9 +123,12 @@ class GenerationService:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def from_checkpoint(cls, path: str, **kw) -> "GenerationService":
+    def from_checkpoint(cls, path: str, quantize: Optional[str] = None,
+                        **kw) -> "GenerationService":
         """Load a local HF causal-LM checkpoint directory (torch weights;
-        converted once to a JAX pytree)."""
+        converted once to a JAX pytree). ``quantize="int8"`` applies
+        weight-only per-channel quantization — ~2× decode tokens/s at
+        small batch (bench_llm --int8: 1152 vs 536 tok/s at B=1)."""
         from transformers import (AutoConfig, AutoModelForCausalLM,
                                   AutoTokenizer)
 
@@ -136,6 +139,12 @@ class GenerationService:
         params = params_from_torch_causal_lm(
             model.state_dict(), cfg, dtype=jnp.bfloat16)
         del model
+        if quantize == "int8":
+            from ragroute_tpu.llm.model import quantize_decoder_params
+
+            params = quantize_decoder_params(params, cfg)
+        elif quantize:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
         return cls(params, cfg, tok, **kw)
 

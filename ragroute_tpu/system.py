@@ -197,6 +197,7 @@ class ServingSystem:
         self.llm_backend: str = getattr(args, "llm_backend", None) or "auto"
         self.llm_checkpoint = getattr(args, "llm_checkpoint", None)
         self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
+        self.llm_quant = getattr(args, "llm_quant", None)
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         # --impl lowrank: rank of the coarse projection (-1 = automatic
@@ -325,7 +326,8 @@ class ServingSystem:
 
             ckpt = getattr(self, "llm_checkpoint", None)
             service = (GenerationService.from_checkpoint(
-                ckpt, max_new_tokens=self.llm_max_new)
+                ckpt, quantize=getattr(self, "llm_quant", None),
+                max_new_tokens=self.llm_max_new)
                 if ckpt else demo_service(
                     max_new_tokens=min(self.llm_max_new, 32)))
             llm = LLMClient("jax", service=service)

@@ -74,12 +74,19 @@ def main():
     ap.add_argument("--sweep-batch", type=int, nargs="*", default=None)
     ap.add_argument("--layers", type=int, default=None,
                     help="override layer count (smaller = faster compile)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 quantization (halves the "
+                         "decode weight stream)")
     args = ap.parse_args()
 
     cfg = QWEN3_06B
     if args.layers:
         cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
     params = init_decoder_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
+    if args.int8:
+        from ragroute_tpu.llm.model import quantize_decoder_params
+
+        params = quantize_decoder_params(params, cfg)
     pbytes = param_bytes(params)
     sol_steps = HBM_GBPS * 1e9 / pbytes  # decode steps/s bound
 

@@ -322,3 +322,37 @@ def test_tp_sharded_generate_matches_single_device():
             lambda s: NamedSharding(mesh, s), decoder_param_specs(cfg)),
             ds, ds))(sharded, jnp.asarray(ids), jnp.asarray(mask))
     np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# int8 weight-only quantization
+# ---------------------------------------------------------------------------
+
+def test_int8_quantized_decoder_close_to_f32():
+    """Weight-only int8 (per-channel scales) must track the f32 logits
+    within ~1% relative error and generate without shape/dtype issues,
+    for both tied (quantized embed doubles as the head) and untied
+    heads."""
+    from ragroute_tpu.llm.model import quantize_decoder_params
+
+    for tied in (False, True):
+        cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=4, num_kv_heads=2, head_dim=8,
+                            intermediate_size=64, tie_embeddings=tied,
+                            qk_norm=tied)
+        params = init_decoder_params(jax.random.key(4), cfg)
+        qparams = quantize_decoder_params(params, cfg)
+        ids, mask = _left_padded_batch(cfg.vocab_size, [10, 5], 10, seed=21)
+        ref, _ = prefill(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                         init_cache(cfg, 2, 12))
+        got, _ = prefill(qparams, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                         init_cache(cfg, 2, 12))
+        ref, got = np.asarray(ref), np.asarray(got)
+        err = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+        # tiny RANDOM weights are the worst case for int8 (no structure,
+        # d=32 gives no error averaging); real checkpoints sit far lower
+        assert err.max() < 0.06, f"tied={tied}: max rel err {err.max()}"
+        assert err.mean() < 0.01, f"tied={tied}: mean rel err {err.mean()}"
+        toks, _ = generate(qparams, cfg, jnp.asarray(ids),
+                           jnp.asarray(mask), 4, eos_id=-1, pad_id=0)
+        assert np.asarray(toks).shape == (2, 4)
