@@ -60,6 +60,13 @@ def parse_args(argv=None):
                         help="Weight-only quantization for --llm-backend "
                              "jax: int8 per-channel halves the decode "
                              "weight stream (~2x tokens/s at small batch)")
+    parser.add_argument("--llm-serving", type=str, default="batch",
+                        choices=["batch", "continuous"],
+                        help="Generation scheduling for --llm-backend "
+                             "jax: 'batch' decodes each micro-batch to "
+                             "completion; 'continuous' is slot-based "
+                             "continuous batching (requests join/leave "
+                             "the running decode at chunk boundaries)")
     parser.add_argument("--data-root", type=str, default=None,
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)

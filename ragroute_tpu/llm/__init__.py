@@ -7,3 +7,6 @@ from ragroute_tpu.llm.model import (  # noqa: F401
 from ragroute_tpu.llm.service import (  # noqa: F401
     ByteTokenizer, GenerationService, demo_service,
 )
+from ragroute_tpu.llm.continuous import (  # noqa: F401
+    ContinuousGenerationService, demo_continuous_service,
+)

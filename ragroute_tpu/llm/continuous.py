@@ -1,0 +1,386 @@
+"""Continuous batching for TPU-native generation (slot-based decode).
+
+The lockstep :class:`~ragroute_tpu.llm.service.GenerationService` decodes
+each micro-batch to completion, so a request arriving mid-decode waits a
+full generation; one long answer also holds back its whole batch. This
+module serves generation the way modern LLM servers do — requests JOIN
+and LEAVE a persistent decode loop — but TPU-shaped throughout:
+
+* a STATIC number of slots; each slot owns one row of a dense
+  ``[L, slots, S, Hkv, Dh]`` KV cache (no paging — XLA wants dense
+  static buffers; capacity is slots × S, chosen at construction);
+* slot prompts are RIGHT-padded (tokens at cache positions ``[0, len)``),
+  so rotary positions equal cache indices and per-slot raggedness is
+  carried by one ``counts`` vector;
+* decode runs in CHUNKS of C steps under ``lax.scan`` — one device
+  dispatch per chunk (the ~27 ms tunnel floor amortizes over C tokens ×
+  all slots) — with eos / token-budget deactivation ON DEVICE, so the
+  host only reads the small ``[C, slots]`` token block per chunk;
+* admission is a jitted scatter-prefill: new prompts are encoded as a
+  tiny right-padded batch and their K/V written into the free slots'
+  cache rows between chunks.
+
+Decode semantics are identical to the lockstep path (same weights →
+same greedy tokens; gated in tests/test_llm_continuous.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragroute_tpu.llm.model import (
+    DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
+    _mlp, _qkv, _rms, init_cache, sample_token,
+)
+from ragroute_tpu.llm.service import _render_prompt
+
+logger = logging.getLogger("llm.continuous")
+
+
+# ---------------------------------------------------------------------------
+# Device-side primitives (jitted by the service)
+# ---------------------------------------------------------------------------
+
+def prefill_rows(params, cfg: DecoderConfig, ids, lens):
+    """Forward a RIGHT-padded prompt batch ``ids [n, P]`` (row b valid in
+    ``[0, lens[b])``). Returns (logits at each row's last token [n, V],
+    per-layer K [L, n, P, Hkv, Dh], V likewise)."""
+    n, p = ids.shape
+    inv_freq = jnp.asarray(_inv_freq(cfg))
+    iota = jnp.arange(p)
+    positions = jnp.broadcast_to(iota[None], (n, p))
+    valid = iota[None, :] < lens[:, None]                  # [n, P]
+    kmask = (jnp.tril(jnp.ones((p, p), bool))[None]
+             & valid[:, None, :])                          # [n, P, P]
+
+    h = _embed_lookup(params, ids)
+    ks, vs = [], []
+    for layer in params["layers"]:
+        x = _rms(h, layer["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+        ks.append(k)
+        vs.append(v)
+        h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
+        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    # gather each row's last hidden BEFORE the vocab matmul (P× cheaper)
+    h_last = jnp.take_along_axis(
+        h, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
+    return _logits(params, cfg, h_last)[:, 0], jnp.stack(ks), jnp.stack(vs)
+
+
+def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
+          temperature: float, eos_id: int, seed):
+    """Prefill ``ids [n, P]`` and install them into cache rows ``slots``
+    [n]. Returns (state, first sampled token per admitted prompt [n])."""
+    cache, counts, last_tok, active, budget, tstep = state
+    logits, k_new, v_new = prefill_rows(params, cfg, ids, lens)
+    p = ids.shape[1]
+    ln = jnp.arange(cfg.num_layers)[:, None]
+    # scatter the [L, n, P, ...] prompt K/V into the slot rows
+    cache = {
+        "k": cache["k"].at[ln, slots[None, :], :p].set(
+            k_new.astype(cache["k"].dtype)),
+        "v": cache["v"].at[ln, slots[None, :], :p].set(
+            v_new.astype(cache["v"].dtype)),
+    }
+    key = jax.random.fold_in(jax.random.key(0), seed)
+    tok0 = sample_token(logits, key, temperature)
+    counts = counts.at[slots].set(lens)
+    last_tok = last_tok.at[slots].set(tok0)
+    alive = (tok0 != eos_id) & (budgets > 0)
+    active = active.at[slots].set(alive)
+    budget = budget.at[slots].set(jnp.where(alive, budgets, 0))
+    return (cache, counts, last_tok, active, budget, tstep), tok0
+
+
+def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
+                 temperature: float, eos_id: int, pad_id: int):
+    """Run ``steps`` ragged decode steps over every slot. Returns
+    (state, tokens [steps, slots] — ``pad_id`` on inactive lanes)."""
+    inv_freq = jnp.asarray(_inv_freq(cfg))
+    s_max = state[0]["k"].shape[2]
+    n_slots = state[1].shape[0]
+    rows = jnp.arange(n_slots)
+
+    def one_step(carry, _):
+        cache, counts, tok, active, budget, tstep = carry
+        positions = counts[:, None]                       # [B, 1]
+        iota = jnp.arange(s_max)
+        kmask = (iota[None, :] <= counts[:, None])[:, None, :]
+
+        h = _embed_lookup(params, tok)[:, None]
+        for li, layer in enumerate(params["layers"]):
+            x = _rms(h, layer["ln1"], cfg.rms_eps)
+            q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+            # per-row scatter at each slot's own write position; inactive
+            # rows rewrite their current (masked-out-next-admit) position
+            cache["k"] = cache["k"].at[li, rows, counts].set(
+                k[:, 0].astype(cache["k"].dtype))
+            cache["v"] = cache["v"].at[li, rows, counts].set(
+                v[:, 0].astype(cache["v"].dtype))
+            h = h + _dot(
+                _attend(q, cache["k"][li], cache["v"][li], kmask, cfg),
+                layer["wo"])
+            h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+        logits = _logits(params, cfg, h)[:, 0]
+
+        key = jax.random.fold_in(jax.random.key(1), tstep)
+        nxt = sample_token(logits, key, temperature)
+        nxt = jnp.where(active, nxt, pad_id)
+        counts = counts + active.astype(jnp.int32)
+        budget = budget - active.astype(jnp.int32)
+        done = active & ((nxt == eos_id) | (budget <= 0)
+                         | (counts >= s_max - 1))
+        active = active & ~done
+        return (cache, counts, nxt, active, budget, tstep + 1), nxt
+
+    state, toks = jax.lax.scan(one_step, state, None, length=steps)
+    return state, toks
+
+
+# ---------------------------------------------------------------------------
+# Service
+# ---------------------------------------------------------------------------
+
+class ContinuousGenerationService:
+    """Drop-in alternative to ``GenerationService`` (same ``chat()``
+    protocol, same tokenizer handling) with slot-based continuous
+    batching: requests join the running decode at chunk boundaries
+    instead of waiting for the current batch to finish."""
+
+    def __init__(self, params, cfg: DecoderConfig, tokenizer, *,
+                 slots: int = 8,
+                 cache_len: int = 1024,
+                 max_new_tokens: int = 64,
+                 prompt_buckets: Sequence[int] = (128, 512),
+                 admit_buckets: Sequence[int] = (1, 2, 4),
+                 chunk_steps: int = 16,
+                 temperature: float = 0.0,
+                 cache_dtype=jnp.bfloat16,
+                 eos_id: Optional[int] = None,
+                 pad_id: Optional[int] = None):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.slots = int(slots)
+        self.cache_len = int(cache_len)
+        self.max_new_tokens = int(max_new_tokens)
+        self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
+        if self.prompt_buckets[-1] + 1 >= self.cache_len:
+            raise ValueError("cache_len must exceed the largest prompt "
+                             "bucket (prompt + generation share a slot)")
+        self.admit_buckets = tuple(sorted(int(b) for b in admit_buckets))
+        self.chunk_steps = int(chunk_steps)
+        self.temperature = float(temperature)
+        self.eos_id = int(eos_id if eos_id is not None else
+                          getattr(tokenizer, "eos_token_id", None)
+                          or getattr(tokenizer, "eos_id", 0))
+        self.pad_id = int(pad_id if pad_id is not None else
+                          getattr(tokenizer, "pad_token_id", None)
+                          or getattr(tokenizer, "pad_id", 0))
+        cache = init_cache(cfg, self.slots, self.cache_len, cache_dtype)
+        self._state = (cache,
+                       jnp.zeros((self.slots,), jnp.int32),
+                       jnp.zeros((self.slots,), jnp.int32),
+                       jnp.zeros((self.slots,), bool),
+                       jnp.zeros((self.slots,), jnp.int32),
+                       jnp.zeros((), jnp.int32))
+        # host-side slot bookkeeping: None = free
+        self._slot_req: List[Optional[dict]] = [None] * self.slots
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._wake = asyncio.Event()
+        self._admit_jit: Dict[Tuple[int, int], object] = {}
+        self._chunk_jit = None
+        self._seed = 0
+        self.generated_tokens = 0
+        self.chunks = 0
+        self.admissions = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._worker())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    # -- API -----------------------------------------------------------------
+
+    async def chat(self, messages: List[Dict[str, str]]) -> str:
+        if self._task is None:
+            await self.start()
+        prompt = _render_prompt(self.tokenizer, messages)
+        ids = self.tokenizer.encode(prompt)
+        if not isinstance(ids, list):
+            ids = list(ids)
+        max_p = self.prompt_buckets[-1]
+        if len(ids) > max_p:
+            ids = ids[-max_p:]
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put({"ids": ids, "future": fut, "tokens": []})
+        self._wake.set()
+        return await fut
+
+    # -- worker --------------------------------------------------------------
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            has_active = any(r is not None for r in self._slot_req)
+            if not has_active and self._queue.empty():
+                self._wake.clear()
+                await self._wake.wait()
+            # admission groups are built + futures credited on the LOOP
+            # thread; only the jitted calls run in the executor
+            for group in self._collect_admissions():
+                tok0 = await loop.run_in_executor(
+                    None, self._run_admit, group)
+                for j, req in enumerate(group["reqs"]):
+                    self._credit(req, [int(tok0[j])])
+            if any(r is not None for r in self._slot_req):
+                toks = await loop.run_in_executor(None, self._run_chunk)
+                self._process_tokens(toks)
+            # yield so chat() callers can enqueue between chunks
+            await asyncio.sleep(0)
+
+    def _bucket(self, seq: Sequence[int], n: int) -> int:
+        for b in seq:
+            if n <= b:
+                return b
+        return seq[-1]
+
+    def _collect_admissions(self) -> List[dict]:
+        """Drain the queue into EXACT-bucket-size admission groups (no
+        padded scatter lanes — duplicate scatter targets have undefined
+        order). Leftovers below the smallest bucket still admit as the
+        smallest group they fit."""
+        free = [i for i, r in enumerate(self._slot_req) if r is None]
+        pending: List[dict] = []
+        while len(pending) < len(free) and not self._queue.empty():
+            try:
+                pending.append(self._queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        groups = []
+        while pending:
+            n = next((b for b in reversed(self.admit_buckets)
+                      if b <= len(pending)), self.admit_buckets[0])
+            n = min(n, len(pending))
+            take, pending = pending[:n], pending[n:]
+            p = self._bucket(self.prompt_buckets,
+                             max(len(r["ids"]) for r in take))
+            ids = np.full((n, p), self.pad_id, np.int32)
+            lens = np.ones((n,), np.int32)
+            slot_ids = np.zeros((n,), np.int32)
+            for j, req in enumerate(take):
+                toks = req["ids"][-p:]
+                ids[j, :len(toks)] = toks
+                lens[j] = len(toks)
+                slot_ids[j] = free.pop(0)
+                self._slot_req[slot_ids[j]] = req
+            # tok0 (sampled at admit) counts toward max_new, so the
+            # device decode budget is max_new - 1 — device and host
+            # deactivate at exactly the same token
+            groups.append({"reqs": take, "ids": ids, "lens": lens,
+                           "slots": slot_ids,
+                           "budgets": np.full(
+                               (n,), self.max_new_tokens - 1, np.int32)})
+        return groups
+
+    def _run_admit(self, group: dict) -> np.ndarray:
+        n, p = group["ids"].shape
+        self._seed += 1
+        fn = self._admit_fn(n, p)
+        self._state, tok0 = fn(self.params, self._state,
+                               jnp.asarray(group["ids"]),
+                               jnp.asarray(group["lens"]),
+                               jnp.asarray(group["slots"]),
+                               jnp.asarray(group["budgets"]),
+                               self._seed)
+        self.admissions += 1
+        return np.asarray(tok0)
+
+    def _run_chunk(self):
+        if self._chunk_jit is None:
+            cfg, steps = self.cfg, self.chunk_steps
+            temp, eos, pad = self.temperature, self.eos_id, self.pad_id
+
+            def run(params, state):
+                return decode_chunk(params, cfg, state, steps, temp, eos,
+                                    pad)
+
+            self._chunk_jit = jax.jit(run, donate_argnums=(1,))
+        self._state, toks = self._chunk_jit(self.params, self._state)
+        self.chunks += 1
+        return np.asarray(toks)
+
+    def _admit_fn(self, n: int, p: int):
+        fn = self._admit_jit.get((n, p))
+        if fn is None:
+            cfg, temp, eos = self.cfg, self.temperature, self.eos_id
+
+            def run(params, state, ids, lens, slots, budgets, seed):
+                return admit(params, cfg, state, ids, lens, slots,
+                             budgets, temp, eos, seed)
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._admit_jit[(n, p)] = fn
+        return fn
+
+    def _process_tokens(self, toks: np.ndarray) -> None:
+        """Distribute a [steps, slots] chunk to the owning requests."""
+        for si in range(self.slots):
+            req = self._slot_req[si]
+            if req is not None:
+                self._credit(req, [int(t) for t in toks[:, si]])
+
+    def _credit(self, req: dict, tokens: List[int]) -> None:
+        for t in tokens:
+            if len(req["tokens"]) >= self.max_new_tokens or t == self.eos_id:
+                self._finish(req)
+                return
+            req["tokens"].append(t)
+        if len(req["tokens"]) >= self.max_new_tokens:
+            self._finish(req)
+
+    def _finish(self, req: dict) -> None:
+        si = next((i for i, r in enumerate(self._slot_req) if r is req),
+                  None)
+        if si is not None:
+            self._slot_req[si] = None
+        fut = req["future"]
+        if not fut.done():
+            row = list(req["tokens"])
+            while row and row[-1] == self.pad_id:
+                row.pop()
+            self.generated_tokens += len(row)
+            fut.set_result(self.tokenizer.decode(row))
+
+
+def demo_continuous_service(seed: int = 0, **kw):
+    """Continuous-batching twin of ``service.demo_service``."""
+    from ragroute_tpu.llm.model import init_decoder_params
+    from ragroute_tpu.llm.service import DEMO_CFG, ByteTokenizer
+
+    tok = ByteTokenizer()
+    params = init_decoder_params(jax.random.key(seed), DEMO_CFG)
+    kw.setdefault("prompt_buckets", (128, 512))
+    kw.setdefault("cache_len", 768)
+    kw.setdefault("max_new_tokens", 32)
+    kw.setdefault("cache_dtype", jnp.float32)
+    return ContinuousGenerationService(
+        params, DEMO_CFG, tok, eos_id=tok.eos_id, pad_id=tok.pad_id, **kw)

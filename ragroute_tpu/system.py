@@ -198,6 +198,7 @@ class ServingSystem:
         self.llm_checkpoint = getattr(args, "llm_checkpoint", None)
         self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
         self.llm_quant = getattr(args, "llm_quant", None)
+        self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         # --impl lowrank: rank of the coarse projection (-1 = automatic
@@ -330,6 +331,16 @@ class ServingSystem:
                 max_new_tokens=self.llm_max_new)
                 if ckpt else demo_service(
                     max_new_tokens=min(self.llm_max_new, 32)))
+            if getattr(self, "llm_serving", "batch") == "continuous":
+                from ragroute_tpu.llm.continuous import (
+                    ContinuousGenerationService)
+
+                service = ContinuousGenerationService(
+                    service.params, service.cfg, service.tokenizer,
+                    max_new_tokens=service.max_new_tokens,
+                    prompt_buckets=service.prompt_buckets,
+                    cache_dtype=service.cache_dtype,
+                    eos_id=service.eos_id, pad_id=service.pad_id)
             llm = LLMClient("jax", service=service)
         else:
             llm = LLMClient(

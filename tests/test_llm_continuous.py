@@ -1,0 +1,174 @@
+"""Continuous-batching generation service (ragroute_tpu.llm.continuous).
+
+The invariant under test: slot-based continuous decode produces EXACTLY
+the same greedy completions as the lockstep GenerationService on the
+same weights — under staggered arrivals, slot contention (more requests
+than slots), early-eos slot reuse, and mid-flight admission.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ragroute_tpu.llm.continuous import (
+    ContinuousGenerationService, admit, decode_chunk,
+    demo_continuous_service, prefill_rows,
+)
+from ragroute_tpu.llm.model import (
+    DecoderConfig, generate, init_cache, init_decoder_params, prefill,
+)
+from ragroute_tpu.llm.service import demo_service
+
+CFG = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                    num_heads=4, num_kv_heads=2, head_dim=8,
+                    intermediate_size=64)
+
+
+def _params():
+    return init_decoder_params(jax.random.key(7), CFG)
+
+
+def test_prefill_rows_matches_left_padded_prefill():
+    """Right-padded slot prefill and left-padded lockstep prefill must
+    produce identical last-token logits."""
+    params = _params()
+    lens = [9, 4]
+    rng = np.random.default_rng(3)
+    p = 9
+    right = np.zeros((2, p), np.int32)
+    left = np.zeros((2, p), np.int32)
+    lmask = np.zeros((2, p), np.int32)
+    for b, n in enumerate(lens):
+        toks = rng.integers(1, CFG.vocab_size, n)
+        right[b, :n] = toks
+        left[b, p - n:] = toks
+        lmask[b, p - n:] = 1
+    got, _, _ = prefill_rows(params, CFG, jnp.asarray(right),
+                             jnp.asarray(lens, jnp.int32))
+    ref, _ = prefill(params, CFG, jnp.asarray(left), jnp.asarray(lmask),
+                     init_cache(CFG, 2, p + 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_slot_decode_matches_lockstep_generate():
+    """admit + decode_chunk over slots == model.generate, token for
+    token (greedy)."""
+    params = _params()
+    lens = [8, 5, 3]
+    max_new = 7
+    rng = np.random.default_rng(11)
+    p = 8
+    right = np.zeros((3, p), np.int32)
+    left = np.zeros((3, p), np.int32)
+    lmask = np.zeros((3, p), np.int32)
+    for b, n in enumerate(lens):
+        toks = rng.integers(1, CFG.vocab_size, n)
+        right[b, :n] = toks
+        left[b, p - n:] = toks
+        lmask[b, p - n:] = 1
+
+    ref, _ = generate(params, CFG, jnp.asarray(left), jnp.asarray(lmask),
+                      max_new, eos_id=-1, pad_id=0)
+    ref = np.asarray(ref)
+
+    slots = 4
+    cache = init_cache(CFG, slots, 32, jnp.float32)
+    state = (cache, jnp.zeros((slots,), jnp.int32),
+             jnp.zeros((slots,), jnp.int32), jnp.zeros((slots,), bool),
+             jnp.zeros((slots,), jnp.int32), jnp.zeros((), jnp.int32))
+    state, tok0 = admit(params, CFG, state, jnp.asarray(right),
+                        jnp.asarray(lens, jnp.int32),
+                        jnp.asarray([0, 1, 2], jnp.int32),
+                        jnp.full((3,), max_new - 1, jnp.int32),
+                        0.0, -1, 0)
+    np.testing.assert_array_equal(np.asarray(tok0), ref[:, 0])
+    # two chunks of different sizes to cross a chunk boundary mid-stream
+    state, t1 = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
+    state, t2 = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
+    got = np.concatenate([np.asarray(t1), np.asarray(t2)], axis=0).T
+    np.testing.assert_array_equal(got[:3, :max_new - 1], ref[:, 1:])
+
+
+def _chat_all(svc, prompts, stagger_s=0.0):
+    async def run():
+        async def one(i, text):
+            if stagger_s:
+                await asyncio.sleep(i * stagger_s)
+            return await svc.chat([{"role": "user", "content": text}])
+        outs = await asyncio.gather(*[one(i, t) for i, t in
+                                      enumerate(prompts)])
+        await svc.stop()
+        return outs
+    return asyncio.run(run())
+
+
+def test_continuous_matches_lockstep_service():
+    prompts = [f"question number {i}, please answer" for i in range(5)]
+    lock = demo_service(max_new_tokens=12, flush_interval_s=0.0,
+                        batch_buckets=(1,), cache_dtype=jnp.float32)
+    ref = _chat_all(lock, prompts)
+    cont = demo_continuous_service(max_new_tokens=12, slots=3,
+                                   chunk_steps=5)
+    got = _chat_all(cont, prompts, stagger_s=0.02)
+    assert got == ref
+    # slot contention happened (5 requests over 3 slots) and decode ran
+    # in chunks, i.e. this really was continuous batching
+    assert cont.admissions >= 2
+    assert cont.chunks >= 3
+
+
+def test_continuous_slot_reuse_many_requests():
+    cont = demo_continuous_service(max_new_tokens=6, slots=2,
+                                   chunk_steps=4)
+    prompts = [f"p{i}" for i in range(9)]
+    outs = _chat_all(cont, prompts)
+    assert len(outs) == 9 and all(isinstance(o, str) for o in outs)
+    # determinism: same prompt again on a FRESH service gives same answer
+    cont2 = demo_continuous_service(max_new_tokens=6, slots=2,
+                                    chunk_steps=4)
+    outs2 = _chat_all(cont2, [prompts[4]])
+    assert outs2[0] == outs[4]
+
+
+def test_continuous_eos_frees_slot_early():
+    """A request whose first sampled token is eos completes immediately
+    and its slot is reusable."""
+    from ragroute_tpu.llm.service import _render_prompt
+
+    cont = demo_continuous_service(max_new_tokens=8, slots=1,
+                                   chunk_steps=4)
+    # compute the model's greedy first token for this prompt directly,
+    # then declare THAT token the eos on a fresh service
+    msgs = [{"role": "user", "content": "zz"}]
+    ids = cont.tokenizer.encode(_render_prompt(cont.tokenizer, msgs))
+    logits, _, _ = prefill_rows(
+        cont.params, cont.cfg,
+        jnp.asarray(np.asarray(ids, np.int32)[None]),
+        jnp.asarray([len(ids)], jnp.int32))
+    eos = int(np.argmax(np.asarray(logits)[0]))
+
+    cont2 = demo_continuous_service(max_new_tokens=8, slots=1,
+                                    chunk_steps=4)
+    cont2.eos_id = eos
+    outs = _chat_all(cont2, ["zz", "zz"])
+    assert outs == ["", ""]   # eos fired at token 0 for both
+    assert all(r is None for r in cont2._slot_req)
+
+
+def test_mid_flight_admission_does_not_corrupt_running_slot():
+    """Admit request B while A is mid-generation; A's text must equal
+    A's text when run alone."""
+    alone = demo_continuous_service(max_new_tokens=16, slots=2,
+                                    chunk_steps=3)
+    ref = _chat_all(alone, ["tell me about alpha"])
+
+    both = demo_continuous_service(max_new_tokens=16, slots=2,
+                                   chunk_steps=3)
+    got = _chat_all(both, ["tell me about alpha", "and beta too"],
+                    stagger_s=0.05)
+    assert got[0] == ref[0]
