@@ -220,7 +220,8 @@ class ContinuousGenerationService:
 
     # -- API -----------------------------------------------------------------
 
-    async def chat(self, messages: List[Dict[str, str]]) -> str:
+    async def chat(self, messages: List[Dict[str, str]],
+                   max_new: Optional[int] = None) -> str:
         if self._task is None:
             await self.start()
         prompt = _render_prompt(self.tokenizer, messages)
@@ -230,8 +231,11 @@ class ContinuousGenerationService:
         max_p = self.prompt_buckets[-1]
         if len(ids) > max_p:
             ids = ids[-max_p:]
+        budget = (self.max_new_tokens if max_new is None
+                  else max(1, min(int(max_new), self.max_new_tokens)))
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put({"ids": ids, "future": fut, "tokens": []})
+        await self._queue.put({"ids": ids, "future": fut, "tokens": [],
+                               "max_new": budget})
         self._wake.set()
         return await fut
 
@@ -292,13 +296,14 @@ class ContinuousGenerationService:
                 lens[j] = len(toks)
                 slot_ids[j] = free.pop(0)
                 self._slot_req[slot_ids[j]] = req
-            # tok0 (sampled at admit) counts toward max_new, so the
-            # device decode budget is max_new - 1 — device and host
-            # deactivate at exactly the same token
+            # tok0 (sampled at admit) counts toward the request's
+            # max_new, so the device decode budget is max_new - 1 —
+            # device and host deactivate at exactly the same token
             groups.append({"reqs": take, "ids": ids, "lens": lens,
                            "slots": slot_ids,
-                           "budgets": np.full(
-                               (n,), self.max_new_tokens - 1, np.int32)})
+                           "budgets": np.asarray(
+                               [r["max_new"] - 1 for r in take],
+                               np.int32)})
         return groups
 
     def _run_admit(self, group: dict) -> np.ndarray:
@@ -349,12 +354,13 @@ class ContinuousGenerationService:
                 self._credit(req, [int(t) for t in toks[:, si]])
 
     def _credit(self, req: dict, tokens: List[int]) -> None:
+        cap = req["max_new"]
         for t in tokens:
-            if len(req["tokens"]) >= self.max_new_tokens or t == self.eos_id:
+            if len(req["tokens"]) >= cap or t == self.eos_id:
                 self._finish(req)
                 return
             req["tokens"].append(t)
-        if len(req["tokens"]) >= self.max_new_tokens:
+        if len(req["tokens"]) >= cap:
             self._finish(req)
 
     def _finish(self, req: dict) -> None:

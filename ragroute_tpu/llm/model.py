@@ -318,15 +318,20 @@ def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
              temperature: float = 0.0, rng_seed: int = 0,
              cache_dtype=jnp.float32,
              first_token: Optional[jnp.ndarray] = None,
+             budgets: Optional[jnp.ndarray] = None,
              cache=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prefill + ``max_new`` lockstep decode steps under ``lax.scan``.
 
     Returns (tokens [B, max_new] int32, done [B] bool). Rows emit
-    ``pad_id`` after their EOS. Jit this whole function (donate ``cache``
-    if passed) — shapes are static in (B, P, max_new).
+    ``pad_id`` after their EOS. ``budgets`` [B] (traced, so no recompile)
+    caps each row's emitted tokens below ``max_new`` — rows past their
+    budget emit ``pad_id``. Jit this whole function (donate ``cache`` if
+    passed) — shapes are static in (B, P, max_new).
     """
     b, p = input_ids.shape
     lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=1)
+    if budgets is None:
+        budgets = jnp.full((b,), max_new, jnp.int32)
     if cache is None:
         cache = init_cache(cfg, b, p + max_new, cache_dtype)
     logits0, cache = prefill(params, cfg, input_ids, attention_mask, cache)
@@ -334,7 +339,8 @@ def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
     tok0 = (first_token if first_token is not None
             else sample_token(logits0, jax.random.fold_in(key, 0),
                               temperature))
-    done0 = tok0 == eos_id
+    done0 = (tok0 == eos_id) | (budgets <= 1)
+    tok0 = jnp.where(budgets <= 0, pad_id, tok0)
 
     def step(carry, t):
         cache, tok, done, key = carry
@@ -342,7 +348,9 @@ def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
         nxt = sample_token(logits, jax.random.fold_in(key, t + 1),
                            temperature)
         nxt = jnp.where(done, pad_id, nxt)
-        done = done | (nxt == eos_id)
+        # emitting index t+1 (0-based); a row is done once it has emitted
+        # budget tokens, i.e. after index budget-1
+        done = done | (nxt == eos_id) | (t + 2 >= budgets)
         return (cache, nxt, done, key), nxt
 
     if max_new <= 1:

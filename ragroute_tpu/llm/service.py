@@ -165,9 +165,11 @@ class GenerationService:
 
     # -- API ---------------------------------------------------------------
 
-    async def chat(self, messages: List[Dict[str, str]]) -> str:
+    async def chat(self, messages: List[Dict[str, str]],
+                   max_new: Optional[int] = None) -> str:
         """Generate a completion for one chat; batches with concurrent
-        callers."""
+        callers. ``max_new`` caps THIS request's tokens (≤ the service
+        max; traced, so per-request limits cost no recompiles)."""
         if self._task is None:
             await self.start()
         prompt = _render_prompt(self.tokenizer, messages)
@@ -177,8 +179,10 @@ class GenerationService:
         max_p = self.prompt_buckets[-1]
         if len(ids) > max_p:   # keep the TAIL (question + options are last)
             ids = ids[-max_p:]
+        budget = (self.max_new_tokens if max_new is None
+                  else max(1, min(int(max_new), self.max_new_tokens)))
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put((ids, fut))
+        await self._queue.put((ids, budget, fut))
         return await fut
 
     # -- internals ----------------------------------------------------------
@@ -198,13 +202,14 @@ class GenerationService:
                     break
             try:
                 texts = await loop.run_in_executor(
-                    None, self._run_batch, [it[0] for it in items])
-                for (_, fut), text in zip(items, texts):
+                    None, self._run_batch,
+                    [it[0] for it in items], [it[1] for it in items])
+                for (_, _, fut), text in zip(items, texts):
                     if not fut.done():
                         fut.set_result(text)
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("generation batch failed")
-                for _, fut in items:
+                for _, _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -214,22 +219,26 @@ class GenerationService:
                 return b
         return seq[-1]
 
-    def _run_batch(self, prompts: List[List[int]]) -> List[str]:
+    def _run_batch(self, prompts: List[List[int]],
+                   budgets: List[int]) -> List[str]:
         p = self._bucket(self.prompt_buckets, max(len(x) for x in prompts))
         b = self._bucket(self.batch_buckets, len(prompts))
         ids = np.full((b, p), self.pad_id, np.int32)
         mask = np.zeros((b, p), np.int32)
+        buds = np.zeros((b,), np.int32)
         for i, toks in enumerate(prompts):
             toks = toks[-p:]
             ids[i, p - len(toks):] = toks
             mask[i, p - len(toks):] = 1
+            buds[i] = budgets[i]
         tokens = self._jit_generate(p, b)(
-            self.params, jnp.asarray(ids), jnp.asarray(mask))
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(buds))
         tokens = np.asarray(tokens)
         self.batches += 1
         out = []
         for i in range(len(prompts)):
-            row = [int(t) for t in tokens[i]]
+            row = [int(t) for t in tokens[i][:budgets[i]]]
             if self.eos_id in row:
                 row = row[: row.index(self.eos_id)]
             # strip pads the scan emitted after a row finished early
@@ -247,10 +256,11 @@ class GenerationService:
         temperature, eos, pad = self.temperature, self.eos_id, self.pad_id
         cache_dtype = self.cache_dtype
 
-        def run(params, ids, mask):
+        def run(params, ids, mask, budgets):
             toks, _ = generate(
                 params, cfg, ids, mask, max_new, eos_id=eos, pad_id=pad,
-                temperature=temperature, cache_dtype=cache_dtype)
+                temperature=temperature, cache_dtype=cache_dtype,
+                budgets=budgets)
             return toks
 
         fn = jax.jit(run)

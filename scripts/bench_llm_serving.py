@@ -1,0 +1,122 @@
+"""Lockstep vs continuous-batching generation serving under staggered load.
+
+Drives both GenerationService (decode-to-completion micro-batches) and
+ContinuousGenerationService (slot-based, requests join at chunk
+boundaries) with the same Poisson-ish arrival pattern on the
+qwen3-0.6B-shaped bf16 decoder (random weights), and reports per-request
+latency percentiles. The interesting number is the LATE-ARRIVAL penalty:
+under lockstep, a request that lands just after a batch starts waits out
+that batch's whole decode; under continuous batching it waits at most
+one chunk.
+
+    python scripts/bench_llm_serving.py [--requests 12] [--gap-ms 120]
+        [--max-new 192] [--layers 28]
+
+Tunnel note: each decode chunk is one dispatch (~27 ms floor through
+the remote-TPU tunnel), so chunked decode pays floor*chunks overhead
+that a colocated host would not; --chunk-steps trades that against join
+latency. Numbers below in BENCHMARKS.md were taken at chunk=32.
+"""
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+
+sys.path.insert(0, __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+import jax
+
+from ragroute_tpu.llm.continuous import ContinuousGenerationService
+from ragroute_tpu.llm.model import DecoderConfig, init_decoder_params
+from ragroute_tpu.llm.service import ByteTokenizer, GenerationService
+
+
+def build(args):
+    from scripts.bench_llm import QWEN3_06B  # reuse the registry shape
+
+    cfg = QWEN3_06B
+    if args.layers:
+        cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
+    params = init_decoder_params(jax.random.key(0), cfg,
+                                 dtype=jnp.bfloat16)
+    return params, cfg
+
+
+async def drive(svc, n, gap_s, warm_burst):
+    # warm EVERY compile bucket outside the measured window: bursts of
+    # each batch/admit bucket size (a cold bucket mid-run costs seconds
+    # of XLA compile and poisons the latency percentiles)
+    for burst in sorted({1, 2, warm_burst}):
+        await asyncio.gather(*[
+            svc.chat([{"role": "user", "content": f"warm {i}"}])
+            for i in range(burst)])
+    warm_toks = svc.generated_tokens
+    lats = []
+    # realistic answer-length spread: most answers are short, some run to
+    # the cap — THE case continuous batching exists for (lockstep holds
+    # every row of a batch until its longest member finishes)
+    rng = np.random.default_rng(0)
+    lengths = rng.integers(8, svc.max_new_tokens + 1, n)
+
+    async def one(i):
+        await asyncio.sleep(i * gap_s)
+        t0 = time.perf_counter()
+        await svc.chat([{"role": "user", "content": f"request {i} " * 4}],
+                       max_new=int(lengths[i]))
+        lats.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    await asyncio.gather(*[one(i) for i in range(n)])
+    wall = time.perf_counter() - t0
+    await svc.stop()
+    a = np.sort(lats)
+    return {
+        "p50_ms": round(float(a[len(a) // 2]) * 1e3, 1),
+        "p95_ms": round(float(a[int(len(a) * 0.95) - 1]) * 1e3, 1),
+        "max_ms": round(float(a[-1]) * 1e3, 1),
+        "wall_s": round(wall, 2),
+        "tok_s": round((svc.generated_tokens - warm_toks) / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--gap-ms", type=float, default=120.0)
+    ap.add_argument("--max-new", type=int, default=192)
+    ap.add_argument("--layers", type=int, default=None)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--chunk-steps", type=int, default=32)
+    args = ap.parse_args()
+
+    params, cfg = build(args)
+    tok = ByteTokenizer()
+    kw = dict(max_new_tokens=args.max_new, prompt_buckets=(128,),
+              eos_id=tok.eos_id, pad_id=tok.pad_id)
+
+    lock = GenerationService(params, cfg, tok,
+                             batch_buckets=(1, args.slots),
+                             cache_dtype=jnp.bfloat16, **kw)
+    cont = ContinuousGenerationService(
+        params, cfg, tok, slots=args.slots, cache_len=384,
+        chunk_steps=args.chunk_steps, cache_dtype=jnp.bfloat16, **kw)
+
+    gap = args.gap_ms / 1e3
+    res_lock = asyncio.run(drive(lock, args.requests, gap, args.slots))
+    res_cont = asyncio.run(drive(cont, args.requests, gap, args.slots))
+    print(json.dumps({
+        "model": f"qwen3-0.6B-shape(L={cfg.num_layers})",
+        "requests": args.requests, "gap_ms": args.gap_ms,
+        "max_new": args.max_new, "chunk_steps": args.chunk_steps,
+        "lockstep": res_lock, "continuous": res_cont,
+    }))
+
+
+if __name__ == "__main__":
+    main()

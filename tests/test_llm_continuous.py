@@ -172,3 +172,25 @@ def test_mid_flight_admission_does_not_corrupt_running_slot():
     got = _chat_all(both, ["tell me about alpha", "and beta too"],
                     stagger_s=0.05)
     assert got[0] == ref[0]
+
+
+def test_per_request_max_new_both_services():
+    """chat(max_new=n) caps that request only — and the two services
+    agree on the capped text."""
+    lock = demo_service(max_new_tokens=16, flush_interval_s=0.01,
+                        batch_buckets=(1, 4), cache_dtype=jnp.float32)
+    cont = demo_continuous_service(max_new_tokens=16, slots=2,
+                                   chunk_steps=4)
+
+    async def run(svc):
+        outs = await asyncio.gather(
+            svc.chat([{"role": "user", "content": "alpha"}], max_new=3),
+            svc.chat([{"role": "user", "content": "alpha"}]),
+        )
+        await svc.stop()
+        return outs
+
+    short_l, full_l = asyncio.run(run(lock))
+    short_c, full_c = asyncio.run(run(cont))
+    assert short_l == short_c and full_l == full_c
+    assert full_l.startswith(short_l) and short_l != full_l
