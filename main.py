@@ -67,6 +67,13 @@ def parse_args(argv=None):
                              "completion; 'continuous' is slot-based "
                              "continuous batching (requests join/leave "
                              "the running decode at chunk boundaries)")
+    parser.add_argument("--llm-spec-window", type=int, default=0,
+                        help="Prompt-lookup speculative decoding window "
+                             "for --llm-serving continuous (0 = off, "
+                             ">=2 = verify that many tokens per step; "
+                             "greedy-exact, drafts copied from each "
+                             "answer's own history — the RAG quote "
+                             "regime)")
     parser.add_argument("--data-root", type=str, default=None,
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)

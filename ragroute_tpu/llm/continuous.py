@@ -78,7 +78,7 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
           temperature: float, eos_id: int, seed):
     """Prefill ``ids [n, P]`` and install them into cache rows ``slots``
     [n]. Returns (state, first sampled token per admitted prompt [n])."""
-    cache, counts, last_tok, active, budget, tstep = state
+    cache, counts, last_tok, active, budget, tstep, toks = state
     logits, k_new, v_new = prefill_rows(params, cfg, ids, lens)
     p = ids.shape[1]
     ln = jnp.arange(cfg.num_layers)[:, None]
@@ -96,7 +96,8 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
     alive = (tok0 != eos_id) & (budgets > 0)
     active = active.at[slots].set(alive)
     budget = budget.at[slots].set(jnp.where(alive, budgets, 0))
-    return (cache, counts, last_tok, active, budget, tstep), tok0
+    toks = toks.at[slots, :p].set(ids)  # token history (drafting source)
+    return (cache, counts, last_tok, active, budget, tstep, toks), tok0
 
 
 def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
@@ -109,10 +110,11 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
     rows = jnp.arange(n_slots)
 
     def one_step(carry, _):
-        cache, counts, tok, active, budget, tstep = carry
+        cache, counts, tok, active, budget, tstep, toks = carry
         positions = counts[:, None]                       # [B, 1]
         iota = jnp.arange(s_max)
         kmask = (iota[None, :] <= counts[:, None])[:, None, :]
+        toks = toks.at[rows, counts].set(tok)
 
         h = _embed_lookup(params, tok)[:, None]
         for li, layer in enumerate(params["layers"]):
@@ -138,7 +140,7 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         done = active & ((nxt == eos_id) | (budget <= 0)
                          | (counts >= s_max - 1))
         active = active & ~done
-        return (cache, counts, nxt, active, budget, tstep + 1), nxt
+        return (cache, counts, nxt, active, budget, tstep + 1, toks), nxt
 
     state, toks = jax.lax.scan(one_step, state, None, length=steps)
     return state, toks
@@ -164,12 +166,21 @@ class ContinuousGenerationService:
                  temperature: float = 0.0,
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
-                 pad_id: Optional[int] = None):
+                 pad_id: Optional[int] = None,
+                 spec_window: int = 0):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.slots = int(slots)
         self.cache_len = int(cache_len)
+        # prompt-lookup speculative decoding (speculative.py): each chunk
+        # step verifies a spec_window-token window; greedy only
+        self.spec_window = int(spec_window)
+        if self.spec_window and temperature > 0:
+            raise ValueError("speculative decoding is greedy-only "
+                             "(temperature must be 0)")
+        if self.spec_window == 1:
+            raise ValueError("spec_window must be 0 (off) or >= 2")
         self.max_new_tokens = int(max_new_tokens)
         self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         if self.prompt_buckets[-1] + 1 >= self.cache_len:
@@ -190,7 +201,8 @@ class ContinuousGenerationService:
                        jnp.zeros((self.slots,), jnp.int32),
                        jnp.zeros((self.slots,), bool),
                        jnp.zeros((self.slots,), jnp.int32),
-                       jnp.zeros((), jnp.int32))
+                       jnp.zeros((), jnp.int32),
+                       jnp.zeros((self.slots, self.cache_len), jnp.int32))
         # host-side slot bookkeeping: None = free
         self._slot_req: List[Optional[dict]] = [None] * self.slots
         self._queue: asyncio.Queue = asyncio.Queue()
@@ -202,6 +214,8 @@ class ContinuousGenerationService:
         self.generated_tokens = 0
         self.chunks = 0
         self.admissions = 0
+        self.spec_steps = 0      # verify steps executed (spec mode)
+        self.spec_emitted = 0    # tokens they emitted (mean = accept+1)
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -256,8 +270,13 @@ class ContinuousGenerationService:
                 for j, req in enumerate(group["reqs"]):
                     self._credit(req, [int(tok0[j])])
             if any(r is not None for r in self._slot_req):
-                toks = await loop.run_in_executor(None, self._run_chunk)
-                self._process_tokens(toks)
+                if self.spec_window:
+                    toks, n_emit = await loop.run_in_executor(
+                        None, self._run_chunk_spec)
+                    self._process_tokens_spec(toks, n_emit)
+                else:
+                    toks = await loop.run_in_executor(None, self._run_chunk)
+                    self._process_tokens(toks)
             # yield so chat() callers can enqueue between chunks
             await asyncio.sleep(0)
 
@@ -346,12 +365,46 @@ class ContinuousGenerationService:
             self._admit_jit[(n, p)] = fn
         return fn
 
+    def _run_chunk_spec(self):
+        if self._chunk_jit is None:
+            from ragroute_tpu.llm.speculative import spec_decode_chunk
+
+            cfg, steps = self.cfg, self.chunk_steps
+            w, eos, pad = self.spec_window, self.eos_id, self.pad_id
+
+            def run(params, state):
+                return spec_decode_chunk(params, cfg, state, steps, w,
+                                         eos, pad)
+
+            self._chunk_jit = jax.jit(run, donate_argnums=(1,))
+        self._state, toks, n_emit = self._chunk_jit(self.params,
+                                                    self._state)
+        self.chunks += 1
+        return np.asarray(toks), np.asarray(n_emit)
+
     def _process_tokens(self, toks: np.ndarray) -> None:
         """Distribute a [steps, slots] chunk to the owning requests."""
         for si in range(self.slots):
             req = self._slot_req[si]
             if req is not None:
                 self._credit(req, [int(t) for t in toks[:, si]])
+
+    def _process_tokens_spec(self, toks: np.ndarray,
+                             n_emit: np.ndarray) -> None:
+        """Distribute a [steps, slots, window] spec chunk: step s emitted
+        ``toks[s, b, :n_emit[s, b]]`` for slot b."""
+        steps = toks.shape[0]
+        for si in range(self.slots):
+            req = self._slot_req[si]
+            if req is None:
+                continue
+            out = []
+            for s in range(steps):
+                n = int(n_emit[s, si])
+                out.extend(int(t) for t in toks[s, si, :n])
+                self.spec_steps += n > 0
+                self.spec_emitted += n
+            self._credit(req, out)
 
     def _credit(self, req: dict, tokens: List[int]) -> None:
         cap = req["max_new"]

@@ -199,6 +199,7 @@ class ServingSystem:
         self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
         self.llm_quant = getattr(args, "llm_quant", None)
         self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
+        self.llm_spec_window: int = getattr(args, "llm_spec_window", 0) or 0
         self.nprobe = getattr(args, "nprobe", None)
         self.ivf_clusters = getattr(args, "ivf_clusters", -1)
         # --impl lowrank: rank of the coarse projection (-1 = automatic
@@ -340,7 +341,8 @@ class ServingSystem:
                     max_new_tokens=service.max_new_tokens,
                     prompt_buckets=service.prompt_buckets,
                     cache_dtype=service.cache_dtype,
-                    eos_id=service.eos_id, pad_id=service.pad_id)
+                    eos_id=service.eos_id, pad_id=service.pad_id,
+                    spec_window=getattr(self, "llm_spec_window", 0))
             llm = LLMClient("jax", service=service)
         else:
             llm = LLMClient(

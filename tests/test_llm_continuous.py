@@ -80,7 +80,8 @@ def test_slot_decode_matches_lockstep_generate():
     cache = init_cache(CFG, slots, 32, jnp.float32)
     state = (cache, jnp.zeros((slots,), jnp.int32),
              jnp.zeros((slots,), jnp.int32), jnp.zeros((slots,), bool),
-             jnp.zeros((slots,), jnp.int32), jnp.zeros((), jnp.int32))
+             jnp.zeros((slots,), jnp.int32), jnp.zeros((), jnp.int32),
+             jnp.zeros((slots, 32), jnp.int32))
     state, tok0 = admit(params, CFG, state, jnp.asarray(right),
                         jnp.asarray(lens, jnp.int32),
                         jnp.asarray([0, 1, 2], jnp.int32),
