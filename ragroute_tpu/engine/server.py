@@ -256,6 +256,17 @@ class FederationServer:
     async def handle_stats(self, request):
         snap = self.metrics.snapshot()
         snap["device_memory"] = _device_memory_stats()
+        svc = getattr(self.llm, "service", None)
+        if svc is not None:  # jax backend: generation service counters
+            gen = {"generated_tokens": svc.generated_tokens,
+                   "batches": getattr(svc, "batches", None),
+                   "chunks": getattr(svc, "chunks", None),
+                   "admissions": getattr(svc, "admissions", None)}
+            steps = getattr(svc, "spec_steps", 0)
+            if steps:  # speculative decoding: mean tokens per verify step
+                gen["spec_mean_emit"] = round(
+                    svc.spec_emitted / steps, 3)
+            snap["llm"] = {k: v for k, v in gen.items() if v is not None}
         return web.json_response(snap)
 
     async def handle_profile(self, request):
