@@ -83,6 +83,43 @@ class LLMClient:
             return LLMResult(
                 f"Error generating response: {e}", time.time() - start, False)
 
+    async def chat_stream(self, model: str, messages):
+        """Async generator: text deltas as they decode, then one final
+        ``LLMResult``. Incremental only on backends that stream (the jax
+        continuous service); others emit the whole answer as one delta —
+        the interface is uniform either way."""
+        import time
+
+        start = time.time()
+        svc_stream = (getattr(self.service, "chat_stream", None)
+                      if self.backend == "jax" else None)
+        if svc_stream is None:
+            res = await self.chat(model, messages)
+            if res.answer:
+                yield res.answer
+            yield res
+            return
+        final = ""
+        try:
+            agen = svc_stream(messages)
+            while True:
+                item = await asyncio.wait_for(
+                    agen.__anext__(), timeout=self.timeout_s)
+                if isinstance(item, dict):
+                    final = item["final"]
+                    break
+                yield item
+            yield LLMResult(final, time.time() - start, True)
+        except StopAsyncIteration:
+            yield LLMResult(final, time.time() - start, True)
+        except asyncio.TimeoutError:
+            logger.warning("LLM generation timed out")
+            yield LLMResult("Error generation timed out.", -1.0, False)
+        except Exception as e:
+            logger.error("Error generating LLM message: %s", e)
+            yield LLMResult(f"Error generating response: {e}",
+                            time.time() - start, False)
+
     async def _dispatch(self, model: str, messages) -> str:
         if self.backend == "jax":
             return await self.service.chat(messages)

@@ -337,6 +337,10 @@ class FederationServer:
         except json.JSONDecodeError:
             return web.Response(text="Invalid choices format", status=400)
 
+        stream = request.query.get("stream", "") in ("1", "true")
+        if stream and not self.disable_llm:
+            return await self._handle_query_sse(
+                request, query, choices, question_id)
         try:
             result = await asyncio.wait_for(
                 self._process(query, choices, question_id),
@@ -345,6 +349,36 @@ class FederationServer:
         except asyncio.TimeoutError:
             logger.error("Query timed out")
             return web.Response(text="Search timed out", status=504)
+
+    async def _handle_query_sse(self, request, query, choices,
+                                question_id):
+        """``/query?stream=1``: Server-Sent Events — ``{"delta": ...}``
+        events as answer tokens decode (incremental only with the jax
+        continuous service; one whole-answer delta otherwise), then one
+        final event carrying the complete standard ``/query`` response
+        body, then ``[DONE]``. Beyond-reference (the reference buffers
+        the whole Ollama answer, ``http_server.py:309-327``)."""
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"})
+        await resp.prepare(request)
+
+        async def cb(delta: str):
+            await resp.write(
+                b"data: " + _dumps({"delta": delta}).encode() + b"\n\n")
+
+        try:
+            result = await asyncio.wait_for(
+                self._process(query, choices, question_id, stream_cb=cb),
+                timeout=QUERY_TIMEOUT_S)
+            result.pop("__rawdocs__", None)
+            await resp.write(b"data: " + _dumps(result).encode() + b"\n\n")
+        except asyncio.TimeoutError:
+            await resp.write(
+                b'data: {"error": "Search timed out"}\n\n')
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     async def handle_query_batch(self, request):
         """Bulk variant of ``/query``: many queries per HTTP request.
@@ -585,7 +619,8 @@ class FederationServer:
 
     # -- core pipeline -------------------------------------------------------
 
-    async def _process(self, query: str, choices, question_id: str) -> dict:
+    async def _process(self, query: str, choices, question_id: str,
+                       stream_cb=None) -> dict:
         query_id = str(uuid.uuid4())
         start = time.time()
 
@@ -674,7 +709,16 @@ class FederationServer:
             else:
                 messages, docs_tokens = generate_llm_message(
                     self.world.name, query, top_docs, choices, self.model)
-            llm_res = await self.llm.chat(self.model, messages)
+            if stream_cb is not None:
+                llm_res = None
+                async for item in self.llm.chat_stream(self.model,
+                                                       messages):
+                    if isinstance(item, str):
+                        await stream_cb(item)
+                    else:
+                        llm_res = item
+            else:
+                llm_res = await self.llm.chat(self.model, messages)
             generate_time = (
                 llm_res.generate_time if llm_res.generate_time >= 0
                 else -1)

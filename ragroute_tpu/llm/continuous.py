@@ -253,6 +253,38 @@ class ContinuousGenerationService:
         self._wake.set()
         return await fut
 
+    async def chat_stream(self, messages: List[Dict[str, str]],
+                          max_new: Optional[int] = None):
+        """Streaming variant of :meth:`chat`: an async generator yielding
+        text DELTAS as chunks land, then one ``{"final": text}`` dict
+        with the authoritative full answer. Deltas are prefix-consistent
+        (a delta is withheld while a trailing byte sequence is still an
+        incomplete UTF-8 character), so ``"".join(deltas)`` is always a
+        prefix of ``final``."""
+        if self._task is None:
+            await self.start()
+        prompt = _render_prompt(self.tokenizer, messages)
+        ids = self.tokenizer.encode(prompt)
+        if not isinstance(ids, list):
+            ids = list(ids)
+        max_p = self.prompt_buckets[-1]
+        if len(ids) > max_p:
+            ids = ids[-max_p:]
+        budget = (self.max_new_tokens if max_new is None
+                  else max(1, min(int(max_new), self.max_new_tokens)))
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        stream: asyncio.Queue = asyncio.Queue()
+        await self._queue.put({"ids": ids, "future": fut, "tokens": [],
+                               "max_new": budget, "stream": stream,
+                               "streamed": ""})
+        self._wake.set()
+        while True:
+            item = await stream.get()
+            if isinstance(item, dict):
+                yield item
+                return
+            yield item
+
     # -- worker --------------------------------------------------------------
 
     async def _worker(self) -> None:
@@ -415,19 +447,39 @@ class ContinuousGenerationService:
             req["tokens"].append(t)
         if len(req["tokens"]) >= cap:
             self._finish(req)
+            return
+        self._push_stream_delta(req)
+
+    def _push_stream_delta(self, req: dict) -> None:
+        stream = req.get("stream")
+        if stream is None:
+            return
+        text = self.tokenizer.decode(req["tokens"])
+        # prefix guard: a trailing invalid/partial byte sequence decodes
+        # to U+FFFD now but may become a real character next chunk — only
+        # emit while the decode strictly extends what was streamed
+        if text.startswith(req["streamed"]):
+            delta = text[len(req["streamed"]):]
+            if delta:
+                stream.put_nowait(delta)
+                req["streamed"] = text
 
     def _finish(self, req: dict) -> None:
         si = next((i for i, r in enumerate(self._slot_req) if r is req),
                   None)
         if si is not None:
             self._slot_req[si] = None
+        row = list(req["tokens"])
+        while row and row[-1] == self.pad_id:
+            row.pop()
+        text = self.tokenizer.decode(row)
         fut = req["future"]
         if not fut.done():
-            row = list(req["tokens"])
-            while row and row[-1] == self.pad_id:
-                row.pop()
             self.generated_tokens += len(row)
-            fut.set_result(self.tokenizer.decode(row))
+            fut.set_result(text)
+        stream = req.get("stream")
+        if stream is not None:
+            stream.put_nowait({"final": text})
 
 
 def demo_continuous_service(seed: int = 0, **kw):
