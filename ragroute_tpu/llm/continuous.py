@@ -38,7 +38,9 @@ from ragroute_tpu.llm.model import (
     DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
     _mlp, _qkv, _rms, init_cache, sample_token,
 )
-from ragroute_tpu.llm.service import _render_prompt
+from ragroute_tpu.llm.service import (
+    clamp_budget, encode_prompt, pick_bucket, resolve_special_id,
+)
 
 logger = logging.getLogger("llm.continuous")
 
@@ -103,7 +105,9 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
 def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                  temperature: float, eos_id: int, pad_id: int):
     """Run ``steps`` ragged decode steps over every slot. Returns
-    (state, tokens [steps, slots] — ``pad_id`` on inactive lanes)."""
+    (state, tokens [steps, slots] — ``pad_id`` on inactive lanes,
+    alive [steps, slots] — whether the lane was active when the token
+    was emitted)."""
     inv_freq = jnp.asarray(_inv_freq(cfg))
     s_max = state[0]["k"].shape[2]
     n_slots = state[1].shape[0]
@@ -139,11 +143,16 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         budget = budget - active.astype(jnp.int32)
         done = active & ((nxt == eos_id) | (budget <= 0)
                          | (counts >= s_max - 1))
-        active = active & ~done
-        return (cache, counts, nxt, active, budget, tstep + 1, toks), nxt
+        new_active = active & ~done
+        carry = (cache, counts, nxt, new_active, budget, tstep + 1, toks)
+        # `active` (at entry) tells the host whether nxt is a real token;
+        # a tracked slot going inactive without eos/budget (cache
+        # capacity) must be finished host-side
+        return carry, (nxt, active)
 
-    state, toks = jax.lax.scan(one_step, state, None, length=steps)
-    return state, toks
+    state, (toks, alive) = jax.lax.scan(one_step, state, None,
+                                        length=steps)
+    return state, toks, alive
 
 
 # ---------------------------------------------------------------------------
@@ -179,22 +188,26 @@ class ContinuousGenerationService:
         if self.spec_window and temperature > 0:
             raise ValueError("speculative decoding is greedy-only "
                              "(temperature must be 0)")
-        if self.spec_window == 1:
+        if self.spec_window < 0 or self.spec_window == 1:
             raise ValueError("spec_window must be 0 (off) or >= 2")
         self.max_new_tokens = int(max_new_tokens)
         self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
-        if self.prompt_buckets[-1] + 1 >= self.cache_len:
-            raise ValueError("cache_len must exceed the largest prompt "
-                             "bucket (prompt + generation share a slot)")
+        # a full-bucket prompt must leave room for at least one decode
+        # window before the capacity guard fires — otherwise spec-mode
+        # scatter positions would clip onto each other (undefined order)
+        margin = max(self.spec_window, 1) + 1
+        if self.prompt_buckets[-1] + margin >= self.cache_len:
+            raise ValueError(
+                f"cache_len ({self.cache_len}) must exceed the largest "
+                f"prompt bucket ({self.prompt_buckets[-1]}) by more than "
+                f"{margin} (prompt + generation share a slot)")
         self.admit_buckets = tuple(sorted(int(b) for b in admit_buckets))
         self.chunk_steps = int(chunk_steps)
         self.temperature = float(temperature)
-        self.eos_id = int(eos_id if eos_id is not None else
-                          getattr(tokenizer, "eos_token_id", None)
-                          or getattr(tokenizer, "eos_id", 0))
-        self.pad_id = int(pad_id if pad_id is not None else
-                          getattr(tokenizer, "pad_token_id", None)
-                          or getattr(tokenizer, "pad_id", 0))
+        self.eos_id = resolve_special_id(tokenizer, eos_id,
+                                         "eos_token_id", "eos_id")
+        self.pad_id = resolve_special_id(tokenizer, pad_id,
+                                         "pad_token_id", "pad_id")
         cache = init_cache(cfg, self.slots, self.cache_len, cache_dtype)
         self._state = (cache,
                        jnp.zeros((self.slots,), jnp.int32),
@@ -231,27 +244,44 @@ class ContinuousGenerationService:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # resolve everything still waiting (in a slot or queued) — a
+        # caller awaiting chat()/chat_stream() must not hang forever
+        leftovers = [r for r in self._slot_req if r is not None]
+        self._slot_req = [None] * self.slots
+        while not self._queue.empty():
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        for req in leftovers:
+            fut = req["future"]
+            if not fut.done():
+                fut.cancel()
+            stream = req.get("stream")
+            if stream is not None:
+                stream.put_nowait(
+                    {"final": self.tokenizer.decode(req["tokens"])})
 
     # -- API -----------------------------------------------------------------
+
+    def _make_request(self, messages, max_new, **extra) -> dict:
+        return {
+            "ids": encode_prompt(self.tokenizer, messages,
+                                 self.prompt_buckets[-1]),
+            "future": asyncio.get_running_loop().create_future(),
+            "tokens": [],
+            "max_new": clamp_budget(max_new, self.max_new_tokens),
+            **extra,
+        }
 
     async def chat(self, messages: List[Dict[str, str]],
                    max_new: Optional[int] = None) -> str:
         if self._task is None:
             await self.start()
-        prompt = _render_prompt(self.tokenizer, messages)
-        ids = self.tokenizer.encode(prompt)
-        if not isinstance(ids, list):
-            ids = list(ids)
-        max_p = self.prompt_buckets[-1]
-        if len(ids) > max_p:
-            ids = ids[-max_p:]
-        budget = (self.max_new_tokens if max_new is None
-                  else max(1, min(int(max_new), self.max_new_tokens)))
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put({"ids": ids, "future": fut, "tokens": [],
-                               "max_new": budget})
+        req = self._make_request(messages, max_new)
+        await self._queue.put(req)
         self._wake.set()
-        return await fut
+        return await req["future"]
 
     async def chat_stream(self, messages: List[Dict[str, str]],
                           max_new: Optional[int] = None):
@@ -263,20 +293,10 @@ class ContinuousGenerationService:
         prefix of ``final``."""
         if self._task is None:
             await self.start()
-        prompt = _render_prompt(self.tokenizer, messages)
-        ids = self.tokenizer.encode(prompt)
-        if not isinstance(ids, list):
-            ids = list(ids)
-        max_p = self.prompt_buckets[-1]
-        if len(ids) > max_p:
-            ids = ids[-max_p:]
-        budget = (self.max_new_tokens if max_new is None
-                  else max(1, min(int(max_new), self.max_new_tokens)))
-        fut: asyncio.Future = asyncio.get_running_loop().create_future()
         stream: asyncio.Queue = asyncio.Queue()
-        await self._queue.put({"ids": ids, "future": fut, "tokens": [],
-                               "max_new": budget, "stream": stream,
-                               "streamed": ""})
+        req = self._make_request(messages, max_new, stream=stream,
+                                 streamed="")
+        await self._queue.put(req)
         self._wake.set()
         while True:
             item = await stream.get()
@@ -294,29 +314,45 @@ class ContinuousGenerationService:
             if not has_active and self._queue.empty():
                 self._wake.clear()
                 await self._wake.wait()
-            # admission groups are built + futures credited on the LOOP
-            # thread; only the jitted calls run in the executor
-            for group in self._collect_admissions():
-                tok0 = await loop.run_in_executor(
-                    None, self._run_admit, group)
-                for j, req in enumerate(group["reqs"]):
-                    self._credit(req, [int(tok0[j])])
-            if any(r is not None for r in self._slot_req):
-                if self.spec_window:
-                    toks, n_emit = await loop.run_in_executor(
-                        None, self._run_chunk_spec)
-                    self._process_tokens_spec(toks, n_emit)
-                else:
-                    toks = await loop.run_in_executor(None, self._run_chunk)
-                    self._process_tokens(toks)
+            try:
+                # admission groups are built + futures credited on the
+                # LOOP thread; only the jitted calls run in the executor
+                for group in self._collect_admissions():
+                    tok0 = await loop.run_in_executor(
+                        None, self._run_admit, group)
+                    for j, req in enumerate(group["reqs"]):
+                        self._credit(req, [int(tok0[j])])
+                if any(r is not None for r in self._slot_req):
+                    if self.spec_window:
+                        toks, n_emit = await loop.run_in_executor(
+                            None, self._run_chunk_spec)
+                        self._process_tokens_spec(toks, n_emit)
+                    else:
+                        toks, alive = await loop.run_in_executor(
+                            None, self._run_chunk)
+                        self._process_tokens(toks, alive)
+            except Exception as e:  # device/jit failure: fail loudly,
+                # resolve every caller, keep the worker alive
+                logger.exception("continuous generation step failed")
+                for si, req in enumerate(self._slot_req):
+                    if req is not None:
+                        self._slot_req[si] = None
+                        self._fail(req, e)
+                while not self._queue.empty():
+                    try:
+                        self._fail(self._queue.get_nowait(), e)
+                    except asyncio.QueueEmpty:
+                        break
             # yield so chat() callers can enqueue between chunks
             await asyncio.sleep(0)
 
-    def _bucket(self, seq: Sequence[int], n: int) -> int:
-        for b in seq:
-            if n <= b:
-                return b
-        return seq[-1]
+    def _fail(self, req: dict, exc: Exception) -> None:
+        fut = req["future"]
+        if not fut.done():
+            fut.set_exception(exc)
+        stream = req.get("stream")
+        if stream is not None:
+            stream.put_nowait({"final": "", "error": str(exc)})
 
     def _collect_admissions(self) -> List[dict]:
         """Drain the queue into EXACT-bucket-size admission groups (no
@@ -336,8 +372,8 @@ class ContinuousGenerationService:
                       if b <= len(pending)), self.admit_buckets[0])
             n = min(n, len(pending))
             take, pending = pending[:n], pending[n:]
-            p = self._bucket(self.prompt_buckets,
-                             max(len(r["ids"]) for r in take))
+            p = pick_bucket(self.prompt_buckets,
+                            max(len(r["ids"]) for r in take))
             ids = np.full((n, p), self.pad_id, np.int32)
             lens = np.ones((n,), np.int32)
             slot_ids = np.zeros((n,), np.int32)
@@ -380,9 +416,10 @@ class ContinuousGenerationService:
                                     pad)
 
             self._chunk_jit = jax.jit(run, donate_argnums=(1,))
-        self._state, toks = self._chunk_jit(self.params, self._state)
+        self._state, toks, alive = self._chunk_jit(self.params,
+                                                   self._state)
         self.chunks += 1
-        return np.asarray(toks)
+        return np.asarray(toks), np.asarray(alive)
 
     def _admit_fn(self, n: int, p: int):
         fn = self._admit_jit.get((n, p))
@@ -414,12 +451,20 @@ class ContinuousGenerationService:
         self.chunks += 1
         return np.asarray(toks), np.asarray(n_emit)
 
-    def _process_tokens(self, toks: np.ndarray) -> None:
-        """Distribute a [steps, slots] chunk to the owning requests."""
+    def _process_tokens(self, toks: np.ndarray,
+                        alive: np.ndarray) -> None:
+        """Distribute a [steps, slots] chunk to the owning requests.
+        A tracked slot whose lane went inactive mid-chunk without the
+        host seeing eos/budget (cache capacity) is finished truncated."""
         for si in range(self.slots):
             req = self._slot_req[si]
-            if req is not None:
-                self._credit(req, [int(t) for t in toks[:, si]])
+            if req is None:
+                continue
+            real = [int(t) for t, a in zip(toks[:, si], alive[:, si]) if a]
+            truncated = not bool(alive[-1, si])
+            self._credit(req, real)
+            if truncated and self._slot_req[si] is req:
+                self._finish(req)  # capacity stop: no eos/budget will come
 
     def _process_tokens_spec(self, toks: np.ndarray,
                              n_emit: np.ndarray) -> None:
@@ -437,6 +482,10 @@ class ContinuousGenerationService:
                 self.spec_steps += n > 0
                 self.spec_emitted += n
             self._credit(req, out)
+            # a whole chunk with zero emissions means the device lane is
+            # inactive (capacity stop) — finish truncated, never hang
+            if not out and self._slot_req[si] is req:
+                self._finish(req)
 
     def _credit(self, req: dict, tokens: List[int]) -> None:
         cap = req["max_new"]
@@ -455,9 +504,14 @@ class ContinuousGenerationService:
         if stream is None:
             return
         text = self.tokenizer.decode(req["tokens"])
-        # prefix guard: a trailing invalid/partial byte sequence decodes
-        # to U+FFFD now but may become a real character next chunk — only
-        # emit while the decode strictly extends what was streamed
+        # UTF-8 guard: a PARTIAL trailing byte sequence decodes to U+FFFD
+        # now but may become a real character next chunk — never emit
+        # trailing replacement characters (they'd poison the stream: the
+        # completed character no longer extends what was sent). Interior
+        # U+FFFD (a permanently invalid byte) flushes as soon as real
+        # text follows it.
+        while text.endswith("�"):
+            text = text[:-1]
         if text.startswith(req["streamed"]):
             delta = text[len(req["streamed"]):]
             if delta:

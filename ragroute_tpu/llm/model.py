@@ -420,10 +420,19 @@ def config_from_hf(hf_config) -> DecoderConfig:
         hf_config.hidden_size // hf_config.num_attention_heads)
     scaling = None
     rs = getattr(hf_config, "rope_scaling", None)
-    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
-        scaling = (rs["factor"], rs["low_freq_factor"],
-                   rs["high_freq_factor"],
-                   rs["original_max_position_embeddings"])
+    if rs:
+        kind = rs.get("rope_type", rs.get("type"))
+        if kind == "llama3":
+            scaling = (rs["factor"], rs["low_freq_factor"],
+                       rs["high_freq_factor"],
+                       rs["original_max_position_embeddings"])
+        elif kind not in (None, "default"):
+            # silently using plain RoPE would generate garbage beyond the
+            # original context window — refuse loudly
+            raise ValueError(
+                f"unsupported rope_scaling type {kind!r} (supported: "
+                "llama3, default); the checkpoint needs a frequency "
+                "schedule this decoder does not implement yet")
     return DecoderConfig(
         vocab_size=hf_config.vocab_size,
         hidden_size=hf_config.hidden_size,

@@ -79,6 +79,41 @@ def _render_prompt(tokenizer, messages: List[Dict[str, str]]) -> str:
     ) + "\n<|assistant|>\n"
 
 
+# shared helpers for both generation services -------------------------------
+
+def resolve_special_id(tokenizer, explicit, attr: str, fallback_attr: str,
+                       default: int = 0) -> int:
+    """eos/pad id resolution: explicit arg > HF attr > byte-tokenizer
+    attr > default."""
+    if explicit is not None:
+        return int(explicit)
+    v = getattr(tokenizer, attr, None)
+    if v is None:
+        v = getattr(tokenizer, fallback_attr, None)
+    return int(v) if v is not None else default
+
+
+def pick_bucket(buckets: Sequence[int], n: int) -> int:
+    """Smallest bucket that fits ``n`` (largest bucket if none do)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def encode_prompt(tokenizer, messages, max_prompt: int) -> List[int]:
+    """Render + tokenize one chat, keeping the TAIL when over the
+    largest prompt bucket (the question/options sit at the end)."""
+    ids = tokenizer.encode(_render_prompt(tokenizer, messages))
+    if not isinstance(ids, list):
+        ids = list(ids)
+    return ids[-max_prompt:] if len(ids) > max_prompt else ids
+
+
+def clamp_budget(max_new, cap: int) -> int:
+    return cap if max_new is None else max(1, min(int(max_new), cap))
+
+
 class GenerationService:
     """Micro-batching front-end over :func:`ragroute_tpu.llm.model.generate`.
 
@@ -107,12 +142,10 @@ class GenerationService:
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.temperature = float(temperature)
         self.cache_dtype = cache_dtype
-        self.eos_id = int(eos_id if eos_id is not None else
-                          getattr(tokenizer, "eos_token_id", None)
-                          or getattr(tokenizer, "eos_id", 0))
-        self.pad_id = int(pad_id if pad_id is not None else
-                          getattr(tokenizer, "pad_token_id", None)
-                          or getattr(tokenizer, "pad_id", 0))
+        self.eos_id = resolve_special_id(tokenizer, eos_id,
+                                         "eos_token_id", "eos_id")
+        self.pad_id = resolve_special_id(tokenizer, pad_id,
+                                         "pad_token_id", "pad_id")
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._flush_s = flush_interval_s
@@ -162,6 +195,15 @@ class GenerationService:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # a queued request would otherwise await a future nobody resolves
+        while not self._queue.empty():
+            try:
+                item = self._queue.get_nowait()
+            except asyncio.QueueEmpty:
+                break
+            fut = item[-1]
+            if not fut.done():
+                fut.cancel()
 
     # -- API ---------------------------------------------------------------
 
@@ -172,15 +214,9 @@ class GenerationService:
         max; traced, so per-request limits cost no recompiles)."""
         if self._task is None:
             await self.start()
-        prompt = _render_prompt(self.tokenizer, messages)
-        ids = self.tokenizer.encode(prompt)
-        if not isinstance(ids, list):
-            ids = list(ids)
-        max_p = self.prompt_buckets[-1]
-        if len(ids) > max_p:   # keep the TAIL (question + options are last)
-            ids = ids[-max_p:]
-        budget = (self.max_new_tokens if max_new is None
-                  else max(1, min(int(max_new), self.max_new_tokens)))
+        ids = encode_prompt(self.tokenizer, messages,
+                            self.prompt_buckets[-1])
+        budget = clamp_budget(max_new, self.max_new_tokens)
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put((ids, budget, fut))
         return await fut
@@ -213,16 +249,10 @@ class GenerationService:
                     if not fut.done():
                         fut.set_exception(e)
 
-    def _bucket(self, seq: Sequence[int], n: int) -> int:
-        for b in seq:
-            if n <= b:
-                return b
-        return seq[-1]
-
     def _run_batch(self, prompts: List[List[int]],
                    budgets: List[int]) -> List[str]:
-        p = self._bucket(self.prompt_buckets, max(len(x) for x in prompts))
-        b = self._bucket(self.batch_buckets, len(prompts))
+        p = pick_bucket(self.prompt_buckets, max(len(x) for x in prompts))
+        b = pick_bucket(self.batch_buckets, len(prompts))
         ids = np.full((b, p), self.pad_id, np.int32)
         mask = np.zeros((b, p), np.int32)
         buds = np.zeros((b,), np.int32)

@@ -336,13 +336,18 @@ class ServingSystem:
                 from ragroute_tpu.llm.continuous import (
                     ContinuousGenerationService)
 
+                spec = getattr(self, "llm_spec_window", 0)
+                # a slot holds prompt + generation + the decode window
+                cache_len = (service.prompt_buckets[-1]
+                             + service.max_new_tokens + max(spec, 1) + 8)
                 service = ContinuousGenerationService(
                     service.params, service.cfg, service.tokenizer,
                     max_new_tokens=service.max_new_tokens,
                     prompt_buckets=service.prompt_buckets,
+                    cache_len=cache_len,
                     cache_dtype=service.cache_dtype,
                     eos_id=service.eos_id, pad_id=service.pad_id,
-                    spec_window=getattr(self, "llm_spec_window", 0))
+                    spec_window=spec)
             llm = LLMClient("jax", service=service)
         else:
             llm = LLMClient(

@@ -89,8 +89,8 @@ def test_slot_decode_matches_lockstep_generate():
                         0.0, -1, 0)
     np.testing.assert_array_equal(np.asarray(tok0), ref[:, 0])
     # two chunks of different sizes to cross a chunk boundary mid-stream
-    state, t1 = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
-    state, t2 = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
+    state, t1, _ = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
+    state, t2, _ = decode_chunk(params, CFG, state, 4, 0.0, -1, 0)
     got = np.concatenate([np.asarray(t1), np.asarray(t2)], axis=0).T
     np.testing.assert_array_equal(got[:3, :max_new - 1], ref[:, 1:])
 
@@ -195,3 +195,99 @@ def test_per_request_max_new_both_services():
     short_c, full_c = asyncio.run(run(cont))
     assert short_l == short_c and full_l == full_c
     assert full_l.startswith(short_l) and short_l != full_l
+
+
+# ---------------------------------------------------------------------------
+# Failure-path regressions (round-3 review findings)
+# ---------------------------------------------------------------------------
+
+def test_capacity_stop_finishes_request_instead_of_hanging():
+    """A slot that hits cache capacity before eos/budget must complete
+    (truncated), not hang the awaiting caller."""
+    import jax.numpy as jnp2
+    from ragroute_tpu.llm.continuous import ContinuousGenerationService
+    from ragroute_tpu.llm.model import init_decoder_params
+    from ragroute_tpu.llm.service import DEMO_CFG, ByteTokenizer
+
+    tok = ByteTokenizer()
+    params = init_decoder_params(jax.random.key(0), DEMO_CFG)
+    svc = ContinuousGenerationService(
+        params, DEMO_CFG, tok, slots=1, cache_len=48, max_new_tokens=64,
+        prompt_buckets=(32,), chunk_steps=8, cache_dtype=jnp2.float32,
+        eos_id=tok.eos_id, pad_id=tok.pad_id)
+
+    async def run():
+        return await asyncio.wait_for(
+            svc.chat([{"role": "user", "content": "xyz"}]), timeout=120)
+
+    out = asyncio.run(run())
+    assert isinstance(out, str)
+    assert all(r is None for r in svc._slot_req)
+
+
+def test_worker_failure_propagates_to_callers():
+    """A device/jit error mid-serve must raise in every awaiting chat()
+    call (not hang), and the worker must survive for later requests."""
+    svc = demo_continuous_service(max_new_tokens=8, slots=2,
+                                  chunk_steps=3)
+
+    boom = RuntimeError("synthetic device failure")
+    real_run_admit = svc._run_admit
+    svc._run_admit = lambda group: (_ for _ in ()).throw(boom)
+
+    async def run():
+        with pytest.raises(RuntimeError, match="synthetic device"):
+            await asyncio.wait_for(
+                svc.chat([{"role": "user", "content": "a"}]), timeout=60)
+        # worker alive: restore the device path and serve again
+        svc._run_admit = real_run_admit
+        out = await asyncio.wait_for(
+            svc.chat([{"role": "user", "content": "a"}]), timeout=120)
+        await svc.stop()
+        return out
+
+    assert isinstance(asyncio.run(run()), str)
+
+
+def test_stream_delta_withholds_partial_utf8():
+    """A multibyte character split across chunks must NOT emit U+FFFD
+    mid-stream; the joined deltas stay a strict prefix of the final."""
+    svc = demo_continuous_service(max_new_tokens=8, slots=1)
+    q = asyncio.Queue()
+    req = {"tokens": [ord("h"), 0xC3], "stream": q, "streamed": "",
+           "max_new": 8}
+    svc._push_stream_delta(req)        # trailing partial 'é' byte
+    assert req["streamed"] == "h"      # only the complete prefix went out
+    req["tokens"].append(0xA9)         # completes 'é'
+    svc._push_stream_delta(req)
+    assert req["streamed"] == "hé"
+    deltas = []
+    while not q.empty():
+        deltas.append(q.get_nowait())
+    assert deltas == ["h", "é"]
+
+
+def test_stop_cancels_waiters():
+    svc = demo_continuous_service(max_new_tokens=8, slots=1,
+                                  chunk_steps=2)
+
+    async def run():
+        # enqueue without letting the worker start processing
+        req = svc._make_request([{"role": "user", "content": "x"}], None)
+        await svc._queue.put(req)
+        await svc.stop()
+        with pytest.raises(asyncio.CancelledError):
+            await req["future"]
+
+    asyncio.run(run())
+
+
+def test_spec_window_validation():
+    with pytest.raises(ValueError):
+        demo_continuous_service(spec_window=-1)
+    with pytest.raises(ValueError):
+        demo_continuous_service(spec_window=1)
+    with pytest.raises(ValueError):
+        # prompt bucket must leave a decode-window margin below cache_len
+        demo_continuous_service(prompt_buckets=(128, 766), cache_len=768,
+                                spec_window=4)

@@ -71,8 +71,8 @@ def test_spec_chunk_exact_vs_plain_chunk():
         rows = [[int(t)] for t in np.asarray(tok0)]
         if mode == "plain":
             for _ in range(3):
-                state, toks = decode_chunk(params, CFG, state, 8, 0.0,
-                                           -1, 0)
+                state, toks, _ = decode_chunk(params, CFG, state, 8, 0.0,
+                                              -1, 0)
                 t = np.asarray(toks)
                 for b in range(2):
                     rows[b].extend(int(x) for x in t[:, b])
