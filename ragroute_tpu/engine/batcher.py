@@ -113,6 +113,16 @@ class QueryBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # Fail anything still queued so handlers awaiting submit() see a
+        # clean error instead of hanging until aiohttp force-closes their
+        # connections (the worker is gone; nobody will resolve them).
+        while True:
+            try:
+                _, fut = self.queue.get_nowait()
+            except asyncio.QueueEmpty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("batcher stopped"))
 
     # -- submission ------------------------------------------------------
 
@@ -130,9 +140,10 @@ class QueryBatcher:
                 return b
         return self.buckets[-1]
 
-    async def _collect(self) -> List[Tuple[dict, asyncio.Future]]:
-        first = await self.queue.get()
-        batch = [first]
+    async def _collect(self, batch: List[Tuple[dict, asyncio.Future]]) -> None:
+        """Fill ``batch`` in place (so a cancellation mid-collect leaves the
+        already-popped items visible to the caller's cleanup)."""
+        batch.append(await self.queue.get())
         deadline = time.monotonic() + self.window_s
         max_bucket = self.buckets[-1]
         while len(batch) < max_bucket:
@@ -157,7 +168,6 @@ class QueryBatcher:
                 batch.append(item)
             except asyncio.TimeoutError:
                 break
-        return batch
 
     def _run_batch(self, batch) -> Tuple[SearchOutput, int]:
         world = self.engine.world
@@ -178,31 +188,46 @@ class QueryBatcher:
 
     async def _worker(self) -> None:
         loop = asyncio.get_running_loop()
-        while self._running:
-            batch = await self._collect()
-            try:
-                # engine.search blocks on the device; keep the event loop live
-                out, n = await loop.run_in_executor(
-                    None, self._run_batch, batch)
-            except Exception as e:  # deliver failures to every waiter
-                for _, fut in batch:
-                    if not fut.done():
-                        fut.set_exception(e)
-                continue
-            for i, (_, fut) in enumerate(batch):
-                if fut.done():
-                    continue
-                fut.set_result(QueryResult(
-                    probs=out.probs[i],
-                    mask=out.mask[i],
-                    shard_scores=(None if out.shard_scores is None
-                                  else out.shard_scores[i]),
-                    shard_ids=out.shard_ids[i],
-                    merged_score=out.merged_score[i],
-                    merged_shard=out.merged_shard[i],
-                    merged_local=out.merged_local[i],
-                    merged_valid=int(out.merged_valid[i]),
-                    selection_time=out.selection_time,
-                    doc_select_time=out.doc_select_time,
-                    batch_size=n,
-                ))
+        batch: List[Tuple[dict, asyncio.Future]] = []
+        try:
+            while self._running:
+                batch = []
+                await self._collect(batch)
+                try:
+                    # engine.search blocks on the device; keep the event
+                    # loop live
+                    out, n = await loop.run_in_executor(
+                        None, self._run_batch, batch)
+                    # Demux INSIDE the try: a slicing failure here (e.g. a
+                    # SearchOutput shorter than the batch after an engine
+                    # misconfiguration) must fail the remaining waiters,
+                    # not kill the worker with futures stranded.
+                    for i, (_, fut) in enumerate(batch):
+                        if fut.done():
+                            continue
+                        fut.set_result(QueryResult(
+                            probs=out.probs[i],
+                            mask=out.mask[i],
+                            shard_scores=(None if out.shard_scores is None
+                                          else out.shard_scores[i]),
+                            shard_ids=out.shard_ids[i],
+                            merged_score=out.merged_score[i],
+                            merged_shard=out.merged_shard[i],
+                            merged_local=out.merged_local[i],
+                            merged_valid=int(out.merged_valid[i]),
+                            selection_time=out.selection_time,
+                            doc_select_time=out.doc_select_time,
+                            batch_size=n,
+                        ))
+                except Exception as e:  # deliver failures to every waiter
+                    for _, fut in batch:
+                        if not fut.done():
+                            fut.set_exception(e)
+                batch = []
+        finally:
+            # Cancellation (stop()) can land mid-_collect with items
+            # already popped off the queue — fail them so their handlers
+            # don't hang until the HTTP query timeout.
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("batcher stopped"))

@@ -76,6 +76,11 @@ class HashEmbeddings:
 class EncoderZooEmbeddings:
     """Real query encoders (host-side model zoo)."""
 
+    # A live model forward per query — the server dispatches blocking
+    # providers to an executor so the event loop (and the micro-batcher)
+    # keeps running while a query encodes.
+    blocking = True
+
     def __init__(self, world: WorldConfig, zoo=None):
         from ragroute_tpu.encoders import EncoderZoo
 

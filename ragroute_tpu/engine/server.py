@@ -18,6 +18,7 @@ the serialized size of the equivalent per-source response.
 from __future__ import annotations
 
 import asyncio
+import functools
 import json
 import logging
 import os
@@ -49,9 +50,7 @@ logger = logging.getLogger("server")
 
 # compact separators: responses embed k full doc payloads, so the default
 # ", "/": " padding is measurable bytes+CPU at high load
-import functools as _functools
-
-_dumps = _functools.partial(json.dumps, separators=(",", ":"))
+_dumps = functools.partial(json.dumps, separators=(",", ":"))
 
 
 def _device_memory_stats() -> Optional[dict]:
@@ -137,8 +136,6 @@ class FederationServer:
         # parsed-doc LRU: hot docs repeat across queries; parsing the same
         # jsonl line per query was a measured host hot path
         if doc_store is not None:
-            import functools
-
             self._get_doc = functools.lru_cache(maxsize=65536)(
                 doc_store.get)
         else:
@@ -163,8 +160,6 @@ class FederationServer:
         if (_graw is not None and disable_llm
                 and self.world.name != "feb4rag"
                 and os.environ.get("RAGROUTE_RAW_DOCS", "1") != "0"):
-            import functools
-
             @functools.lru_cache(maxsize=65536)
             def _raw_line(source, local):
                 r = _graw(source, local)
@@ -236,10 +231,14 @@ class FederationServer:
         return self.port
 
     async def stop(self) -> None:
-        await self.batcher.stop()
+        # Drain the HTTP side first: cleanup() stops accepting connections
+        # and waits for in-flight handlers, which need the batcher alive to
+        # resolve their futures. Stopping the batcher first would strand
+        # them until aiohttp's shutdown timeout force-closes the sockets.
         if self._runner:
             await self._runner.cleanup()
             self._runner = None
+        await self.batcher.stop()
         logger.info("Server stopped")
 
     # -- handlers ----------------------------------------------------------
@@ -338,7 +337,10 @@ class FederationServer:
             return web.Response(text="Invalid choices format", status=400)
 
         stream = request.query.get("stream", "") in ("1", "true")
-        if stream and not self.disable_llm:
+        if stream:
+            # Honoured with --disable-llm too: the client asked for SSE
+            # framing, so it gets the final event + [DONE] (with no delta
+            # events) rather than a silently different content type.
             return await self._handle_query_sse(
                 request, query, choices, question_id)
         try:
@@ -376,6 +378,14 @@ class FederationServer:
         except asyncio.TimeoutError:
             await resp.write(
                 b'data: {"error": "Search timed out"}\n\n')
+        except Exception as e:
+            # Headers already went out as 200/event-stream; the only way
+            # to surface a failure is an in-band error event. Without this
+            # the stream is torn down with no [DONE] and auto-reconnecting
+            # EventSource clients retry forever.
+            logger.exception("SSE query failed")
+            await resp.write(
+                b"data: " + _dumps({"error": str(e)}).encode() + b"\n\n")
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp
@@ -501,14 +511,24 @@ class FederationServer:
         ids = ([d.get("id") for d in docs]
                if any("id" in d for d in docs) else None)
         loop = asyncio.get_running_loop()
+
+        def _add_with_payloads():
+            # Slots + payloads must become visible atomically under the
+            # update lock: a concurrent /admin/snapshot between the device
+            # scatter and the payload writes would persist "null" lines
+            # for the new docs, and a concurrent delete could recycle a
+            # slot whose payload we then set on the wrong doc.
+            with self.engine.update_lock:
+                slots = self.engine.shard_set.add_docs(source, embs, ids)
+                for sl, d in zip(slots, docs):
+                    if "payload" in d:
+                        self.doc_store.set(source, sl, d["payload"])
+            return slots
+
         try:
-            slots = await loop.run_in_executor(
-                None, self.engine.add_docs, source, embs, ids)
+            slots = await loop.run_in_executor(None, _add_with_payloads)
         except (ValueError, KeyError) as e:
             return web.Response(text=str(e), status=400)
-        for sl, d in zip(slots, docs):
-            if "payload" in d:
-                self.doc_store.set(source, sl, d["payload"])
         self._invalidate_doc_caches(si)
         return web.json_response({
             "added": len(slots),
@@ -539,15 +559,22 @@ class FederationServer:
         ids = data.get("ids")
         slots = data.get("slots")
         loop = asyncio.get_running_loop()
+
+        def _delete_with_payloads():
+            # Payload masking rides the same lock scope as the slot frees:
+            # delete-then-set races with a concurrent /docs/add recycling
+            # the slot would otherwise null the NEW doc's payload.
+            with self.engine.update_lock:
+                removed = self.engine.shard_set.delete_docs(
+                    source, doc_ids=ids, slots=slots)
+                for sl in removed:
+                    self.doc_store.delete(source, sl)
+            return removed
+
         try:
-            removed = await loop.run_in_executor(
-                None,
-                lambda: self.engine.delete_docs(
-                    source, doc_ids=ids, slots=slots))
+            removed = await loop.run_in_executor(None, _delete_with_payloads)
         except (ValueError, KeyError) as e:
             return web.Response(text=str(e), status=400)
-        for sl in removed:
-            self.doc_store.delete(source, sl)
         self._invalidate_doc_caches(si)
         return web.json_response({
             "deleted": len(removed),
@@ -631,7 +658,16 @@ class FederationServer:
             formatted_query = query
 
         t0 = time.time()
-        embs = self.provider.embed(formatted_query, question_id)
+        if getattr(self.provider, "blocking", False):
+            # A real encoder forward (--embedder zoo) must not run on the
+            # event loop: it would stall the batcher's collect loop and
+            # serialize queries, degrading batches to size 1. Hash /
+            # precomputed providers stay inline (microseconds; an executor
+            # round-trip would cost more than it saves on the hot path).
+            embs = await asyncio.get_running_loop().run_in_executor(
+                None, self.provider.embed, formatted_query, question_id)
+        else:
+            embs = self.provider.embed(formatted_query, question_id)
         embedding_time = time.time() - t0
 
         t0 = time.time()
@@ -789,7 +825,13 @@ class FederationServer:
         k = ids.shape[0]
         size = len(query_id) + len(src.name) + 96 + 20 * k
         if idl is not None:
-            size += int(idl[ids].sum())
+            # Same out-of-range guard as the rawl path: padded/negative
+            # ids must not numpy-wrap into real rows (an id of -1 would
+            # read the LAST doc's length and inflate the parity metric).
+            n = idl.shape[0]
+            clipped = np.clip(ids, 0, max(n - 1, 0))
+            per = np.where((ids >= 0) & (ids < n), idl[clipped], 0)
+            size += int(per.sum())
         if rawl is not None:
             n = rawl.shape[0]
             clipped = np.clip(ids, 0, max(n - 1, 0))

@@ -464,6 +464,19 @@ def run_workers(args, n_workers: int) -> None:
     import multiprocessing as mp
     import time as _time
 
+    if getattr(args, "mutable", False):
+        # Each worker would hold an INDEPENDENT mutable ShardSet: a
+        # /docs/add lands on whichever worker the kernel balances it to,
+        # the other N-1 silently keep serving the old corpus, and
+        # /admin/snapshot persists one worker's divergent state. Same
+        # class of invalid combination as --mutable + --mesh (which
+        # ServingSystem rejects); fail loudly here too.
+        raise ValueError(
+            "--mutable is a single-process capability (SO_REUSEPORT "
+            "workers each hold an independent index copy, so live "
+            "updates would apply to only one worker) — drop --workers "
+            "or --mutable")
+
     ctx = mp.get_context("spawn")
     d = dict(vars(args))
     d["reuse_port"] = True

@@ -106,3 +106,52 @@ def test_query_sse_roundtrip():
     assert final["answer"].startswith("".join(deltas))
     assert len(final["metadata"]["top_docs"]) == len(
         plain["metadata"]["top_docs"])
+
+
+def test_query_sse_disable_llm_and_error_events():
+    """stream=1 is honoured with --disable-llm (SSE framing, empty answer),
+    and an engine/provider failure mid-stream emits an in-band error event
+    followed by [DONE] instead of tearing the connection down."""
+    sys.path.insert(0, "tests")
+    from test_server import make_server
+
+    async def fetch_events(port, q, options, qid):
+        async with aiohttp.ClientSession() as session:
+            enc_q = aiohttp.helpers.quote(q)
+            enc_c = aiohttp.helpers.quote(json.dumps(options))
+            url = (f"http://127.0.0.1:{port}/query?"
+                   f"q={enc_q}&choices={enc_c}&qid={qid}&stream=1")
+            async with session.get(url) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith(
+                    "text/event-stream")
+                raw = (await resp.read()).decode()
+        return [line[len("data: "):] for line in raw.split("\n\n")
+                if line.startswith("data: ")]
+
+    async def run():
+        syn, server = make_server()  # disable_llm=True default
+        await server.start()
+        try:
+            q = syn.questions[0]
+            events = await fetch_events(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert events[-1] == "[DONE]"
+            final = json.loads(events[-2])
+            assert final["answer"] == ""
+            assert "top_docs" in final["metadata"]
+
+            # now force a failure inside _process: the provider raises
+            def boom(query, qid):
+                raise RuntimeError("encoder exploded")
+
+            server.provider = type("P", (), {"embed": staticmethod(boom)})()
+            events = await fetch_events(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert events[-1] == "[DONE]"
+            err = json.loads(events[-2])
+            assert "encoder exploded" in err["error"]
+        finally:
+            await server.stop()
+
+    asyncio.run(run())

@@ -455,3 +455,107 @@ def test_bulk_endpoint_raw_splice():
         finally:
             await server.stop()
     asyncio.run(run())
+
+
+def test_batcher_stop_fails_pending_futures():
+    """stop() must resolve queued + in-flight futures with an error so
+    graceful shutdown never strands a handler until the query timeout."""
+    async def run():
+        syn, server = make_server(strategy="all")
+        b = QueryBatcher(server.engine, strategy="all", window_ms=5.0,
+                         buckets=(8,))
+        embs = {e: np.zeros(
+            next(s.embed_dim for s in syn.world.sources if s.encoder == e),
+            np.float32) for e in syn.world.encoders}
+        # no worker started: submits stay queued
+        t1 = asyncio.create_task(b.submit(embs))
+        t2 = asyncio.create_task(b.submit(embs))
+        await asyncio.sleep(0.01)
+        await b.stop()
+        for t in (t1, t2):
+            try:
+                await t
+                raise AssertionError("stranded future resolved silently")
+            except RuntimeError as e:
+                assert "stopped" in str(e)
+
+    asyncio.run(run())
+
+
+def test_batcher_demux_failure_fails_remaining_futures():
+    """A failure while demultiplexing a batch result must deliver the
+    exception to the batch's unresolved futures, not kill the worker with
+    them stranded (they'd hang the full 300 s query timeout)."""
+    async def run():
+        syn, server = make_server(strategy="all")
+        b = QueryBatcher(server.engine, strategy="all", window_ms=5.0,
+                         buckets=(8,))
+
+        class Broken:
+            """SearchOutput stand-in whose slicing raises."""
+            def __getattr__(self, name):
+                raise ValueError("malformed output")
+
+        b._run_batch = lambda batch: (Broken(), len(batch))
+        await b.start()
+        embs = {e: np.zeros(
+            next(s.embed_dim for s in syn.world.sources if s.encoder == e),
+            np.float32) for e in syn.world.encoders}
+        try:
+            with_err = None
+            try:
+                await asyncio.wait_for(b.submit(embs), timeout=10)
+            except ValueError as e:
+                with_err = e
+            assert with_err is not None and "malformed" in str(with_err)
+            # the worker survived and still serves the next batch's error
+            try:
+                await asyncio.wait_for(b.submit(embs), timeout=10)
+            except ValueError:
+                pass
+        finally:
+            await b.stop()
+
+    asyncio.run(run())
+
+
+def test_message_size_ignores_padding_ids():
+    """Padded/negative shard ids must not numpy-wrap into real doc rows
+    when estimating per-source message sizes (parity metric)."""
+    import dataclasses as dc
+
+    syn, server = make_server(strategy="all")
+    k = syn.world.k
+    base = dict(
+        probs=np.ones(syn.world.num_sources, np.float32),
+        mask=np.ones(syn.world.num_sources, bool),
+        shard_scores=None,
+        merged_score=np.zeros((1, k), np.float32),
+        merged_shard=np.zeros((1, k), np.int32),
+        merged_local=np.zeros((1, k), np.int32),
+        merged_valid=k, selection_time=0.0, doc_select_time=0.0,
+        batch_size=1)
+    from ragroute_tpu.engine.batcher import QueryResult
+    res_pad = QueryResult(
+        shard_ids=np.full((syn.world.num_sources, k), -1, np.int32), **base)
+    res_real = QueryResult(
+        shard_ids=np.zeros((syn.world.num_sources, k), np.int32), **base)
+    s_pad = server._estimate_message_size(res_pad, 0, "q" * 36)
+    s_real = server._estimate_message_size(res_real, 0, "q" * 36)
+    # all-padding rows estimate only envelope + fallback bytes — strictly
+    # less than rows resolving real ids/docs
+    assert s_pad < s_real
+
+
+def test_run_workers_rejects_mutable():
+    """--workers N + --mutable would serve inconsistent indexes (each
+    worker owns an independent copy); must fail loudly at startup."""
+    import argparse
+
+    import pytest
+
+    from ragroute_tpu.system import run_workers
+
+    args = argparse.Namespace(mutable=True)
+    with pytest.raises(ValueError, match="mutable"):
+        run_workers(args, 2)
