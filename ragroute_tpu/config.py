@@ -74,6 +74,14 @@ IVF_HYBRID_MAX_BATCH = 16
 IVF_HYBRID_MIN_DOCS = 400_000
 IVF_HYBRID_NPROBE_DIVISOR = 32
 
+# Index layout constants (index/shard.py). Shards are padded to a
+# multiple of the kernel doc tile so the hot path never re-pads (see
+# ops/pallas_topk._pick_tiles upper bound); live updates scatter in
+# fixed-width chunks so every add/delete of any size reuses ONE compiled
+# scatter per shard.
+SHARD_PAD_MULTIPLE = 512
+UPDATE_CHUNK = 512
+
 # impl="lowrank": two-stage exact-rescored retrieval (low-rank coarse scan
 # + full-precision refine, index/lowrank.py). Candidate depth per query is
 # k' = LOWRANK_REFINE_MULT * k; automatic rank selection keeps the
@@ -81,6 +89,15 @@ IVF_HYBRID_NPROBE_DIVISOR = 32
 # spectrum (refusing shards whose spectrum is too flat to profit).
 LOWRANK_REFINE_MULT = 4
 LOWRANK_ENERGY = 0.99
+# Rank granularity: the MXU contracts 128 lanes at a time; a rank that is
+# not a multiple of 128 pays the same tile as the next multiple.
+LOWRANK_RANK_MULTIPLE = 128
+# Above this fraction of the full dimension the coarse scan saves too
+# little to pay for the refine stage; build_lowrank refuses (returns None).
+LOWRANK_MAX_RANK_FRACTION = 0.5
+# Row subsample cap for the second-moment estimate (the basis barely moves
+# past ~100k rows; keeps the host-side X^T X pass bounded at any scale).
+LOWRANK_MOMENT_SAMPLE_ROWS = 131072
 
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with

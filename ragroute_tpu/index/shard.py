@@ -33,17 +33,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.config import (SHARD_PAD_MULTIPLE, UPDATE_CHUNK,
+                                 WorldConfig)
 
-# Shards are padded to a multiple of the kernel doc tile so the hot path
-# never re-pads (see ops/pallas_topk._pick_tiles upper bound).
-SHARD_PAD_MULTIPLE = 512
-
-# Live updates scatter in fixed-width chunks so every add/delete of any
-# size reuses ONE compiled scatter per shard; short chunks pad by
-# repeating their last (slot, value) pair — duplicate same-value writes
-# are idempotent, so the result is deterministic.
-UPDATE_CHUNK = 512
+# Chunked-scatter note: short UPDATE_CHUNK chunks pad by repeating their
+# last (slot, value) pair — duplicate same-value writes are idempotent,
+# so the result is deterministic.
 
 
 def _atomic_np_save(path: str, arr: np.ndarray) -> None:
@@ -237,6 +232,11 @@ class ShardSet:
     # come from retained host-side rows, not from reading HBM back.
     _orig_emb: Optional[Dict[str, np.ndarray]] = None
     _added_rows: Optional[Dict[str, Dict[int, np.ndarray]]] = None
+    # build-time normalize_cos flag, recorded so add_docs() applies the
+    # SAME preprocessing as build() (a normalize_cos=False build must not
+    # normalize added rows — they would live on a different score scale
+    # than the corpus)
+    _norm_cos: bool = True
 
     @classmethod
     def build(
@@ -286,6 +286,12 @@ class ShardSet:
             exact scan at search time.
           lowrank_energy: captured-variance fraction for automatic rank
             selection (only with ``lowrank=-1``).
+          device: target device for the uploaded arrays (default: JAX's
+            default device). The string ``"host"`` keeps every array as
+            host-side numpy instead — for mesh serving, where
+            :class:`~ragroute_tpu.parallel.ShardedSearch` device_puts
+            sharded copies itself and a corpus bigger than one chip's
+            HBM must never be staged whole on the default device.
           mutable: enable live document adds/deletes (:meth:`add_docs` /
             :meth:`delete_docs`). Row liveness then rides the per-row
             bias (-inf = free slot) instead of a static doc-count mask,
@@ -295,6 +301,11 @@ class ShardSet:
           reserve_docs: extra empty slots per shard for future adds
             (mutable mode; capacity = round_up(n + reserve_docs, 512)).
         """
+        host = device == "host"
+        if host and mutable:
+            raise ValueError(
+                "device='host' (mesh staging) and mutable live updates "
+                "are incompatible — the update scatters are device ops")
         if mutable and ivf_clusters:
             raise ValueError(
                 "mutable shards cannot carry a balanced-IVF layout "
@@ -353,7 +364,7 @@ class ShardSet:
                 # reproducibility of strict parity runs.
                 mu = emb.mean(axis=0, dtype=np.float64).astype(np.float32)
                 emb = emb - mu
-                center = jnp.asarray(mu)
+                center = mu if host else jnp.asarray(mu)
             ivf = None
             if ivf_clusters:
                 from ragroute_tpu.index.ivf import (
@@ -425,38 +436,46 @@ class ShardSet:
             # need to fit; surfaced as a deferred RESOURCE_EXHAUSTED at
             # first sync on the async tunnel)
             if src.score_mode == "l2":
-                b = jnp.asarray(
-                    -np.einsum("nd,nd->n", emb, emb,
-                               dtype=np.float32, optimize=True))
+                b_np = -np.einsum("nd,nd->n", emb, emb,
+                                  dtype=np.float32, optimize=True)
             else:
-                b = jnp.zeros((n_pad,), jnp.float32)
+                b_np = np.zeros(n_pad, np.float32)
             if n_pad != n:
                 # -inf bias makes padding unselectable even on code paths
                 # that cannot apply a static valid_docs mask (e.g. the
                 # mesh-sharded search, where padding position is dynamic
                 # relative to each device's local slice).
-                b = b.at[n:].set(-jnp.inf)
+                b_np[n:] = -np.inf
+            b = b_np if host else jnp.asarray(b_np)
             scale = None
             if packed4:
                 # symmetric per-doc 4-bit quantization (levels ±7), two
                 # codes packed per byte: 2x capacity over int8, dequant
                 # via the same fused per-doc scale epilogue
                 codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
-                scale = jnp.asarray(s_row)
+                scale = s_row if host else jnp.asarray(s_row)
                 emb = _pack_int4(codes)
             elif dtype == jnp.int8:
                 # symmetric per-doc quantization: d_q = round(d / s),
                 # s = max|d| / 127; dequant fused into the scoring kernel
                 codes, s_row = _quantize_sym(emb, 127)
-                scale = jnp.asarray(s_row)
+                scale = s_row if host else jnp.asarray(s_row)
                 emb = codes
             else:
                 # cast on the HOST so only the final bytes cross to the
                 # device (int8 ships 4x less than the f32 working array;
                 # ml_dtypes handles the numpy-side bf16 cast)
                 emb = emb.astype(jnp.dtype(dtype).type, copy=False)
-            docs = jnp.asarray(emb)
-            if device is not None:
+            docs = emb if host else jnp.asarray(emb)
+            if host:
+                # pull any device-built auxiliary layouts (IVF k-means /
+                # low-rank SVD run on the accelerator) back to host numpy
+                # so NOTHING of this corpus stays resident on one chip
+                if ivf is not None:
+                    ivf = jax.tree.map(np.asarray, ivf)
+                if lr is not None:
+                    lr = jax.tree.map(np.asarray, lr)
+            elif device is not None:
                 docs = jax.device_put(docs, device)
                 b = jax.device_put(b, device)
                 if scale is not None:
@@ -473,6 +492,7 @@ class ShardSet:
         out = cls(world=world, shards=shards, doc_ids=ids,
                   lowrank_built=bool(lowrank))
         if mutable:
+            out._norm_cos = normalize_cos
             out._live = {s.name: s.n_docs for s in shards}
             out._free = {s.name: list(range(s.capacity - 1, s.n_docs - 1, -1))
                          for s in shards}
@@ -578,7 +598,7 @@ class ShardSet:
         raw = emb.copy()  # pre-preprocessing rows, retained for snapshot()
 
         # identical preprocessing to build()
-        if src.score_mode == "cos":
+        if src.score_mode == "cos" and self._norm_cos:
             emb = emb / np.maximum(
                 np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         if shard.center is not None:
@@ -607,7 +627,10 @@ class ShardSet:
         table = self.doc_ids.get(source)
         if table is None and doc_ids is not None:
             # docs so far were identified by local index; materialize that
-            table = list(range(shard.n_docs))
+            # — but slots freed by deletes BEFORE the table existed must
+            # stay None, or their old local-index ids would resurrect
+            dead = set(free) | set(slots)
+            table = [None if s in dead else s for s in range(shard.n_docs)]
             self.doc_ids[source] = table
         if table is not None:
             if len(table) < shard.capacity:
@@ -699,9 +722,9 @@ class ShardSet:
     def live_slots(self, source: str) -> List[int]:
         """Ascending slot indices of every live document in a mutable
         shard (the compaction order used by :meth:`snapshot`)."""
-        self._mutable_index(source)
+        si = self._mutable_index(source)
         dead = set(self._free[source])
-        cap = self.shards[self._mutable_index(source)].capacity
+        cap = self.shards[si].capacity
         return [s for s in range(cap) if s not in dead]
 
     def snapshot(self, root: str) -> Dict[str, dict]:
@@ -731,12 +754,18 @@ class ShardSet:
             slots = self.live_slots(name)
             rows = np.empty((len(slots), self.world.sources[si].embed_dim),
                             np.float32)
+            # One vectorized fancy-index for the build-time rows (snapshot
+            # runs under the engine step lock — a Python per-row loop over
+            # a million-doc mmap would stall serving for seconds), then
+            # patch the (few) live added rows individually.
+            build_pos = [i for i, s in enumerate(slots) if s not in added]
+            if build_pos:
+                build_slots = [slots[i] for i in build_pos]
+                rows[build_pos] = np.asarray(
+                    orig[build_slots], np.float32)
             for i, s in enumerate(slots):
                 if s in added:
                     rows[i] = added[s]
-                else:
-                    # a live, never-readded slot is always a build-time row
-                    rows[i] = np.asarray(orig[s], np.float32)
             d = self.source_dir(root, self.world.name, name)
             os.makedirs(d, exist_ok=True)
             path = os.path.join(d, "embeddings.npy")

@@ -168,7 +168,24 @@ class LockstepEngine:
                staged: bool = False, fetch_candidates: bool = True):
         """Broadcast one batch and run the step (process 0 only)."""
         assert self.leader, "search() must only run on process 0"
-        b = next(iter(query_embs.values())).shape[0]
+        # EVERY validation that can raise must run before the first
+        # broadcast: once followers consume the header they enter the
+        # encoder receives + the jitted step's DCN collectives, and a
+        # leader that bailed mid-protocol leaves them blocked forever
+        # (collectives have no timeout) — a full-cluster restart.
+        missing = [e for e in self.world.encoders if e not in query_embs]
+        if missing:
+            raise KeyError(
+                f"query_embs missing world encoders {missing}")
+        b = query_embs[self.world.encoders[0]].shape[0]
+        dims = {s.encoder: s.embed_dim for s in self.world.sources}
+        for enc in self.world.encoders:
+            shape = np.shape(query_embs[enc])
+            if shape != (b, dims[enc]):
+                raise ValueError(
+                    f"query_embs[{enc!r}] shape {shape} != "
+                    f"({b}, {dims[enc]}) — followers allocate exactly "
+                    f"that buffer")
         header = np.array([
             self.buckets.index(b), _STRATEGIES.index(strategy),
             int(bool(staged)) | (int(bool(fetch_candidates)) << 1), 0,

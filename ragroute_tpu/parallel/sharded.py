@@ -365,20 +365,33 @@ class ShardedSearch:
         self.arrays = []
         self.ivf_arrays = []
         self.lr_arrays = []
-        for s in shard_set.shards:
+
+        def _pad_docs(a, pad):
+            # host-staged sets (ShardSet.build(device="host")) carry numpy
+            # arrays; padding those with jnp would commit the WHOLE slab
+            # to the default device first — the exact staging this mode
+            # exists to avoid
+            xp = np if isinstance(a, np.ndarray) else jnp
+            return xp.pad(a, ((0, pad), (0, 0)))
+
+        def _pad_bias(a, pad):
+            xp = np if isinstance(a, np.ndarray) else jnp
+            return xp.pad(a, (0, pad), constant_values=-xp.inf)
+
+        for i_s, s in enumerate(shard_set.shards):
             docs, bias, scale, center = s.docs, s.bias, s.scale, s.center
             lr = s.lr if impl == "lowrank" else None
             n = docs.shape[0]
             if n % n_idx != 0:
                 # re-pad to the idx multiple; padding carries -inf bias
                 pad = (-n) % n_idx
-                docs = jnp.pad(docs, ((0, pad), (0, 0)))
-                bias = jnp.pad(bias, (0, pad), constant_values=-jnp.inf)
+                docs = _pad_docs(docs, pad)
+                bias = _pad_bias(bias, pad)
                 if scale is not None:
-                    scale = jnp.pad(scale, (0, pad))
+                    xp = np if isinstance(scale, np.ndarray) else jnp
+                    scale = xp.pad(scale, (0, pad))
                 if lr is not None:
-                    lr = lr.replace(docs_lr=jnp.pad(
-                        lr.docs_lr, ((0, pad), (0, 0))))
+                    lr = lr.replace(docs_lr=_pad_docs(lr.docs_lr, pad))
             self.arrays.append((
                 jax.device_put(docs, docs_sh),
                 jax.device_put(bias, bias_sh),
@@ -412,10 +425,23 @@ class ShardedSearch:
                 )
                 ivf = jax.device_put(ivf, shardings)
             self.ivf_arrays.append(ivf)
+            # Retire the pre-sharding originals: serving reads ONLY the
+            # sharded copies, so keeping the single-device (or
+            # host-staged) arrays alive through self.shard_set would
+            # double HBM (or host RAM) for the server's lifetime. The
+            # shard metadata (n_docs, name, score_mode) and host-side
+            # doc-id tables stay; index_bytes keeps reporting the global
+            # footprint.
+            d_sh, b_sh, sc_sh, c_sh = self.arrays[-1]
+            shard_set.shards[i_s] = s.replace(
+                docs=d_sh, bias=b_sh, scale=sc_sh, center=c_sh,
+                ivf=(ivf if ivf is not None else s.ivf),
+                lr=(lr if lr is not None else s.lr))
 
         world = self.world
         k = world.k
         mesh_ = mesh
+        dp_ = self.dp
         impl__ = "auto" if impl in ("ivf", "hybrid", "lowrank") else impl
         from ragroute_tpu.config import LOWRANK_REFINE_MULT
         k_refine_ = k_refine or LOWRANK_REFINE_MULT * k
@@ -442,9 +468,14 @@ class ShardedSearch:
                             1, ivf.n_clusters // cfg_mod.IVF_NPROBE_DIVISOR)
                     elif impl_mode == "hybrid":
                         # same static rule as the single-chip engine
-                        # (batch size / shard size are trace-time consts)
-                        if (bsz <= cfg_mod.IVF_HYBRID_MAX_BATCH
-                                and n_docs[i] >= cfg_mod.IVF_HYBRID_MIN_DOCS):
+                        # (batch size / shard size are trace-time
+                        # consts), applied to PER-DEVICE work: the batch
+                        # splits over dp and the doc axis over idx, and
+                        # the crossover constants were measured on one
+                        # chip handling exactly that slice
+                        if (bsz // dp_ <= cfg_mod.IVF_HYBRID_MAX_BATCH
+                                and (n_docs[i] // n_idx
+                                     >= cfg_mod.IVF_HYBRID_MIN_DOCS)):
                             use_ivf = True
                             np_i = nprobe_ or max(
                                 1, ivf.n_clusters

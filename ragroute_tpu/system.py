@@ -59,7 +59,8 @@ def parse_mesh_spec(spec: str):
 def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
                          ivf_clusters=None, lowrank=None,
                          embedder: str = "auto",
-                         mutable: bool = False, reserve_docs: int = 0):
+                         mutable: bool = False, reserve_docs: int = 0,
+                         device=None):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
@@ -83,7 +84,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
 
     shard_set = ShardSet.load(root, world, dtype=dtype,
                               ivf_clusters=ivf_clusters, lowrank=lowrank,
-                              mutable=mutable, reserve_docs=reserve_docs)
+                              mutable=mutable, reserve_docs=reserve_docs,
+                              device=device)
 
     cent_path = os.path.join(wroot, "centroids.json")
     if os.path.exists(cent_path):
@@ -246,7 +248,8 @@ class ServingSystem:
                               else None),
                 lowrank=(self.lowrank_rank if self.impl == "lowrank"
                          else None),
-                mutable=self.mutable, reserve_docs=self.reserve_docs)
+                mutable=self.mutable, reserve_docs=self.reserve_docs,
+                device=("host" if self.mesh_spec else None))
             import jax
 
             params = init_router_params(
@@ -266,7 +269,12 @@ class ServingSystem:
                 lowrank=(self.lowrank_rank if self.impl == "lowrank"
                          else None),
                 embedder=self.embedder,
-                mutable=self.mutable, reserve_docs=self.reserve_docs)
+                mutable=self.mutable, reserve_docs=self.reserve_docs,
+                # mesh serving: stage corpora host-side; ShardedSearch
+                # device_puts the sharded copies itself, so a corpus
+                # bigger than one chip's HBM never lands whole on the
+                # default device
+                device=("host" if self.mesh_spec else None))
 
         if self.mesh_spec:
             # BASELINE config #5: the federation served over a device

@@ -328,3 +328,53 @@ def test_update_guards():
     mesh = make_mesh(dp=2, idx=4, devices=jax.devices()[:8])
     with pytest.raises(ValueError, match="mesh"):
         ShardedSearch(ss2, params, bank, mesh)
+
+
+def test_id_table_materialization_skips_pre_table_deletes():
+    """Deleting by slot BEFORE any id table exists, then adding with ids,
+    must not resurrect local-index ids for the dead slots (a resurrected
+    id would make delete-by-id target a free — or worse, recycled —
+    slot)."""
+    syn, base_emb, held_emb, _, _ = _world()
+    name = syn.world.sources[0].name
+    # no doc_ids at build: docs are identified by local index only
+    ss = ShardSet.build(syn.world, base_emb, dtype=jnp.float32,
+                        mutable=True, reserve_docs=0)
+    ss.delete_docs(name, slots=[3, 5])
+    # one add with an explicit id materializes the table; the free stack
+    # pops slot 5 for it, slot 3 stays dead
+    got = ss.add_docs(name, held_emb[name][:1], doc_ids=["fresh"])
+    assert got == [5]
+    table = ss.doc_ids[name]
+    assert table[5] == "fresh"
+    assert table[3] is None          # dead slot must NOT carry id 3
+    assert table[0] == 0             # live build rows keep local-index ids
+    with pytest.raises(KeyError):
+        ss.delete_docs(name, doc_ids=[3])
+
+
+def test_add_docs_honors_normalize_cos_false():
+    """add_docs must apply the build's normalize_cos setting — a
+    normalize_cos=False build stores raw rows, so added rows must stay
+    raw too (else they'd score on a different scale than the corpus)."""
+    import dataclasses
+
+    from ragroute_tpu.config import SourceSpec
+
+    syn, base_emb, held_emb, _, _ = _world()
+    # rebuild the world with cos scoring on source 0
+    srcs = tuple(
+        dataclasses.replace(s, score_mode="cos") if i == 0 else s
+        for i, s in enumerate(syn.world.sources))
+    world = dataclasses.replace(syn.world, sources=srcs)
+    name = srcs[0].name
+    v = held_emb[name][:1] * 3.0     # deliberately unnormalized row
+
+    for norm in (False, True):
+        ss = ShardSet.build(world, base_emb, dtype=jnp.float32,
+                            mutable=True, reserve_docs=8,
+                            normalize_cos=norm)
+        (slot,) = ss.add_docs(name, v)
+        row = np.asarray(ss.shards[0].docs[slot])
+        want = (v[0] / np.linalg.norm(v[0])) if norm else v[0]
+        np.testing.assert_allclose(row, want, rtol=1e-6)

@@ -135,3 +135,67 @@ def test_multihost_served_query():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+
+
+def test_lockstep_leader_validates_before_broadcast():
+    """Every leader-side validation must fire BEFORE the header broadcast:
+    a leader raising mid-protocol leaves followers blocked forever in DCN
+    collectives. Single-process construction exercises exactly the
+    pre-broadcast path (a raise after the header would hang nothing here,
+    but the calls-before-raise ordering is what's asserted)."""
+    import numpy as np
+
+    from ragroute_tpu.index import make_synthetic_world
+    from ragroute_tpu.parallel.multihost import LockstepEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=64,
+                               num_queries=2, seed=1, with_payloads=False)
+
+    calls = []
+
+    class FakeEngine:
+        world = syn.world
+        shard_set = None
+
+        def search(self, *a, **kw):
+            calls.append("search")
+
+    eng = LockstepEngine(FakeEngine(), buckets=(2,), leader=True)
+    eng._mhu = type("M", (), {
+        "broadcast_one_to_all":
+            staticmethod(lambda x: calls.append("bcast") or x)})()
+
+    embs = dict(syn.query_embs)
+    victim = syn.world.encoders[0]
+
+    # missing encoder -> KeyError, nothing broadcast
+    missing = {k: v for k, v in embs.items() if k != victim}
+    try:
+        eng.search(missing, strategy="all")
+        raise AssertionError("missing encoder accepted")
+    except KeyError:
+        pass
+    assert calls == []
+
+    # wrong per-encoder shape -> ValueError, nothing broadcast
+    bad = dict(embs)
+    bad[victim] = np.zeros((2, 7), np.float32)
+    try:
+        eng.search(bad, strategy="all")
+        raise AssertionError("wrong shape accepted")
+    except ValueError:
+        pass
+    assert calls == []
+
+    # unknown strategy / non-bucket batch also raise pre-broadcast
+    try:
+        eng.search(embs, strategy="nope")
+        raise AssertionError("unknown strategy accepted")
+    except ValueError:
+        pass
+    assert calls == []
+
+    # the happy path then broadcasts header + one block per encoder
+    eng.search(embs, strategy="all")
+    n_enc = len(syn.world.encoders)
+    assert calls == ["bcast"] * (1 + n_enc) + ["search"]

@@ -420,3 +420,51 @@ def test_sharded_lowrank_ragroute_compaction():
         want = set(zip(ref.merged_shard[qi].tolist(),
                        ref.merged_local[qi].tolist()))
         assert len(got & want) >= int(0.95 * syn.world.k)
+
+
+def test_host_staged_build_serves_identically():
+    """ShardSet.build(device='host') keeps corpora as host numpy (nothing
+    staged whole on one device); ShardedSearch shards them itself and
+    retires the staged originals, so serving results are identical to a
+    device-staged build and the set's arrays ARE the sharded copies."""
+    from ragroute_tpu.engine import FederatedSearchEngine
+
+    syn = make_synthetic_world("medrag", docs_per_source=1024,
+                               num_queries=8, seed=11, with_payloads=False)
+    ss_host = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32,
+                             device="host")
+    for s in ss_host.shards:
+        assert isinstance(s.docs, np.ndarray)
+        assert isinstance(s.bias, np.ndarray)
+    params = init_router_params(jax.random.key(1),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    mesh = make_mesh(dp=2, idx=4)
+    sharded = ShardedSearch(ss_host, params, bank, mesh, impl="exact")
+    # originals retired: the set now references the mesh-sharded arrays
+    for i, s in enumerate(ss_host.shards):
+        assert s.docs is sharded.arrays[i][0]
+
+    out = sharded.search(syn.query_embs, strategy="all")
+    ss_dev = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32)
+    ref = FederatedSearchEngine(
+        ss_dev, params, bank, impl="exact").search(
+            syn.query_embs, strategy="all")
+    np.testing.assert_allclose(np.asarray(out.probs), ref.probs,
+                               rtol=1e-4, atol=1e-5)
+    for qi in range(8):
+        got = set(zip(np.asarray(out.merged_shard)[qi].tolist(),
+                      np.asarray(out.merged_local)[qi].tolist()))
+        want = set(zip(ref.merged_shard[qi].tolist(),
+                       ref.merged_local[qi].tolist()))
+        assert len(got & want) >= int(0.95 * syn.world.k)
+
+
+def test_host_staged_build_rejects_mutable():
+    syn = make_synthetic_world("medrag", docs_per_source=512,
+                               num_queries=2, seed=12, with_payloads=False)
+    import pytest
+
+    with pytest.raises(ValueError, match="host"):
+        ShardSet.build(syn.world, syn.embeddings, dtype=jnp.float32,
+                       device="host", mutable=True)
