@@ -107,6 +107,12 @@ class LLMClient:
                     agen.__anext__(), timeout=self.timeout_s)
                 if isinstance(item, dict):
                     final = item["final"]
+                    if item.get("error"):
+                        # in-band failure from the service worker (the
+                        # stream is the only channel once deltas went
+                        # out); mirror the non-streaming error contract
+                        yield LLMResult(final, time.time() - start, False)
+                        return
                     break
                 yield item
             yield LLMResult(final, time.time() - start, True)

@@ -52,17 +52,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-logger = logging.getLogger("lowrank")
+from ragroute_tpu.config import (LOWRANK_MAX_RANK_FRACTION as
+                                 MAX_RANK_FRACTION,
+                                 LOWRANK_MOMENT_SAMPLE_ROWS as
+                                 MOMENT_SAMPLE_ROWS,
+                                 LOWRANK_RANK_MULTIPLE as RANK_MULTIPLE)
 
-# Rank granularity: the MXU contracts 128 lanes at a time; a rank that is
-# not a multiple of 128 pays the same tile as the next multiple.
-RANK_MULTIPLE = 128
-# Above this fraction of the full dimension the coarse scan saves too
-# little to pay for the refine stage; build_lowrank refuses (returns None).
-MAX_RANK_FRACTION = 0.5
-# Row subsample cap for the second-moment estimate (the basis barely moves
-# past ~100k rows; keeps the host-side X^T X pass bounded at any scale).
-MOMENT_SAMPLE_ROWS = 131072
+logger = logging.getLogger("lowrank")
 
 
 @struct.dataclass

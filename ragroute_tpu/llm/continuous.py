@@ -208,14 +208,8 @@ class ContinuousGenerationService:
                                          "eos_token_id", "eos_id")
         self.pad_id = resolve_special_id(tokenizer, pad_id,
                                          "pad_token_id", "pad_id")
-        cache = init_cache(cfg, self.slots, self.cache_len, cache_dtype)
-        self._state = (cache,
-                       jnp.zeros((self.slots,), jnp.int32),
-                       jnp.zeros((self.slots,), jnp.int32),
-                       jnp.zeros((self.slots,), bool),
-                       jnp.zeros((self.slots,), jnp.int32),
-                       jnp.zeros((), jnp.int32),
-                       jnp.zeros((self.slots, self.cache_len), jnp.int32))
+        self.cache_dtype = cache_dtype
+        self._state = self._fresh_state()
         # host-side slot bookkeeping: None = free
         self._slot_req: List[Optional[dict]] = [None] * self.slots
         self._queue: asyncio.Queue = asyncio.Queue()
@@ -229,6 +223,21 @@ class ContinuousGenerationService:
         self.admissions = 0
         self.spec_steps = 0      # verify steps executed (spec mode)
         self.spec_emitted = 0    # tokens they emitted (mean = accept+1)
+
+    def _fresh_state(self):
+        """A blank device state (empty cache, all slots inactive). Also
+        the recovery path: the jitted steps DONATE the state buffers, so
+        after a failed step the old tuple is deleted/poisoned and must
+        be rebuilt before the worker can serve again."""
+        cache = init_cache(self.cfg, self.slots, self.cache_len,
+                           self.cache_dtype)
+        return (cache,
+                jnp.zeros((self.slots,), jnp.int32),
+                jnp.zeros((self.slots,), jnp.int32),
+                jnp.zeros((self.slots,), bool),
+                jnp.zeros((self.slots,), jnp.int32),
+                jnp.zeros((), jnp.int32),
+                jnp.zeros((self.slots, self.cache_len), jnp.int32))
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -343,16 +352,30 @@ class ContinuousGenerationService:
                         self._fail(self._queue.get_nowait(), e)
                     except asyncio.QueueEmpty:
                         break
+                # the failed jitted call DONATED the state buffers (or
+                # left them error-poisoned); without a rebuild every
+                # later admission would re-raise on the deleted arrays
+                # and the service would be down until process restart
+                self._state = self._fresh_state()
             # yield so chat() callers can enqueue between chunks
             await asyncio.sleep(0)
 
     def _fail(self, req: dict, exc: Exception) -> None:
         fut = req["future"]
-        if not fut.done():
-            fut.set_exception(exc)
         stream = req.get("stream")
         if stream is not None:
-            stream.put_nowait({"final": "", "error": str(exc)})
+            # streamed callers consume the stream queue, never the
+            # future — an exception set there would log "exception was
+            # never retrieved"; the error travels in-band instead and
+            # the consumer (engine/llm.chat_stream) turns it into the
+            # same "Error generating response: ..." the non-streaming
+            # path produces
+            if not fut.done():
+                fut.cancel()
+            stream.put_nowait({"final": f"Error generating response: {exc}",
+                               "error": str(exc)})
+        elif not fut.done():
+            fut.set_exception(exc)
 
     def _collect_admissions(self) -> List[dict]:
         """Drain the queue into EXACT-bucket-size admission groups (no
@@ -523,9 +546,13 @@ class ContinuousGenerationService:
                   None)
         if si is not None:
             self._slot_req[si] = None
+        # req["tokens"] holds only device-credited live tokens (inactive
+        # lanes are filtered by the alive flag / n_emit before _credit),
+        # so every entry is genuine sample output — including any that
+        # happen to equal pad_id under tokenizers where pad aliases a
+        # real token. Stripping them here would delete answer text and
+        # break the deltas-are-a-prefix-of-final stream contract.
         row = list(req["tokens"])
-        while row and row[-1] == self.pad_id:
-            row.pop()
         text = self.tokenizer.decode(row)
         fut = req["future"]
         if not fut.done():

@@ -291,3 +291,88 @@ def test_spec_window_validation():
         # prompt bucket must leave a decode-window margin below cache_len
         demo_continuous_service(prompt_buckets=(128, 766), cache_len=768,
                                 spec_window=4)
+
+
+def test_worker_recovers_after_device_failure():
+    """A failed jitted step donates/poisons the device state; the worker
+    must fail the in-flight callers AND rebuild a fresh state so the
+    NEXT request serves normally (not 'Array has been deleted' forever)."""
+    svc = demo_continuous_service(max_new_tokens=6, slots=2,
+                                  chunk_steps=2)
+    ref = demo_continuous_service(max_new_tokens=6, slots=2,
+                                  chunk_steps=2)
+
+    async def run():
+        msgs = [{"role": "user", "content": "hello"}]
+        # sabotage exactly one chunk call
+        orig = svc._run_chunk
+        calls = {"n": 0}
+
+        def boom():
+            calls["n"] += 1
+            # consume (donate) the state like the real jit would, then die
+            svc._state = None
+            raise RuntimeError("injected device failure")
+
+        svc._run_chunk = boom
+        try:
+            await svc.chat(msgs)
+            raise AssertionError("sabotaged request succeeded")
+        except RuntimeError as e:
+            assert "injected" in str(e)
+        svc._run_chunk = orig
+        assert svc._state is not None  # rebuilt by the failure handler
+        got = await svc.chat(msgs)
+        want = await ref.chat(msgs)
+        assert got == want  # fresh state serves bit-identical output
+        await svc.stop()
+        await ref.stop()
+
+    asyncio.run(run())
+
+
+def test_streamed_failure_reports_error_in_band():
+    """A device failure on a STREAMED request must surface as an error
+    final event (ok=False through engine.llm), not a successful empty
+    answer, and must not strand an un-retrieved future exception."""
+    from ragroute_tpu.engine.llm import LLMClient
+
+    svc = demo_continuous_service(max_new_tokens=6, slots=1,
+                                  chunk_steps=2)
+
+    async def run():
+        def boom():
+            svc._state = None
+            raise RuntimeError("injected stream failure")
+
+        svc._run_chunk = boom
+        client = LLMClient(backend="jax", service=svc)
+        items = []
+        async for item in client.chat_stream(
+                "demo", [{"role": "user", "content": "hi"}]):
+            items.append(item)
+        final = items[-1]
+        assert final.ok is False
+        assert "injected stream failure" in final.answer
+        assert final.answer.startswith("Error generating response")
+        await svc.stop()
+
+    asyncio.run(run())
+
+
+def test_finish_keeps_pad_aliased_tokens():
+    """Credited tokens are already alive-filtered, so _finish must not
+    strip trailing tokens that merely EQUAL pad_id (under tokenizers
+    where pad aliases a real token, stripping deletes answer text and
+    breaks the deltas-prefix-of-final contract)."""
+    svc = demo_continuous_service(max_new_tokens=8, slots=1)
+
+    async def run():
+        loop = asyncio.get_running_loop()
+        req = {"tokens": [65, 66, svc.pad_id],
+               "max_new": 8, "future": loop.create_future()}
+        svc._finish(req)
+        text = req["future"].result()
+        assert text == svc.tokenizer.decode([65, 66, svc.pad_id])
+
+    asyncio.run(run())
