@@ -57,6 +57,12 @@ LLM_DELAY = 1.0
 # through an asyncio queue, router.py:207-218; we batch onto the device).
 BATCH_WINDOW_MS = 2.0         # max time to wait filling a device batch
 BATCH_BUCKETS = (1, 8, 32, 128, 512)  # padded batch sizes to avoid recompiles
+# Live-encoder serving (--embedder zoo): concurrent queries micro-batch
+# through the encoder forwards too (one padded [B, L] forward per encoder
+# instead of B size-1 forwards). Smaller buckets than the search step —
+# encoder FLOPs per row are ~1000x a scoring row's.
+EMBED_WINDOW_MS = 2.0
+EMBED_BATCH_BUCKETS = (1, 8, 32)
 # balanced-IVF approximate mode: clusters probed per query when nprobe
 # is not given = max(1, C // IVF_NPROBE_DIVISOR) per shard (recall ~0.97
 # on the topical synthetic gate corpus, BENCHMARKS.md)

@@ -97,6 +97,16 @@ class FederationServer:
         self.world: WorldConfig = engine.world
         self.strategy = strategy
         self.provider = embedding_provider
+        # Live encoders (--embedder zoo) micro-batch through the device
+        # like the search step does: concurrent arrivals share ONE padded
+        # forward per encoder (EmbeddingBatcher) instead of each paying a
+        # full forward alone in the executor.
+        self.embed_batcher = None
+        if (getattr(embedding_provider, "blocking", False)
+                and hasattr(embedding_provider, "embed_many")):
+            from ragroute_tpu.engine.embedding import EmbeddingBatcher
+
+            self.embed_batcher = EmbeddingBatcher(embedding_provider)
         self.doc_store = doc_store
         self.llm = llm or LLMClient("echo", delay_s=LLM_DELAY if simulate else 0.0)
         self.model = model
@@ -209,6 +219,8 @@ class FederationServer:
             loop = asyncio.get_running_loop()
             await loop.run_in_executor(None, self._warmup)
         await self.batcher.start()
+        if self.embed_batcher is not None:
+            await self.embed_batcher.start()
         # no per-request access-log line: formatting + stderr I/O per
         # request was a measured host cost at high load (reference serves
         # without aiohttp access logs too — it builds its own app runner
@@ -239,6 +251,8 @@ class FederationServer:
             await self._runner.cleanup()
             self._runner = None
         await self.batcher.stop()
+        if self.embed_batcher is not None:
+            await self.embed_batcher.stop()
         logger.info("Server stopped")
 
     # -- handlers ----------------------------------------------------------
@@ -266,6 +280,14 @@ class FederationServer:
                 gen["spec_mean_emit"] = round(
                     svc.spec_emitted / steps, 3)
             snap["llm"] = {k: v for k, v in gen.items() if v is not None}
+        if self.embed_batcher is not None:
+            eb = self.embed_batcher
+            snap["embedding"] = {
+                "batches": eb.batches,
+                "batched_queries": eb.batched_queries,
+                "mean_batch": (round(eb.batched_queries / eb.batches, 2)
+                               if eb.batches else None),
+            }
         return web.json_response(snap)
 
     async def handle_profile(self, request):
@@ -658,10 +680,16 @@ class FederationServer:
             formatted_query = query
 
         t0 = time.time()
-        if getattr(self.provider, "blocking", False):
-            # A real encoder forward (--embedder zoo) must not run on the
-            # event loop: it would stall the batcher's collect loop and
-            # serialize queries, degrading batches to size 1. Hash /
+        if self.embed_batcher is not None:
+            # Live encoders micro-batch: concurrent arrivals share one
+            # padded [B, L] forward per encoder (weight-stream-bound at
+            # small B, so B queries cost ~1 query's forward).
+            embs = await self.embed_batcher.submit(
+                formatted_query, question_id)
+        elif getattr(self.provider, "blocking", False):
+            # A blocking provider without batch support must not run on
+            # the event loop: it would stall the batcher's collect loop
+            # and serialize queries, degrading batches to size 1. Hash /
             # precomputed providers stay inline (microseconds; an executor
             # round-trip would cost more than it saves on the hot path).
             embs = await asyncio.get_running_loop().run_in_executor(

@@ -559,3 +559,120 @@ def test_run_workers_rejects_mutable():
     args = argparse.Namespace(mutable=True)
     with pytest.raises(ValueError, match="mutable"):
         run_workers(args, 2)
+
+
+def test_embedding_batcher_batches_and_demuxes():
+    """Concurrent submits share one embed_many call per bucket window,
+    padded to a bucket size; rows demux to the right callers and
+    failures/stop follow QueryBatcher semantics."""
+    from ragroute_tpu.engine.embedding import EmbeddingBatcher
+
+    calls = []
+
+    class FakeProvider:
+        blocking = True
+
+        def embed_many(self, queries, qids):
+            calls.append((list(queries), list(qids)))
+            return [{"enc": np.full(4, float(len(q)), np.float32)}
+                    for q in queries]
+
+    async def run():
+        b = EmbeddingBatcher(FakeProvider(), window_ms=20.0,
+                             buckets=(1, 4))
+        await b.start()
+        outs = await asyncio.gather(
+            b.submit("aa", "q0"), b.submit("bbb", "q1"),
+            b.submit("c", "q2"))
+        assert [float(o["enc"][0]) for o in outs] == [2.0, 3.0, 1.0]
+        # all three rode one forward, padded to bucket 4 by repeating
+        # the final entry
+        grouped = [c for c in calls if len(c[0]) > 1]
+        assert grouped and len(grouped[0][0]) == 4
+        assert grouped[0][0][-1] == grouped[0][0][-2]
+
+        # a failing batch delivers to its waiters, worker survives
+        def boom(queries, qids):
+            raise RuntimeError("encoder down")
+
+        b.provider.embed_many = boom
+        try:
+            await asyncio.wait_for(b.submit("x", "q3"), timeout=10)
+            raise AssertionError("failure swallowed")
+        except RuntimeError as e:
+            assert "encoder down" in str(e)
+        b.provider.embed_many = FakeProvider().embed_many
+        again = await asyncio.wait_for(b.submit("yy", "q4"), timeout=10)
+        assert float(again["enc"][0]) == 2.0
+
+        # stop() fails queued submits instead of stranding them
+        b2 = EmbeddingBatcher(FakeProvider(), window_ms=5.0, buckets=(2,))
+        t = asyncio.create_task(b2.submit("z", "q5"))
+        await asyncio.sleep(0.01)
+        await b2.stop()
+        try:
+            await t
+            raise AssertionError("stranded submit resolved")
+        except RuntimeError as e:
+            assert "stopped" in str(e)
+        await b.stop()
+
+    asyncio.run(run())
+
+
+def test_served_zoo_embedding_batches():
+    """--embedder zoo serving: concurrent HTTP queries share encoder
+    forwards through the EmbeddingBatcher, and results are identical to
+    the unbatched provider.embed path."""
+    from ragroute_tpu.engine.embedding import EncoderZooEmbeddings
+
+    async def run():
+        syn, _ = make_server(strategy="all")
+        provider = EncoderZooEmbeddings(syn.world)  # hash-backend zoo
+        shard_set = ShardSet.build(
+            syn.world, syn.embeddings, doc_ids=syn.doc_ids,
+            dtype=jnp.float32)
+        params = init_router_params(
+            jax.random.key(0), syn.world.router_input_dim)
+        bank = RouterBank.create(syn.world, syn.centroids)
+        engine = FederatedSearchEngine(shard_set, params, bank,
+                                       impl="exact")
+        server = FederationServer(
+            engine, strategy="all", embedding_provider=provider,
+            doc_store=MemoryDocStore.from_synthetic(syn),
+            disable_llm=True, port=0, warmup=False,
+            batcher=QueryBatcher(engine, strategy="all", window_ms=5.0,
+                                 buckets=(8,)))
+        assert server.embed_batcher is not None
+        await server.start()
+        try:
+            qs = syn.questions[:6]
+            res = await asyncio.gather(*[
+                query_server(server.bound_port, q["question"],
+                             q["options"], q["qid"]) for q in qs])
+            assert all(st == 200 for st, _ in res)
+            assert server.embed_batcher.batches >= 1
+            # grouping happened: fewer forwards than queries
+            assert (server.embed_batcher.batches
+                    < server.embed_batcher.batched_queries)
+            # batch-size independence: the same question served alone
+            # (batch of 1) returns the same docs as the concurrent run
+            st, alone = await query_server(
+                server.bound_port, qs[0]["question"], qs[0]["options"],
+                qs[0]["qid"])
+            assert st == 200
+            ids = [d["id"] for d in alone["metadata"]["top_docs"]]
+            ids_concurrent = [d["id"]
+                              for d in res[0][1]["metadata"]["top_docs"]]
+            assert ids == ids_concurrent
+            # stats surface the batching counters
+            async with aiohttp.ClientSession() as s:
+                async with s.get(
+                        f"http://127.0.0.1:{server.bound_port}/stats"
+                ) as resp:
+                    stats = await resp.json()
+            assert stats["embedding"]["batched_queries"] == len(qs) + 1
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
