@@ -63,6 +63,13 @@ BATCH_BUCKETS = (1, 8, 32, 128, 512)  # padded batch sizes to avoid recompiles
 # encoder FLOPs per row are ~1000x a scoring row's.
 EMBED_WINDOW_MS = 2.0
 EMBED_BATCH_BUCKETS = (1, 8, 32)
+# Compute dtype for the serving-path JAX query encoders. bf16 weights
+# put the forward on the MXU's native path: 15.4x faster at B=1 on the
+# v5e (86.6 -> 5.6 ms for bert-base; scripts/bench_embed.py) at
+# cos > 0.999999 vs f32. Pooling/normalization stay f32. Set
+# RAGROUTE_ENCODER_DTYPE=float32 for bit-level parity runs.
+ENCODER_COMPUTE_DTYPE = os.environ.get(
+    "RAGROUTE_ENCODER_DTYPE", "bfloat16")
 # balanced-IVF approximate mode: clusters probed per query when nprobe
 # is not given = max(1, C // IVF_NPROBE_DIVISOR) per shard (recall ~0.97
 # on the topical synthetic gate corpus, BENCHMARKS.md)

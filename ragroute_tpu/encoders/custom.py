@@ -166,7 +166,7 @@ class JaxSGPTEncoder:
             outs = gptj_encode(params, cfg, ids, mask)
             from ragroute_tpu.encoders.bert import pool
 
-            emb = pool(outs, mask, "weightedmean")
+            emb = pool(outs, mask, "weightedmean").astype(jnp.float32)
             if spec.normalize:
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)

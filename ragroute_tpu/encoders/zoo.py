@@ -80,7 +80,9 @@ class JaxBertEncoder:
         @functools.partial(jax.jit, static_argnames=())
         def _encode(params, ids, mask, type_ids):
             outs = bert_encode(params, cfg, ids, mask, type_ids)
-            emb = pool(outs, mask, spec.pooling)
+            # pool + normalize in f32 whatever the compute dtype (the
+            # embedding feeds the scoring/routing paths, which are f32)
+            emb = pool(outs, mask, spec.pooling).astype(jnp.float32)
             if spec.normalize:
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
@@ -140,6 +142,26 @@ class TorchEncoder:
         return np.asarray(emb, np.float32)
 
 
+def _serving_cast(params):
+    """Cast loaded f32 encoder weights to the serving compute dtype
+    (config.ENCODER_COMPUTE_DTYPE, default bf16 — the MXU-native path:
+    measured 15.4x at B=1 for bert-base on the v5e at cos > 0.999999 vs
+    f32, ``scripts/bench_embed.py``). Test paths that construct the
+    encoder classes directly keep their given dtype."""
+    from ragroute_tpu.config import ENCODER_COMPUTE_DTYPE
+
+    if ENCODER_COMPUTE_DTYPE in ("float32", "f32"):
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(ENCODER_COMPUTE_DTYPE)
+    return jax.tree.map(
+        lambda x: (x.astype(dt)
+                   if getattr(x, "dtype", None) == np.float32 else x),
+        params)
+
+
 def _load_jax_bert(spec: EncoderSpec) -> JaxBertEncoder:
     from transformers import AutoConfig, AutoModel, AutoTokenizer
 
@@ -148,7 +170,7 @@ def _load_jax_bert(spec: EncoderSpec) -> JaxBertEncoder:
     model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
     cfg = config_from_hf(
         hf_cfg if hf_cfg.model_type == "bert" else hf_cfg)
-    params = params_from_torch_bert(model.state_dict(), cfg)
+    params = _serving_cast(params_from_torch_bert(model.state_dict(), cfg))
     return JaxBertEncoder(spec, params, cfg, tok)
 
 
@@ -171,7 +193,7 @@ class JaxMPNetEncoder:
         @jax.jit
         def _encode(params, ids, mask):
             outs = mpnet_encode(params, cfg, ids, mask)
-            emb = pool(outs, mask, spec.pooling)
+            emb = pool(outs, mask, spec.pooling).astype(jnp.float32)
             if spec.normalize:
                 emb = emb / jnp.maximum(
                     jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
@@ -207,7 +229,8 @@ def _load_jax_mpnet(spec: EncoderSpec) -> JaxMPNetEncoder:
     tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
     model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
     cfg = mp.config_from_hf(hf_cfg)
-    params = mp.params_from_torch_mpnet(model.state_dict(), cfg)
+    params = _serving_cast(mp.params_from_torch_mpnet(model.state_dict(),
+                                                      cfg))
     return JaxMPNetEncoder(spec, params, cfg, tok)
 
 
@@ -220,7 +243,8 @@ def _load_jax_gptj(spec: EncoderSpec):
     tok = AutoTokenizer.from_pretrained(spec.hf_name, local_files_only=True)
     model = AutoModel.from_pretrained(spec.hf_name, local_files_only=True)
     cfg = gj.config_from_hf(model.config)
-    params = gj.params_from_torch_gptj(model.state_dict(), cfg)
+    params = _serving_cast(gj.params_from_torch_gptj(model.state_dict(),
+                                                     cfg))
     return JaxSGPTEncoder(spec, params, cfg, tok)
 
 
@@ -279,7 +303,8 @@ def _load_jax_t5(spec: EncoderSpec):
     model = T5EncoderModel.from_pretrained(spec.hf_name,
                                            local_files_only=True)
     cfg = t5m.config_from_hf(model.config)
-    params = t5m.params_from_torch_t5(model.state_dict(), cfg)
+    params = _serving_cast(t5m.params_from_torch_t5(model.state_dict(),
+                                                    cfg))
     dense = _find_instructor_dense(spec.hf_name)
     return JaxInstructorEncoder(spec, params, cfg, tok, dense=dense)
 

