@@ -56,10 +56,13 @@ def parse_args(argv=None):
                         help="Max generated tokens per answer with "
                              "--llm-backend jax")
     parser.add_argument("--llm-quant", type=str, default=None,
-                        choices=["int8"],
+                        choices=["int8", "int4"],
                         help="Weight-only quantization for --llm-backend "
                              "jax: int8 per-channel halves the decode "
-                             "weight stream (~2x tokens/s at small batch)")
+                             "weight stream (~2x tokens/s at small "
+                             "batch); int4 packs group-scaled nibbles "
+                             "through a Pallas dequant matmul for "
+                             "another ~2x fewer HBM bytes")
     parser.add_argument("--llm-serving", type=str, default="batch",
                         choices=["batch", "continuous"],
                         help="Generation scheduling for --llm-backend "

@@ -99,7 +99,58 @@ class QuantW:
         return cls(jnp.asarray(q), jnp.asarray(scale))
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantW4:
+    """int4 weight-only quantization: packed nibbles + GROUP-wise scales
+    (``ops/int4_matmul``). Another ~2x fewer HBM bytes per decode step
+    over int8; the nibble unpack happens inside a Pallas kernel so each
+    packed byte is read from HBM exactly once (an XLA-level unpack
+    either materializes bf16 weights or reads the buffer per nibble —
+    see the module docstring of ``ops/int4_matmul``)."""
+
+    q: jnp.ndarray       # int8 [in/2, out] packed nibbles
+    scale: jnp.ndarray   # f32  [in//group, out] group scales
+
+    def tree_flatten(self):
+        return (self.q, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def group(self) -> int:
+        return (2 * self.q.shape[0]) // self.scale.shape[0]
+
+    @classmethod
+    def quantize(cls, w, group: int = 128) -> "QuantW4":
+        from ragroute_tpu.ops.int4_matmul import quantize_int4
+
+        in_dim = np.asarray(w).shape[0]
+        g = _int4_group(in_dim, group)
+        packed, scale = quantize_int4(np.asarray(w, np.float32), group=g)
+        return cls(jnp.asarray(packed), jnp.asarray(scale))
+
+
+def _int4_group(in_dim: int, group: int = 128) -> int:
+    """Largest group size <= ``group`` dividing in_dim/2 (tiny demo
+    shapes get proportionally small groups)."""
+    half = in_dim // 2
+    g = min(group, half)
+    while half % g:
+        g -= 1
+    return g
+
+
 def _dot(x, w):
+    if isinstance(w, QuantW4):
+        from ragroute_tpu.ops.int4_matmul import int4_matmul
+
+        shape = x.shape
+        y = int4_matmul(x.reshape(-1, shape[-1]), w.q, w.scale,
+                        group=w.group)
+        return y.reshape(*shape[:-1], y.shape[-1]).astype(x.dtype)
     if isinstance(w, QuantW):
         y = jnp.dot(x, w.q.astype(x.dtype),
                     precision=scoring_precision(x.dtype),
@@ -176,6 +227,24 @@ def _mlp(layer, x):
 
 def _embed_lookup(params, ids):
     e = params["embed"]
+    if isinstance(e, QuantW4):
+        # int4 embeddings are stored HEAD-form ([D/2, V] packed along D,
+        # group scales [D/group, V]) so the tied head rides the Pallas
+        # kernel; a lookup gathers columns and unpacks them in XLA (the
+        # gathered bytes are tiny — B rows, not the V x D table)
+        d2, _ = e.q.shape
+        g = e.scale.shape[0]
+        flat = ids.reshape(-1)
+        cols = jnp.take(e.q, flat, axis=1).astype(jnp.int32)  # [D/2, N]
+        lo = jnp.right_shift(jnp.left_shift(cols, 28), 28)
+        hi = jnp.right_shift(cols, 4)
+        codes = jnp.concatenate([lo, hi], axis=0)             # [D, N]
+        s = jnp.take(e.scale, flat, axis=1)                   # [G, N]
+        deq = (codes.astype(jnp.float32).reshape(g, (2 * d2) // g, -1)
+               * s[:, None])
+        emb = deq.reshape(2 * d2, -1).T
+        return emb.reshape(*ids.shape, 2 * d2).astype(
+            params["ln_f"].dtype)
     if isinstance(e, QuantW):  # q [V, D] int8, scale [V]
         return (e.q[ids].astype(jnp.float32)
                 * e.scale[ids][..., None]).astype(params["ln_f"].dtype)
@@ -184,8 +253,19 @@ def _embed_lookup(params, ids):
 
 def _logits(params, cfg: DecoderConfig, h):
     h = _rms(h, params["ln_f"], cfg.rms_eps)
+
+    def _head4(w4, h):
+        from ragroute_tpu.ops.int4_matmul import int4_matmul
+
+        shape = h.shape
+        y = int4_matmul(h.reshape(-1, shape[-1]), w4.q, w4.scale,
+                        group=w4.group)
+        return y.reshape(*shape[:-1], y.shape[-1])
+
     if cfg.tie_embeddings:
         e = params["embed"]
+        if isinstance(e, QuantW4):  # stored head-form [D/2, V]
+            return _head4(e, h)
         if isinstance(e, QuantW):  # head = embed.T → per-COLUMN scales
             y = jnp.dot(h, e.q.T.astype(h.dtype),
                         precision=scoring_precision(h.dtype),
@@ -194,6 +274,8 @@ def _logits(params, cfg: DecoderConfig, h):
         head = e.T
     else:
         head = params["lm_head"]
+        if isinstance(head, QuantW4):
+            return _head4(head, h)
         if isinstance(head, QuantW):
             y = jnp.dot(h, head.q.astype(h.dtype),
                         precision=scoring_precision(h.dtype),
@@ -204,30 +286,50 @@ def _logits(params, cfg: DecoderConfig, h):
 
 
 def quantize_decoder_params(params, cfg: DecoderConfig,
-                            quantize_embed: bool = True):
-    """int8 weight-only quantization (per-output-channel scales) of every
-    layer matrix, the LM head, and (optionally) the embedding table —
-    ~2× fewer HBM bytes per decode step at <1e-2 relative logit error
-    (gated in tests/test_llm_jax.py). Not composable with
-    ``shard_decoder_params`` yet (the spec pytree doesn't descend into
-    QuantW nodes)."""
+                            quantize_embed: bool = True,
+                            bits: int = 8, group: int = 128):
+    """Weight-only quantization of every layer matrix, the LM head, and
+    (optionally) the embedding table.
+
+    ``bits=8``: per-output-channel int8 scales — ~2× fewer HBM bytes per
+    decode step at <1e-2 relative logit error (gated in
+    tests/test_llm_jax.py). ``bits=4``: packed int4 with GROUP-wise
+    scales through the Pallas dequant matmul (``ops/int4_matmul``) —
+    another ~2× fewer bytes; the embedding table is stored head-form so
+    the tied head rides the kernel and lookups gather+unpack columns.
+    Not composable with ``shard_decoder_params`` yet (the spec pytree
+    doesn't descend into the quant nodes)."""
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     mats = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+    def qmat(v):
+        if bits == 8:
+            return QuantW.quantize(v)
+        return QuantW4.quantize(v, group=group)
+
     out = {
         "ln_f": params["ln_f"],
         "layers": [
-            {k: (QuantW.quantize(v) if k in mats else v)
+            {k: (qmat(v) if k in mats else v)
              for k, v in layer.items()}
             for layer in params["layers"]
         ],
     }
     if quantize_embed:
-        # [V, D] with per-ROW scales: exact for both the lookup and the
-        # tied head (columns of embed.T)
-        out["embed"] = QuantW.quantize(params["embed"], axis=1)
+        if bits == 8:
+            # [V, D] with per-ROW scales: exact for both the lookup and
+            # the tied head (columns of embed.T)
+            out["embed"] = QuantW.quantize(params["embed"], axis=1)
+        else:
+            # head-form: quantize embed.T [D, V] along D (group scales
+            # per vocab column = per vocab row of the table)
+            out["embed"] = QuantW4.quantize(
+                np.asarray(params["embed"]).T, group=group)
     else:
         out["embed"] = params["embed"]
     if not cfg.tie_embeddings:
-        out["lm_head"] = QuantW.quantize(params["lm_head"])
+        out["lm_head"] = qmat(params["lm_head"])
     return out
 
 

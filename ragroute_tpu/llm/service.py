@@ -161,7 +161,10 @@ class GenerationService:
         """Load a local HF causal-LM checkpoint directory (torch weights;
         converted once to a JAX pytree). ``quantize="int8"`` applies
         weight-only per-channel quantization — ~2× decode tokens/s at
-        small batch (bench_llm --int8: 1152 vs 536 tok/s at B=1)."""
+        small batch (bench_llm --int8: 1152 vs 536 tok/s at B=1);
+        ``quantize="int4"`` packs nibbles with group-wise scales through
+        the Pallas dequant matmul (``ops/int4_matmul``) for another ~2×
+        fewer HBM bytes per decode step."""
         from transformers import (AutoConfig, AutoModelForCausalLM,
                                   AutoTokenizer)
 
@@ -172,10 +175,11 @@ class GenerationService:
         params = params_from_torch_causal_lm(
             model.state_dict(), cfg, dtype=jnp.bfloat16)
         del model
-        if quantize == "int8":
+        if quantize in ("int8", "int4"):
             from ragroute_tpu.llm.model import quantize_decoder_params
 
-            params = quantize_decoder_params(params, cfg)
+            params = quantize_decoder_params(
+                params, cfg, bits=(4 if quantize == "int4" else 8))
         elif quantize:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         tok = AutoTokenizer.from_pretrained(path, local_files_only=True)

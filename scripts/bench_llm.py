@@ -42,6 +42,8 @@ HBM_GBPS = 819.0  # v5e chip spec
 
 
 def param_bytes(params):
+    # itemsize covers packed int4 too: QuantW4 leaves are the packed
+    # int8 [in/2, out] bytes plus the (small) group-scale tables
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
@@ -77,16 +79,21 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization (halves the "
                          "decode weight stream)")
+    ap.add_argument("--int4", action="store_true",
+                    help="weight-only int4 quantization (group-128 "
+                         "scales, Pallas dequant matmul — halves the "
+                         "weight stream again over int8)")
     args = ap.parse_args()
 
     cfg = QWEN3_06B
     if args.layers:
         cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
     params = init_decoder_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    if args.int8:
+    if args.int8 or args.int4:
         from ragroute_tpu.llm.model import quantize_decoder_params
 
-        params = quantize_decoder_params(params, cfg)
+        params = quantize_decoder_params(
+            params, cfg, bits=(4 if args.int4 else 8))
     pbytes = param_bytes(params)
     sol_steps = HBM_GBPS * 1e9 / pbytes  # decode steps/s bound
 

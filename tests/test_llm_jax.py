@@ -356,3 +356,94 @@ def test_int8_quantized_decoder_close_to_f32():
         toks, _ = generate(qparams, cfg, jnp.asarray(ids),
                            jnp.asarray(mask), 4, eos_id=-1, pad_id=0)
         assert np.asarray(toks).shape == (2, 4)
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only quantization (Pallas group-dequant matmul)
+# ---------------------------------------------------------------------------
+
+def test_int4_matmul_kernel_exact():
+    """The Pallas kernel must reproduce the reference dequant matmul
+    exactly (f32 activations) across batch/shape/group variations,
+    including padding edges (odd batch, non-tile out dims)."""
+    from ragroute_tpu.ops.int4_matmul import (dequant_int4, int4_matmul,
+                                              quantize_int4)
+
+    rng = np.random.default_rng(0)
+    for (b, din, dout, group) in [(1, 256, 384, 64), (37, 512, 1000, 128),
+                                  (8, 64, 200, 16), (300, 256, 131, 128)]:
+        w = rng.standard_normal((din, dout)).astype(np.float32)
+        x = rng.standard_normal((b, din)).astype(np.float32)
+        packed, scale = quantize_int4(w, group=group)
+        ref = x @ dequant_int4(packed, scale, group)
+        got = np.asarray(int4_matmul(
+            jnp.asarray(x), jnp.asarray(packed), jnp.asarray(scale),
+            group=group))
+        rel = np.abs(got - ref).max() / np.abs(ref).max()
+        assert rel < 1e-5, (b, din, dout, group, rel)
+
+
+def test_int4_pack_roundtrip():
+    from ragroute_tpu.ops.int4_matmul import dequant_int4, quantize_int4
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 40)).astype(np.float32)
+    packed, scale = quantize_int4(w, group=16)
+    assert packed.shape == (32, 40) and packed.dtype == np.int8
+    assert scale.shape == (4, 40)
+    wd = dequant_int4(packed, scale, 16)
+    # quantization error bounded by half a step per group
+    step = np.repeat(scale, 16, axis=0)
+    assert (np.abs(wd - w) <= 0.5 * step + 1e-6).all()
+
+
+def test_int4_quantized_decoder_close_to_f32():
+    """int4 group-scaled weights must track the f32 logits through the
+    full decoder pipeline for both tied and untied heads. Round-to-
+    nearest int4 on TINY unstructured random weights is the worst case
+    (no error averaging, no channel structure — measured r~0.92 here vs
+    the near-exact behavior real checkpoints with group-128 scales
+    show), so the gate is a correlation + mean-error bound, not the
+    int8-style pointwise bound; the KERNEL itself is exact w.r.t. the
+    stored codes (test_int4_matmul_kernel_exact)."""
+    from ragroute_tpu.llm.model import quantize_decoder_params
+
+    for tied in (False, True):
+        cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                            num_heads=4, num_kv_heads=2, head_dim=8,
+                            intermediate_size=64, tie_embeddings=tied,
+                            qk_norm=tied)
+        params = init_decoder_params(jax.random.key(4), cfg)
+        qparams = quantize_decoder_params(params, cfg, bits=4)
+        ids, mask = _left_padded_batch(cfg.vocab_size, [10, 5], 10,
+                                       seed=21)
+        ref, _ = prefill(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                         init_cache(cfg, 2, 12))
+        got, _ = prefill(qparams, cfg, jnp.asarray(ids),
+                         jnp.asarray(mask), init_cache(cfg, 2, 12))
+        ref, got = np.asarray(ref), np.asarray(got)
+        r = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+        err = np.abs(got - ref) / (np.abs(ref).max() + 1e-9)
+        assert r > 0.9, f"tied={tied}: logit correlation {r}"
+        assert err.mean() < 0.15, f"tied={tied}: mean rel err {err.mean()}"
+        toks, _ = generate(qparams, cfg, jnp.asarray(ids),
+                           jnp.asarray(mask), 4, eos_id=-1, pad_id=0)
+        assert np.asarray(toks).shape == (2, 4)
+
+
+def test_int4_embed_lookup_matches_dequant():
+    """The head-form int4 embedding lookup (gather + XLA unpack) must
+    equal dequantizing the full table and indexing it."""
+    from ragroute_tpu.llm.model import QuantW4, _embed_lookup
+    from ragroute_tpu.ops.int4_matmul import dequant_int4
+
+    rng = np.random.default_rng(2)
+    v, d = 50, 32
+    table = rng.standard_normal((v, d)).astype(np.float32)
+    e = QuantW4.quantize(table.T, group=16)   # head-form [D/2, V]
+    full = dequant_int4(np.asarray(e.q), np.asarray(e.scale), 16).T
+    params = {"embed": e, "ln_f": jnp.ones((d,), jnp.float32)}
+    ids = jnp.asarray(rng.integers(0, v, (3, 5)), jnp.int32)
+    got = np.asarray(_embed_lookup(params, ids))
+    want = full[np.asarray(ids)]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
