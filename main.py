@@ -77,6 +77,14 @@ def parse_args(argv=None):
                              "greedy-exact, drafts copied from each "
                              "answer's own history — the RAG quote "
                              "regime)")
+    parser.add_argument("--llm-kv-quant", type=str, default=None,
+                        choices=["int8"],
+                        help="Quantize the KV cache (int8 codes + "
+                             "per-(position,head) scales): decode at "
+                             "large batch is KV-read-bound, so halving "
+                             "the cached bytes converts into tokens/s; "
+                             "also doubles the concurrent-slot capacity "
+                             "per HBM GB")
     parser.add_argument("--data-root", type=str, default=None,
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)

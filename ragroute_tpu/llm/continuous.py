@@ -36,7 +36,7 @@ import numpy as np
 
 from ragroute_tpu.llm.model import (
     DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
-    _mlp, _qkv, _rms, init_cache, sample_token,
+    _mlp, _qkv, _rms, cache_read, init_cache, quant_kv, sample_token,
 )
 from ragroute_tpu.llm.service import (
     clamp_budget, encode_prompt, pick_bucket, resolve_special_id,
@@ -85,12 +85,22 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
     p = ids.shape[1]
     ln = jnp.arange(cfg.num_layers)[:, None]
     # scatter the [L, n, P, ...] prompt K/V into the slot rows
-    cache = {
-        "k": cache["k"].at[ln, slots[None, :], :p].set(
-            k_new.astype(cache["k"].dtype)),
-        "v": cache["v"].at[ln, slots[None, :], :p].set(
-            v_new.astype(cache["v"].dtype)),
-    }
+    if "ks" in cache:
+        kq, ks_ = quant_kv(k_new)
+        vq, vs_ = quant_kv(v_new)
+        cache = {
+            "k": cache["k"].at[ln, slots[None, :], :p].set(kq),
+            "ks": cache["ks"].at[ln, slots[None, :], :p].set(ks_),
+            "v": cache["v"].at[ln, slots[None, :], :p].set(vq),
+            "vs": cache["vs"].at[ln, slots[None, :], :p].set(vs_),
+        }
+    else:
+        cache = {
+            "k": cache["k"].at[ln, slots[None, :], :p].set(
+                k_new.astype(cache["k"].dtype)),
+            "v": cache["v"].at[ln, slots[None, :], :p].set(
+                v_new.astype(cache["v"].dtype)),
+        }
     key = jax.random.fold_in(jax.random.key(0), seed)
     tok0 = sample_token(logits, key, temperature)
     counts = counts.at[slots].set(lens)
@@ -126,12 +136,22 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
             q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
             # per-row scatter at each slot's own write position; inactive
             # rows rewrite their current (masked-out-next-admit) position
-            cache["k"] = cache["k"].at[li, rows, counts].set(
-                k[:, 0].astype(cache["k"].dtype))
-            cache["v"] = cache["v"].at[li, rows, counts].set(
-                v[:, 0].astype(cache["v"].dtype))
+            if "ks" in cache:
+                kq, ks_ = quant_kv(k[:, 0])
+                vq, vs_ = quant_kv(v[:, 0])
+                cache["k"] = cache["k"].at[li, rows, counts].set(kq)
+                cache["ks"] = cache["ks"].at[li, rows, counts].set(ks_)
+                cache["v"] = cache["v"].at[li, rows, counts].set(vq)
+                cache["vs"] = cache["vs"].at[li, rows, counts].set(vs_)
+            else:
+                cache["k"] = cache["k"].at[li, rows, counts].set(
+                    k[:, 0].astype(cache["k"].dtype))
+                cache["v"] = cache["v"].at[li, rows, counts].set(
+                    v[:, 0].astype(cache["v"].dtype))
+            ck, ksc = cache_read(cache, "k", li)
+            cv, vsc = cache_read(cache, "v", li)
             h = h + _dot(
-                _attend(q, cache["k"][li], cache["v"][li], kmask, cfg),
+                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc),
                 layer["wo"])
             h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
         logits = _logits(params, cfg, h)[:, 0]

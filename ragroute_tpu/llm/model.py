@@ -202,9 +202,18 @@ def _qkv(layer, cfg: DecoderConfig, x, positions, inv_freq):
     return (_rope(q, positions, inv_freq), _rope(k, positions, inv_freq), v)
 
 
-def _attend(q, k, v, kmask, cfg: DecoderConfig):
+def _attend(q, k, v, kmask, cfg: DecoderConfig, k_scale=None, v_scale=None):
     """GQA attention. q: [B,Tq,H,Dh]; k/v: [B,S,Hkv,Dh]; kmask: [B,Tq,S]
-    True where the key may be attended. f32 logits/softmax."""
+    True where the key may be attended. f32 logits/softmax.
+
+    ``k_scale``/``v_scale`` ([B,S,Hkv] f32) carry int8-KV-cache dequant
+    scales. They are applied to the SCORE matrix, not the operands —
+    per-(position, head) scales are constant over head_dim, so
+    ``(q · s*k) == s * (q · k)``; this keeps both dots reading the int8
+    cache directly (the int8→f32 convert fuses into the dot's operand
+    read) instead of materializing a dequantized [B,S,Hkv,Dh] copy in
+    HBM each step, which is what an up-front dequant costs (measured:
+    dequant-before-dot DOUBLES the B=32 step time; see BENCHMARKS.md)."""
     groups = cfg.num_heads // cfg.num_kv_heads
     b, tq = q.shape[:2]
     s = k.shape[1]
@@ -212,9 +221,13 @@ def _attend(q, k, v, kmask, cfg: DecoderConfig):
     att = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
                      k.astype(jnp.float32),
                      precision=scoring_precision(jnp.float32))
+    if k_scale is not None:
+        att = att * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
     att = att * (1.0 / math.sqrt(cfg.head_dim))
     att = jnp.where(kmask[:, None, None], att, jnp.finfo(jnp.float32).min)
     att = jax.nn.softmax(att, axis=-1)
+    if v_scale is not None:
+        att = att * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     ctx = jnp.einsum("bhgqk,bkhd->bqhgd", att, v.astype(jnp.float32),
                      precision=scoring_precision(jnp.float32))
     return ctx.reshape(b, tq, cfg.q_dim).astype(q.dtype)
@@ -335,8 +348,43 @@ def quantize_decoder_params(params, cfg: DecoderConfig,
 
 def init_cache(cfg: DecoderConfig, batch: int, max_len: int,
                dtype=jnp.float32) -> Dict[str, jnp.ndarray]:
+    """KV cache. ``dtype="int8"`` quantizes the cache: int8 codes with
+    per-(position, head) f32 scales (``ks``/``vs`` leaves). Decode at
+    large batch is KV-READ-bound (BENCHMARKS.md: B=32 re-reads ~1.2 GB
+    of cache per step on the 0.6B shape), so halving the cached bytes
+    converts into decode tokens/s exactly like int8 weights do at small
+    batch — PROVIDED the scales are applied to the attention scores,
+    not the operands (see ``_attend``; measured 1.37× at B=32 vs 0.73×
+    for dequant-before-dot)."""
     shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    if isinstance(dtype, str):
+        if dtype != "int8":
+            raise ValueError(f"unknown cache dtype {dtype!r}")
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "v": jnp.zeros(shape, jnp.int8),
+                "ks": jnp.zeros(shape[:-1], jnp.float32),
+                "vs": jnp.zeros(shape[:-1], jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def quant_kv(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric int8 per-(…, head) quantization over the head_dim axis:
+    ``x [..., Dh]`` → ``(codes int8 [..., Dh], scales f32 [...])``."""
+    s = jnp.maximum(jnp.abs(x).max(axis=-1), 1e-12).astype(
+        jnp.float32) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def cache_read(cache: Dict[str, jnp.ndarray], name: str, li):
+    """Layer ``li``'s K or V codes plus the dequant scale (``None`` for
+    a non-quantized cache). Pass both to ``_attend`` — scales are folded
+    into the score matrix there so the dots read the int8 cache
+    directly; dequantizing here would write a full bf16 copy to HBM
+    every step (measured 2× slower at B=32)."""
+    s = cache.get(name + "s")
+    return cache[name][li], (None if s is None else s[li])
 
 
 def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
@@ -366,14 +414,20 @@ def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
         h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
         h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
 
-    cache = {
-        "k": jax.lax.dynamic_update_slice(
-            cache["k"], jnp.stack(new_k).astype(cache["k"].dtype),
-            (0, 0, 0, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(
-            cache["v"], jnp.stack(new_v).astype(cache["v"].dtype),
-            (0, 0, 0, 0, 0)),
-    }
+    def put(name, val):
+        if name + "s" in cache:
+            q, s = quant_kv(val)
+            cache[name] = jax.lax.dynamic_update_slice(
+                cache[name], q, (0, 0, 0, 0, 0))
+            cache[name + "s"] = jax.lax.dynamic_update_slice(
+                cache[name + "s"], s, (0, 0, 0, 0))
+        else:
+            cache[name] = jax.lax.dynamic_update_slice(
+                cache[name], val.astype(cache[name].dtype),
+                (0, 0, 0, 0, 0))
+
+    put("k", jnp.stack(new_k))
+    put("v", jnp.stack(new_v))
     return _logits(params, cfg, h[:, -1:])[:, 0], cache
 
 
@@ -396,12 +450,28 @@ def decode_step(params, cfg: DecoderConfig, cache, token, lengths,
     for li, layer in enumerate(params["layers"]):
         x = _rms(h, layer["ln1"], cfg.rms_eps)
         q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-        cache["k"] = jax.lax.dynamic_update_slice(
-            cache["k"], k[None].astype(cache["k"].dtype), (li, 0, slot, 0, 0))
-        cache["v"] = jax.lax.dynamic_update_slice(
-            cache["v"], v[None].astype(cache["v"].dtype), (li, 0, slot, 0, 0))
+        if "ks" in cache:
+            kq, ks_ = quant_kv(k)
+            vq, vs_ = quant_kv(v)
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], kq[None], (li, 0, slot, 0, 0))
+            cache["ks"] = jax.lax.dynamic_update_slice(
+                cache["ks"], ks_[None], (li, 0, slot, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], vq[None], (li, 0, slot, 0, 0))
+            cache["vs"] = jax.lax.dynamic_update_slice(
+                cache["vs"], vs_[None], (li, 0, slot, 0))
+        else:
+            cache["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k[None].astype(cache["k"].dtype),
+                (li, 0, slot, 0, 0))
+            cache["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v[None].astype(cache["v"].dtype),
+                (li, 0, slot, 0, 0))
+        ck, ksc = cache_read(cache, "k", li)
+        cv, vsc = cache_read(cache, "v", li)
         h = h + _dot(
-            _attend(q, cache["k"][li], cache["v"][li], kmask, cfg),
+            _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc),
             layer["wo"])
         h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
     return _logits(params, cfg, h)[:, 0], cache

@@ -200,6 +200,7 @@ class ServingSystem:
         self.llm_checkpoint = getattr(args, "llm_checkpoint", None)
         self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
         self.llm_quant = getattr(args, "llm_quant", None)
+        self.llm_kv_quant = getattr(args, "llm_kv_quant", None)
         self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
         self.llm_spec_window: int = getattr(args, "llm_spec_window", 0) or 0
         self.nprobe = getattr(args, "nprobe", None)
@@ -335,11 +336,13 @@ class ServingSystem:
                                                   demo_service)
 
             ckpt = getattr(self, "llm_checkpoint", None)
+            kv = getattr(self, "llm_kv_quant", None)
+            kv_kw = {"cache_dtype": "int8"} if kv == "int8" else {}
             service = (GenerationService.from_checkpoint(
                 ckpt, quantize=getattr(self, "llm_quant", None),
-                max_new_tokens=self.llm_max_new)
+                max_new_tokens=self.llm_max_new, **kv_kw)
                 if ckpt else demo_service(
-                    max_new_tokens=min(self.llm_max_new, 32)))
+                    max_new_tokens=min(self.llm_max_new, 32), **kv_kw))
             if getattr(self, "llm_serving", "batch") == "continuous":
                 from ragroute_tpu.llm.continuous import (
                     ContinuousGenerationService)

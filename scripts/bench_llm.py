@@ -47,11 +47,12 @@ def param_bytes(params):
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 
 
-def run_point(params, cfg, batch, prompt_len, max_new, reps):
+def run_point(params, cfg, batch, prompt_len, max_new, reps,
+              cache_dtype=jnp.bfloat16):
     rng = np.random.default_rng(0)
     gen = jax.jit(lambda pr, i, m: generate(
         pr, cfg, i, m, max_new, eos_id=-1, pad_id=0, rng_seed=0,
-        cache_dtype=jnp.bfloat16)[0])
+        cache_dtype=cache_dtype)[0])
 
     def one():
         # distinct prompts every call (tunnel rule: bracket a host fetch)
@@ -79,6 +80,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 quantization (halves the "
                          "decode weight stream)")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 KV cache (per-(position,head) scales) — "
+                         "halves the KV read stream that dominates "
+                         "decode at large batch")
     ap.add_argument("--int4", action="store_true",
                     help="weight-only int4 quantization (group-128 "
                          "scales, Pallas dequant matmul — halves the "
@@ -101,9 +106,11 @@ def main():
     rows = []
     for b in batches:
         # decode-dominated run and a prefill-only run to split the two
+        cdt = "int8" if args.kv_int8 else jnp.bfloat16
         t_full = run_point(params, cfg, b, args.prompt, args.max_new,
-                           args.reps)
-        t_pre = run_point(params, cfg, b, args.prompt, 1, args.reps)
+                           args.reps, cache_dtype=cdt)
+        t_pre = run_point(params, cfg, b, args.prompt, 1, args.reps,
+                          cache_dtype=cdt)
         dec_s = max(t_full - t_pre, 1e-9)
         rows.append({
             "batch": b,

@@ -376,3 +376,28 @@ def test_finish_keeps_pad_aliased_tokens():
         assert text == svc.tokenizer.decode([65, 66, svc.pad_id])
 
     asyncio.run(run())
+
+
+def test_continuous_int8_kv_cache_matches_lockstep_int8():
+    """With BOTH services on the int8 KV cache, continuous decode must
+    still be token-exact vs the lockstep service (the cache stores the
+    same quantized values either way), and the spec-window engine must
+    stay greedy-exact vs plain continuous decode."""
+    lock = demo_service(max_new_tokens=10, cache_dtype="int8")
+    cont = demo_continuous_service(max_new_tokens=10, slots=2,
+                                   chunk_steps=4, cache_dtype="int8")
+    spec = demo_continuous_service(max_new_tokens=10, slots=2,
+                                   chunk_steps=4, cache_dtype="int8",
+                                   spec_window=4)
+
+    async def run(svc):
+        msgs = [[{"role": "user", "content": "hello"}],
+                [{"role": "user", "content": "federated search"}]]
+        outs = await asyncio.gather(*[svc.chat(m) for m in msgs])
+        await svc.stop()
+        return outs
+
+    a = asyncio.run(run(lock))
+    b = asyncio.run(run(cont))
+    c = asyncio.run(run(spec))
+    assert a == b == c

@@ -447,3 +447,51 @@ def test_int4_embed_lookup_matches_dequant():
     got = np.asarray(_embed_lookup(params, ids))
     want = full[np.asarray(ids)]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache
+# ---------------------------------------------------------------------------
+
+def test_quant_kv_roundtrip():
+    from ragroute_tpu.llm.model import quant_kv
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 7, 4, 16)) * 3.0, jnp.float32)
+    q, s = quant_kv(x)
+    assert q.dtype == jnp.int8 and s.shape == (2, 7, 4)
+    back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    # error bounded by half a step per (pos, head)
+    step = np.asarray(s)[..., None]
+    assert (np.abs(back - np.asarray(x)) <= 0.5 * step + 1e-6).all()
+
+
+def test_int8_kv_cache_generate_close_to_f32():
+    """generate(cache_dtype='int8') must produce near-identical logits
+    to the f32 cache (per-(position,head) scales are near-lossless for
+    attention) and agree on almost every greedy token."""
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, num_kv_heads=2, head_dim=8,
+                        intermediate_size=64)
+    params = init_decoder_params(jax.random.key(4), cfg)
+    ids, mask = _left_padded_batch(cfg.vocab_size, [10, 5], 10, seed=21)
+    ref, _ = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                      16, eos_id=-1, pad_id=0)
+    got, _ = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                      16, eos_id=-1, pad_id=0, cache_dtype="int8")
+    agree = (np.asarray(ref) == np.asarray(got)).mean()
+    assert agree > 0.9, f"greedy token agreement {agree}"
+
+
+def test_int8_kv_cache_structure():
+    from ragroute_tpu.llm.model import init_cache
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, num_kv_heads=2, head_dim=8,
+                        intermediate_size=64)
+    c = init_cache(cfg, 3, 20, "int8")
+    assert c["k"].dtype == jnp.int8 and c["ks"].shape == (2, 3, 20, 2)
+    import pytest
+
+    with pytest.raises(ValueError, match="cache dtype"):
+        init_cache(cfg, 3, 20, "int2")
