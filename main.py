@@ -77,6 +77,14 @@ def parse_args(argv=None):
                              "greedy-exact, drafts copied from each "
                              "answer's own history — the RAG quote "
                              "regime)")
+    parser.add_argument("--llm-prefix-cache", action="store_true",
+                        help="Shared-prefix KV for --llm-serving "
+                             "continuous: the constant head every RAG "
+                             "prompt shares (system prompt + template "
+                             "preamble) is prefilled ONCE and attended "
+                             "as a broadcast segment — admission "
+                             "prefills only the per-request suffix and "
+                             "slot cache rows store only suffix K/V")
     parser.add_argument("--llm-kv-quant", type=str, default=None,
                         choices=["int8"],
                         help="Quantize the KV cache (int8 codes + "

@@ -18,7 +18,14 @@ and LEAVE a persistent decode loop — but TPU-shaped throughout:
   host only reads the small ``[C, slots]`` token block per chunk;
 * admission is a jitted scatter-prefill: new prompts are encoded as a
   tiny right-padded batch and their K/V written into the free slots'
-  cache rows between chunks.
+  cache rows between chunks;
+* OPTIONAL shared-prefix KV (``prefix_ids=``): RAG prompts all open
+  with the same rendered system head, so its K/V is computed once and
+  attended as a broadcast segment by every slot (one softmax over the
+  concatenated score axis — exact, see ``model._attend``). Admission
+  prefills only the per-request suffix, cache rows store only suffix
+  K/V (capacity += P0 tokens per slot), and each decode step reads the
+  prefix block once instead of ``slots``× times.
 
 Decode semantics are identical to the lockstep path (same weights →
 same greedy tokens; gated in tests/test_llm_continuous.py).
@@ -39,36 +46,77 @@ from ragroute_tpu.llm.model import (
     _mlp, _qkv, _rms, cache_read, init_cache, quant_kv, sample_token,
 )
 from ragroute_tpu.llm.service import (
-    clamp_budget, encode_prompt, pick_bucket, resolve_special_id,
+    _render_prompt, clamp_budget, encode_prompt, pick_bucket,
+    resolve_special_id,
 )
 
 logger = logging.getLogger("llm.continuous")
+
+
+def shared_prefix_from_messages(tokenizer, msgs_a, msgs_b) -> List[int]:
+    """The longest common token prefix of two rendered chats. Computed
+    empirically — not ``encode(header)`` — so it is robust to
+    tokenizers/templates that merge tokens across the header/content
+    boundary: any boundary merge differs between the probes and drops
+    out of the common prefix. Feed it two PROBE builds of the serving
+    prompt with different questions/docs/options; the result is the
+    byte-stable head every real request shares."""
+    enc = []
+    for msgs in (msgs_a, msgs_b):
+        ids = tokenizer.encode(_render_prompt(tokenizer, msgs))
+        enc.append(list(ids))
+    n = 0
+    for a, b in zip(*enc):
+        if a != b:
+            break
+        n += 1
+    return enc[0][:n]
+
+
+def shared_prefix_ids(tokenizer, system: Optional[str]) -> List[int]:
+    """Token prefix shared by every chat that opens with ``system``
+    (or, for ``None``, by every user-only chat)."""
+    def msgs(p):
+        return ([{"role": "system", "content": system}] if system
+                else []) + [{"role": "user", "content": p}]
+
+    return shared_prefix_from_messages(tokenizer, msgs("0"),
+                                       msgs("qqqq zzzz 4242"))
 
 
 # ---------------------------------------------------------------------------
 # Device-side primitives (jitted by the service)
 # ---------------------------------------------------------------------------
 
-def prefill_rows(params, cfg: DecoderConfig, ids, lens):
+def prefill_rows(params, cfg: DecoderConfig, ids, lens, prefix_kv=None,
+                 pos0: int = 0):
     """Forward a RIGHT-padded prompt batch ``ids [n, P]`` (row b valid in
     ``[0, lens[b])``). Returns (logits at each row's last token [n, V],
-    per-layer K [L, n, P, Hkv, Dh], V likewise)."""
+    per-layer K [L, n, P, Hkv, Dh], V likewise).
+
+    With a shared prefix (``prefix_kv`` = (K, V) each [L,P0,Hkv,Dh],
+    ``pos0`` = P0): rows are the SUFFIXES that follow the prefix —
+    rotary positions start at ``pos0`` and every row attends the whole
+    prefix before its own causal window."""
     n, p = ids.shape
     inv_freq = jnp.asarray(_inv_freq(cfg))
     iota = jnp.arange(p)
-    positions = jnp.broadcast_to(iota[None], (n, p))
+    positions = jnp.broadcast_to(pos0 + iota[None], (n, p))
     valid = iota[None, :] < lens[:, None]                  # [n, P]
     kmask = (jnp.tril(jnp.ones((p, p), bool))[None]
              & valid[:, None, :])                          # [n, P, P]
 
     h = _embed_lookup(params, ids)
     ks, vs = [], []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         x = _rms(h, layer["ln1"], cfg.rms_eps)
         q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
         ks.append(k)
         vs.append(v)
-        h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
+        pkv = (None if prefix_kv is None
+               else (prefix_kv[0][li], prefix_kv[1][li]))
+        h = h + _dot(_attend(q, k, v, kmask, cfg, prefix_kv=pkv),
+                     layer["wo"])
         h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
     # gather each row's last hidden BEFORE the vocab matmul (P× cheaper)
     h_last = jnp.take_along_axis(
@@ -77,11 +125,15 @@ def prefill_rows(params, cfg: DecoderConfig, ids, lens):
 
 
 def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
-          temperature: float, eos_id: int, seed):
+          temperature: float, eos_id: int, seed, prefix_kv=None,
+          pos0: int = 0):
     """Prefill ``ids [n, P]`` and install them into cache rows ``slots``
-    [n]. Returns (state, first sampled token per admitted prompt [n])."""
+    [n]. Returns (state, first sampled token per admitted prompt [n]).
+    With a shared prefix, ``ids`` are the post-prefix SUFFIXES and the
+    cache rows hold only suffix K/V (capacity grows by P0 per slot)."""
     cache, counts, last_tok, active, budget, tstep, toks = state
-    logits, k_new, v_new = prefill_rows(params, cfg, ids, lens)
+    logits, k_new, v_new = prefill_rows(params, cfg, ids, lens,
+                                        prefix_kv=prefix_kv, pos0=pos0)
     p = ids.shape[1]
     ln = jnp.arange(cfg.num_layers)[:, None]
     # scatter the [L, n, P, ...] prompt K/V into the slot rows
@@ -113,11 +165,14 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
 
 
 def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
-                 temperature: float, eos_id: int, pad_id: int):
+                 temperature: float, eos_id: int, pad_id: int,
+                 prefix_kv=None, pos0: int = 0):
     """Run ``steps`` ragged decode steps over every slot. Returns
     (state, tokens [steps, slots] — ``pad_id`` on inactive lanes,
     alive [steps, slots] — whether the lane was active when the token
-    was emitted)."""
+    was emitted). ``prefix_kv``/``pos0``: see :func:`prefill_rows` —
+    the shared prefix block is read ONCE per step (broadcast across
+    slots) instead of living in every slot's cache row."""
     inv_freq = jnp.asarray(_inv_freq(cfg))
     s_max = state[0]["k"].shape[2]
     n_slots = state[1].shape[0]
@@ -125,7 +180,7 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
 
     def one_step(carry, _):
         cache, counts, tok, active, budget, tstep, toks = carry
-        positions = counts[:, None]                       # [B, 1]
+        positions = pos0 + counts[:, None]                # [B, 1]
         iota = jnp.arange(s_max)
         kmask = (iota[None, :] <= counts[:, None])[:, None, :]
         toks = toks.at[rows, counts].set(tok)
@@ -150,8 +205,11 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                     v[:, 0].astype(cache["v"].dtype))
             ck, ksc = cache_read(cache, "k", li)
             cv, vsc = cache_read(cache, "v", li)
+            pkv = (None if prefix_kv is None
+                   else (prefix_kv[0][li], prefix_kv[1][li]))
             h = h + _dot(
-                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc),
+                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc,
+                        prefix_kv=pkv),
                 layer["wo"])
             h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
         logits = _logits(params, cfg, h)[:, 0]
@@ -196,7 +254,8 @@ class ContinuousGenerationService:
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
                  pad_id: Optional[int] = None,
-                 spec_window: int = 0):
+                 spec_window: int = 0,
+                 prefix_ids: Optional[Sequence[int]] = None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -229,6 +288,15 @@ class ContinuousGenerationService:
         self.pad_id = resolve_special_id(tokenizer, pad_id,
                                          "pad_token_id", "pad_id")
         self.cache_dtype = cache_dtype
+        # shared-prefix KV: the token head common to every request
+        # (e.g. the rendered dataset system prompt). Its K/V is computed
+        # ONCE and attended as a broadcast segment by every slot —
+        # admission prefills only the suffix, slot cache rows hold only
+        # suffix K/V (capacity += P0 per slot), and each decode step
+        # reads the prefix block once instead of slots× times.
+        self.prefix_ids: Optional[List[int]] = (
+            [int(t) for t in prefix_ids] if prefix_ids else None)
+        self._prefix_kv = None      # (K, V) [L,P0,Hkv,Dh], built lazily
         self._state = self._fresh_state()
         # host-side slot bookkeeping: None = free
         self._slot_req: List[Optional[dict]] = [None] * self.slots
@@ -293,10 +361,41 @@ class ContinuousGenerationService:
 
     # -- API -----------------------------------------------------------------
 
+    def _prefix(self):
+        """(K, V) for the shared prefix, each [L, P0, Hkv, Dh] — one
+        prefill on first use, reused for the process lifetime."""
+        if self._prefix_kv is None:
+            ids = jnp.asarray(self.prefix_ids, jnp.int32)[None]
+            lens = jnp.asarray([len(self.prefix_ids)], jnp.int32)
+            cfg = self.cfg
+            _, k, v = jax.jit(
+                lambda p, i, n: prefill_rows(p, cfg, i, n))(
+                self.params, ids, lens)
+            self._prefix_kv = (k[:, 0], v[:, 0])
+        return self._prefix_kv
+
+    def _encode_request(self, messages) -> List[int]:
+        if self.prefix_ids is None:
+            return encode_prompt(self.tokenizer, messages,
+                                 self.prompt_buckets[-1])
+        ids = self.tokenizer.encode(_render_prompt(self.tokenizer,
+                                                   messages))
+        if not isinstance(ids, list):
+            ids = list(ids)
+        p0 = len(self.prefix_ids)
+        if ids[:p0] != self.prefix_ids or len(ids) <= p0:
+            raise ValueError(
+                "prompt does not extend the service's shared prefix "
+                f"(prefix len {p0}, prompt len {len(ids)}); build "
+                "prompts with the same system head the service was "
+                "configured with (shared_prefix_ids)")
+        tail = ids[p0:]
+        cap = self.prompt_buckets[-1]
+        return tail[-cap:] if len(tail) > cap else tail
+
     def _make_request(self, messages, max_new, **extra) -> dict:
         return {
-            "ids": encode_prompt(self.tokenizer, messages,
-                                 self.prompt_buckets[-1]),
+            "ids": self._encode_request(messages),
             "future": asyncio.get_running_loop().create_future(),
             "tokens": [],
             "max_new": clamp_budget(max_new, self.max_new_tokens),
@@ -440,27 +539,36 @@ class ContinuousGenerationService:
         n, p = group["ids"].shape
         self._seed += 1
         fn = self._admit_fn(n, p)
-        self._state, tok0 = fn(self.params, self._state,
-                               jnp.asarray(group["ids"]),
-                               jnp.asarray(group["lens"]),
-                               jnp.asarray(group["slots"]),
-                               jnp.asarray(group["budgets"]),
-                               self._seed)
+        args = (self.params, self._state,
+                jnp.asarray(group["ids"]),
+                jnp.asarray(group["lens"]),
+                jnp.asarray(group["slots"]),
+                jnp.asarray(group["budgets"]),
+                self._seed)
+        if self.prefix_ids is not None:
+            args = args + self._prefix()
+        self._state, tok0 = fn(*args)
         self.admissions += 1
         return np.asarray(tok0)
+
+    def _chunk_args(self):
+        if self.prefix_ids is None:
+            return (self.params, self._state)
+        return (self.params, self._state) + self._prefix()
 
     def _run_chunk(self):
         if self._chunk_jit is None:
             cfg, steps = self.cfg, self.chunk_steps
             temp, eos, pad = self.temperature, self.eos_id, self.pad_id
+            p0 = len(self.prefix_ids) if self.prefix_ids else 0
 
-            def run(params, state):
+            def run(params, state, pk=None, pv=None):
+                pkv = None if pk is None else (pk, pv)
                 return decode_chunk(params, cfg, state, steps, temp, eos,
-                                    pad)
+                                    pad, prefix_kv=pkv, pos0=p0)
 
             self._chunk_jit = jax.jit(run, donate_argnums=(1,))
-        self._state, toks, alive = self._chunk_jit(self.params,
-                                                   self._state)
+        self._state, toks, alive = self._chunk_jit(*self._chunk_args())
         self.chunks += 1
         return np.asarray(toks), np.asarray(alive)
 
@@ -468,10 +576,14 @@ class ContinuousGenerationService:
         fn = self._admit_jit.get((n, p))
         if fn is None:
             cfg, temp, eos = self.cfg, self.temperature, self.eos_id
+            p0 = len(self.prefix_ids) if self.prefix_ids else 0
 
-            def run(params, state, ids, lens, slots, budgets, seed):
+            def run(params, state, ids, lens, slots, budgets, seed,
+                    pk=None, pv=None):
+                pkv = None if pk is None else (pk, pv)
                 return admit(params, cfg, state, ids, lens, slots,
-                             budgets, temp, eos, seed)
+                             budgets, temp, eos, seed, prefix_kv=pkv,
+                             pos0=p0)
 
             fn = jax.jit(run, donate_argnums=(1,))
             self._admit_jit[(n, p)] = fn
@@ -483,14 +595,15 @@ class ContinuousGenerationService:
 
             cfg, steps = self.cfg, self.chunk_steps
             w, eos, pad = self.spec_window, self.eos_id, self.pad_id
+            p0 = len(self.prefix_ids) if self.prefix_ids else 0
 
-            def run(params, state):
+            def run(params, state, pk=None, pv=None):
+                pkv = None if pk is None else (pk, pv)
                 return spec_decode_chunk(params, cfg, state, steps, w,
-                                         eos, pad)
+                                         eos, pad, prefix_kv=pkv, pos0=p0)
 
             self._chunk_jit = jax.jit(run, donate_argnums=(1,))
-        self._state, toks, n_emit = self._chunk_jit(self.params,
-                                                    self._state)
+        self._state, toks, n_emit = self._chunk_jit(*self._chunk_args())
         self.chunks += 1
         return np.asarray(toks), np.asarray(n_emit)
 

@@ -202,7 +202,8 @@ def _qkv(layer, cfg: DecoderConfig, x, positions, inv_freq):
     return (_rope(q, positions, inv_freq), _rope(k, positions, inv_freq), v)
 
 
-def _attend(q, k, v, kmask, cfg: DecoderConfig, k_scale=None, v_scale=None):
+def _attend(q, k, v, kmask, cfg: DecoderConfig, k_scale=None, v_scale=None,
+            prefix_kv=None):
     """GQA attention. q: [B,Tq,H,Dh]; k/v: [B,S,Hkv,Dh]; kmask: [B,Tq,S]
     True where the key may be attended. f32 logits/softmax.
 
@@ -213,23 +214,47 @@ def _attend(q, k, v, kmask, cfg: DecoderConfig, k_scale=None, v_scale=None):
     cache directly (the int8→f32 convert fuses into the dot's operand
     read) instead of materializing a dequantized [B,S,Hkv,Dh] copy in
     HBM each step, which is what an up-front dequant costs (measured:
-    dequant-before-dot DOUBLES the B=32 step time; see BENCHMARKS.md)."""
+    dequant-before-dot DOUBLES the B=32 step time; see BENCHMARKS.md).
+
+    ``prefix_kv`` = ``(pk, pv)``, each ``[P0,Hkv,Dh]``: a SHARED prompt
+    prefix's K/V, stored once (no batch dim) and attended by every row
+    before its own keys — one softmax over the concatenated
+    ``[P0 + S]`` score axis, so the result is bit-comparable to having
+    the prefix copied into every row's cache. The prefix is always
+    fully attendable (every query position is causally after it); its
+    dot broadcasts the [P0,Hkv,Dh] block across the batch, so the HBM
+    read is P0 instead of B×P0 rows."""
     groups = cfg.num_heads // cfg.num_kv_heads
     b, tq = q.shape[:2]
     s = k.shape[1]
     qg = q.reshape(b, tq, cfg.num_kv_heads, groups, cfg.head_dim)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
     att = jnp.einsum("bqhgd,bkhd->bhgqk", qg.astype(jnp.float32),
                      k.astype(jnp.float32),
                      precision=scoring_precision(jnp.float32))
     if k_scale is not None:
         att = att * k_scale.transpose(0, 2, 1)[:, :, None, None, :]
-    att = att * (1.0 / math.sqrt(cfg.head_dim))
+    att = att * scale
     att = jnp.where(kmask[:, None, None], att, jnp.finfo(jnp.float32).min)
+    if prefix_kv is not None:
+        pk, pv = prefix_kv
+        patt = jnp.einsum("bqhgd,khd->bhgqk", qg.astype(jnp.float32),
+                          pk.astype(jnp.float32),
+                          precision=scoring_precision(jnp.float32)) * scale
+        att = jnp.concatenate([patt, att], axis=-1)    # [.., P0 + S]
     att = jax.nn.softmax(att, axis=-1)
+    if prefix_kv is not None:
+        p0 = prefix_kv[0].shape[0]
+        pctx = jnp.einsum("bhgqk,khd->bqhgd", att[..., :p0],
+                          pv.astype(jnp.float32),
+                          precision=scoring_precision(jnp.float32))
+        att = att[..., p0:]
     if v_scale is not None:
         att = att * v_scale.transpose(0, 2, 1)[:, :, None, None, :]
     ctx = jnp.einsum("bhgqk,bkhd->bqhgd", att, v.astype(jnp.float32),
                      precision=scoring_precision(jnp.float32))
+    if prefix_kv is not None:
+        ctx = ctx + pctx
     return ctx.reshape(b, tq, cfg.q_dim).astype(q.dtype)
 
 

@@ -67,7 +67,8 @@ def draft_from_history(toks, counts, window: int):
 
 
 def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
-                      window: int, eos_id: int, pad_id: int):
+                      window: int, eos_id: int, pad_id: int,
+                      prefix_kv=None, pos0: int = 0):
     """``steps`` speculative verify-steps over every slot (one device
     dispatch). Each step drafts ``window-1`` tokens from the slot's own
     history and verifies the whole window in one forward; 1..window
@@ -75,7 +76,13 @@ def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
 
     Returns (state, tokens [steps, slots, window], n_emitted
     [steps, slots]) — row-major: step s emits ``tokens[s, b, :n[s, b]]``.
-    """
+
+    ``prefix_kv``/``pos0``: shared-prefix serving (continuous.py) — slot
+    histories hold only post-prefix tokens, rotary positions offset by
+    ``pos0``, every verify window attends the shared prefix block.
+    Drafting matches bigrams against the SUFFIX history only (prefix
+    tokens are not a drafting source; acceptance is unaffected since
+    verification is exact either way)."""
     inv_freq = jnp.asarray(_inv_freq(cfg))
     s_max = state[0]["k"].shape[2]
     n_slots = state[1].shape[0]
@@ -94,13 +101,14 @@ def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                        jnp.clip(counts[:, None] + 1 + iw[None, :w - 1],
                                 0, s_max - 1)].set(drafts)
 
-        positions = counts[:, None] + iw[None, :]          # [B, w]
+        slot_positions = counts[:, None] + iw[None, :]     # [B, w]
+        positions = pos0 + slot_positions
         iota = jnp.arange(s_max)
         kmask = (iota[None, None, :]
-                 <= positions[:, :, None])                 # [B, w, S]
+                 <= slot_positions[:, :, None])            # [B, w, S]
 
         h = _embed_lookup(params, fed)                     # [B, w, D]
-        slot_pos = jnp.clip(positions, 0, s_max - 1)
+        slot_pos = jnp.clip(slot_positions, 0, s_max - 1)
         for li, layer in enumerate(params["layers"]):
             x = _rms(h, layer["ln1"], cfg.rms_eps)
             q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
@@ -122,8 +130,11 @@ def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                     v.astype(cache["v"].dtype))
             ck, ksc = cache_read(cache, "k", li)
             cv, vsc = cache_read(cache, "v", li)
+            pkv = (None if prefix_kv is None
+                   else (prefix_kv[0][li], prefix_kv[1][li]))
             h = h + _dot(
-                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc),
+                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc,
+                        prefix_kv=pkv),
                 layer["wo"])
             h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
         logits = _logits(params, cfg, h)                   # [B, w, V]

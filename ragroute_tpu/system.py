@@ -201,6 +201,7 @@ class ServingSystem:
         self.llm_max_new: int = getattr(args, "llm_max_new", None) or 256
         self.llm_quant = getattr(args, "llm_quant", None)
         self.llm_kv_quant = getattr(args, "llm_kv_quant", None)
+        self.llm_prefix_cache = getattr(args, "llm_prefix_cache", False)
         self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
         self.llm_spec_window: int = getattr(args, "llm_spec_window", 0) or 0
         self.nprobe = getattr(args, "nprobe", None)
@@ -228,6 +229,30 @@ class ServingSystem:
         self.server: Optional[FederationServer] = None
         self._watchdog: Optional[asyncio.Task] = None
         self._stopping = False
+
+    def _probe_llm_messages(self, q: str, with_doc: bool):
+        """One PROBE build of the serving prompt (same builder the
+        query path uses). Two of these LCP'd give the shared token
+        head for the prefix KV; one probe carries ZERO docs and the
+        other one doc, so the common prefix stops exactly at the
+        template's constant head — it can never capture accidental
+        shared content inside the variable regions (doc line format,
+        titles), which real requests would then fail to extend."""
+        from ragroute_tpu.engine.prompts import (
+            generate_llm_message, generate_llm_message_wikipedia)
+
+        if self.dataset == "wikipedia":
+            docs = [("t" + q, "body " + q)] if with_doc else []
+            return generate_llm_message_wikipedia(
+                q, docs, [q, "b", "c", "d"], self.model)[0]
+        if with_doc:
+            ctx = ([{"title": "t" + q, "content": "body " + q}]
+                   if self.dataset == "medrag"
+                   else [{"title": "t" + q, "text": "body " + q}])
+        else:
+            ctx = []
+        return generate_llm_message(self.dataset, q, ctx,
+                                    {"A": q, "B": "bb"}, self.model)[0]
 
     def build(self) -> FederationServer:
         import jax.numpy as jnp
@@ -348,6 +373,24 @@ class ServingSystem:
                     ContinuousGenerationService)
 
                 spec = getattr(self, "llm_spec_window", 0)
+                # shared-prefix KV: every RAG prompt for a dataset opens
+                # with the same rendered constant head (system prompt +
+                # template preamble; for wikipedia the in-content raw
+                # header too). Derive it empirically as the LCP of two
+                # probe builds of the REAL message builder, compute its
+                # K/V once, and attend it as a broadcast segment
+                # (prompts are validated to extend it at admission).
+                prefix = None
+                if getattr(self, "llm_prefix_cache", False):
+                    from ragroute_tpu.llm.continuous import (
+                        shared_prefix_from_messages)
+
+                    prefix = shared_prefix_from_messages(
+                        service.tokenizer,
+                        self._probe_llm_messages("what is A?", False),
+                        self._probe_llm_messages("zz 42 q", True))
+                    logger.info("LLM shared-prefix KV: %d tokens",
+                                len(prefix))
                 # a slot holds prompt + generation + the decode window
                 cache_len = (service.prompt_buckets[-1]
                              + service.max_new_tokens + max(spec, 1) + 8)
@@ -358,7 +401,7 @@ class ServingSystem:
                     cache_len=cache_len,
                     cache_dtype=service.cache_dtype,
                     eos_id=service.eos_id, pad_id=service.pad_id,
-                    spec_window=spec)
+                    spec_window=spec, prefix_ids=prefix)
             llm = LLMClient("jax", service=service)
         else:
             llm = LLMClient(

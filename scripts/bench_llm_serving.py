@@ -48,14 +48,16 @@ def build(args):
     return params, cfg
 
 
-async def drive(svc, n, gap_s, warm_burst):
+async def drive(svc, n, gap_s, warm_burst, msgs_fn=None):
+    if msgs_fn is None:
+        def msgs_fn(i):
+            return [{"role": "user", "content": f"request {i} " * 4}]
     # warm EVERY compile bucket outside the measured window: bursts of
     # each batch/admit bucket size (a cold bucket mid-run costs seconds
     # of XLA compile and poisons the latency percentiles)
     for burst in sorted({1, 2, warm_burst}):
         await asyncio.gather(*[
-            svc.chat([{"role": "user", "content": f"warm {i}"}])
-            for i in range(burst)])
+            svc.chat(msgs_fn(i)) for i in range(burst)])
     warm_toks = svc.generated_tokens
     lats = []
     # realistic answer-length spread: most answers are short, some run to
@@ -67,8 +69,7 @@ async def drive(svc, n, gap_s, warm_burst):
     async def one(i):
         await asyncio.sleep(i * gap_s)
         t0 = time.perf_counter()
-        await svc.chat([{"role": "user", "content": f"request {i} " * 4}],
-                       max_new=int(lengths[i]))
+        await svc.chat(msgs_fn(i), max_new=int(lengths[i]))
         lats.append(time.perf_counter() - t0)
 
     t0 = time.perf_counter()
@@ -93,10 +94,52 @@ def main():
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--chunk-steps", type=int, default=32)
+    ap.add_argument("--prefix-tokens", type=int, default=0,
+                    help="A/B the shared-prefix KV instead: every "
+                         "request opens with the same N-token system "
+                         "head (the RAG regime); compares continuous "
+                         "serving with prefix_ids vs the same prompts "
+                         "prefilled in full per slot")
     args = ap.parse_args()
 
     params, cfg = build(args)
     tok = ByteTokenizer()
+    gap = args.gap_ms / 1e3
+
+    if args.prefix_tokens:
+        from ragroute_tpu.llm.continuous import shared_prefix_ids
+
+        # ByteTokenizer: 1 byte = 1 token, so the head is exact
+        sys_txt = ("x" * (args.prefix_tokens - 14))
+        sys_msgs = [{"role": "system", "content": sys_txt}]
+        pre = shared_prefix_ids(tok, sys_txt)
+
+        def msgs_fn(i):
+            return sys_msgs + [
+                {"role": "user", "content": f"request {i} " * 4}]
+
+        kw = dict(max_new_tokens=args.max_new, chunk_steps=args.chunk_steps,
+                  slots=args.slots, cache_dtype=jnp.bfloat16,
+                  eos_id=tok.eos_id, pad_id=tok.pad_id)
+        full = ContinuousGenerationService(
+            params, cfg, tok, prompt_buckets=(len(pre) + 128,),
+            cache_len=len(pre) + 128 + args.max_new + 16, **kw)
+        shared = ContinuousGenerationService(
+            params, cfg, tok, prompt_buckets=(128,),
+            cache_len=128 + args.max_new + 16, prefix_ids=pre, **kw)
+        res_full = asyncio.run(drive(full, args.requests, gap,
+                                     args.slots, msgs_fn))
+        res_shared = asyncio.run(drive(shared, args.requests, gap,
+                                       args.slots, msgs_fn))
+        print(json.dumps({
+            "model": f"qwen3-0.6B-shape(L={cfg.num_layers})",
+            "requests": args.requests, "gap_ms": args.gap_ms,
+            "max_new": args.max_new, "chunk_steps": args.chunk_steps,
+            "prefix_tokens": len(pre), "slots": args.slots,
+            "full_prefill": res_full, "shared_prefix": res_shared,
+        }))
+        return
+
     kw = dict(max_new_tokens=args.max_new, prompt_buckets=(128,),
               eos_id=tok.eos_id, pad_id=tok.pad_id)
 
@@ -107,7 +150,6 @@ def main():
         params, cfg, tok, slots=args.slots, cache_len=384,
         chunk_steps=args.chunk_steps, cache_dtype=jnp.bfloat16, **kw)
 
-    gap = args.gap_ms / 1e3
     res_lock = asyncio.run(drive(lock, args.requests, gap, args.slots))
     res_cont = asyncio.run(drive(cont, args.requests, gap, args.slots))
     print(json.dumps({

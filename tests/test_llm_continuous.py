@@ -401,3 +401,83 @@ def test_continuous_int8_kv_cache_matches_lockstep_int8():
     b = asyncio.run(run(cont))
     c = asyncio.run(run(spec))
     assert a == b == c
+
+
+# ---------------------------------------------------------------------------
+# shared-prefix KV
+# ---------------------------------------------------------------------------
+
+SYS = "You are a careful medical QA assistant. Answer from the context."
+
+
+def _sys_msgs(user: str):
+    return [{"role": "system", "content": SYS},
+            {"role": "user", "content": user}]
+
+
+def test_shared_prefix_ids_is_a_true_common_prefix():
+    from ragroute_tpu.llm.continuous import shared_prefix_ids
+    from ragroute_tpu.llm.service import ByteTokenizer, _render_prompt
+
+    tok = ByteTokenizer()
+    pre = shared_prefix_ids(tok, SYS)
+    assert len(pre) > 10
+    # every render with this system head starts with the prefix — and
+    # the prefix covers the whole head (next token differs per content)
+    for user in ("hello", "zzz", "What causes anemia?"):
+        ids = tok.encode(_render_prompt(tok, _sys_msgs(user)))
+        assert ids[:len(pre)] == pre
+        assert len(ids) > len(pre)
+
+
+def test_prefix_sharing_token_exact_vs_no_prefix():
+    """Continuous decode with the shared-prefix KV must emit EXACTLY the
+    tokens of the same service without it (same full prompts): the
+    concatenated-softmax attention is algebraically the same as having
+    the prefix in every slot's cache. Covers plain and speculative
+    engines, plus mid-flight admission (4 requests, 2 slots)."""
+    from ragroute_tpu.llm.continuous import shared_prefix_ids
+    from ragroute_tpu.llm.service import ByteTokenizer
+
+    pre = shared_prefix_ids(ByteTokenizer(), SYS)
+    msgs = [_sys_msgs(u) for u in
+            ("hello", "federated search", "anemia?", "qq")]
+
+    async def run(svc):
+        outs = await asyncio.gather(*[svc.chat(m) for m in msgs])
+        await svc.stop()
+        return outs
+
+    base = asyncio.run(run(demo_continuous_service(
+        max_new_tokens=12, slots=2, chunk_steps=4)))
+    shared = asyncio.run(run(demo_continuous_service(
+        max_new_tokens=12, slots=2, chunk_steps=4, prefix_ids=pre)))
+    spec = asyncio.run(run(demo_continuous_service(
+        max_new_tokens=12, slots=2, chunk_steps=4, prefix_ids=pre,
+        spec_window=4)))
+    assert base == shared == spec
+
+
+def test_prefix_mismatch_raises():
+    from ragroute_tpu.llm.continuous import shared_prefix_ids
+    from ragroute_tpu.llm.service import ByteTokenizer
+
+    pre = shared_prefix_ids(ByteTokenizer(), SYS)
+    svc = demo_continuous_service(max_new_tokens=8, slots=2,
+                                  prefix_ids=pre)
+
+    async def run():
+        with pytest.raises(ValueError, match="shared prefix"):
+            await svc.chat([{"role": "user", "content": "no system"}])
+        await svc.stop()
+
+    asyncio.run(run())
+    # a prompt that stops AT the prefix (empty suffix) must also refuse
+    # (the suffix prefill needs at least one real token per row)
+    class _ExactPrefix(ByteTokenizer):
+        def encode(self, text):
+            return list(pre)
+
+    svc.tokenizer = _ExactPrefix()
+    with pytest.raises(ValueError, match="shared prefix"):
+        svc._encode_request(_sys_msgs("anything"))

@@ -228,3 +228,37 @@ def test_embedder_selection(world_root):
             load_world_artifacts(bare, world, embedder="precomputed")
     finally:
         shutil.rmtree(bare, ignore_errors=True)
+
+
+def test_llm_prefix_cache_served(world_root):
+    """--llm-backend jax --llm-serving continuous --llm-prefix-cache:
+    the system derives the dataset's shared prompt head from probe
+    builds of the real message builder, and served queries (whose
+    prompts come from that same builder) pass the service's
+    extends-the-prefix validation and generate."""
+    from tests.test_server import query_server
+
+    async def run():
+        system = ServingSystem(make_args(
+            data_root=world_root, routing="all", disable_llm=False,
+            llm_backend="jax", llm_serving="continuous",
+            llm_prefix_cache=True, llm_max_new=8))
+        await system.start()
+        try:
+            svc = system.server.llm.service
+            assert svc.prefix_ids and len(svc.prefix_ids) > 10
+            q = system.server.world  # touch to ensure built
+            qq = {"question": "What causes anemia?",
+                  "options": {"A": "iron", "B": "sun"}}
+            status, body = await query_server(
+                system.server.bound_port, qq["question"], qq["options"],
+                "nonexistent-qid")
+            assert status == 200
+            assert body["metadata"]["generate_time"] > 0
+            # the service really ran in shared-prefix mode
+            assert svc._prefix_kv is not None
+            assert svc.admissions >= 1
+        finally:
+            await system.stop()
+
+    asyncio.run(run())
