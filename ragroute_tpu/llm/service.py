@@ -21,7 +21,9 @@ explicitly gibberish and flagged as such in logs.
 from __future__ import annotations
 
 import asyncio
+import json
 import logging
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -34,6 +36,83 @@ from ragroute_tpu.llm.model import (
 )
 
 logger = logging.getLogger("llm.jax")
+
+def _ckpt_fingerprint(path: str) -> str:
+    """Identity of the torch weight files (name, size, mtime of every
+    weight shard + config.json) — cheap to compute, changes whenever
+    the checkpoint is retrained/replaced, so a stale conversion cache
+    can never serve old weights."""
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith((".safetensors", ".bin")) or name == "config.json":
+            st = os.stat(os.path.join(path, name))
+            rows.append([name, st.st_size, int(st.st_mtime)])
+    return json.dumps(rows)
+
+
+def save_params_cache(cache_file: str, params: Dict, fingerprint: str):
+    """Persist the converted JAX pytree (the two-level layout
+    ``params_from_torch_causal_lm`` builds) as one npz. bfloat16 is not
+    a numpy-native dtype, so bf16 leaves are stored as uint16 views
+    with a dtype tag."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def put(key, arr):
+        a = np.asarray(arr)
+        if a.dtype == jnp.bfloat16:
+            flat[key + "@bf16"] = a.view(np.uint16)
+        else:
+            flat[key] = a
+
+    for k, v in params.items():
+        if k == "layers":
+            for i, layer in enumerate(v):
+                for lk, lv in layer.items():
+                    put(f"layers.{i}.{lk}", lv)
+        else:
+            put(k, v)
+    flat["__fingerprint__"] = np.frombuffer(
+        fingerprint.encode(), np.uint8)
+    tmp = cache_file + ".tmp.npz"   # ends in .npz: savez won't rename
+    np.savez(tmp, **flat)
+    os.replace(tmp, cache_file)
+
+
+def load_params_cache(cache_file: str,
+                      fingerprint: str) -> Optional[Dict]:
+    """The cached pytree if present AND built from exactly the current
+    torch weight files; None otherwise (convert + re-save)."""
+    if not os.path.exists(cache_file):
+        return None
+    try:
+        z = np.load(cache_file)
+        fp = bytes(z["__fingerprint__"]).decode()
+        if fp != fingerprint:
+            logger.info("params cache %s is stale (weights changed); "
+                        "reconverting", cache_file)
+            return None
+        params: Dict = {"layers": []}
+        for key in z.files:
+            if key == "__fingerprint__":
+                continue
+            name, bf16 = (key[:-5], True) if key.endswith("@bf16") \
+                else (key, False)
+            arr = z[key]
+            val = jnp.asarray(arr.view(jnp.bfloat16) if bf16 else arr)
+            if name.startswith("layers."):
+                _, idx, leaf = name.split(".", 2)
+                i = int(idx)
+                while len(params["layers"]) <= i:
+                    params["layers"].append({})
+                params["layers"][i][leaf] = val
+            else:
+                params[name] = val
+        return params
+    except Exception as e:  # corrupt cache: fall back to conversion
+        logger.warning("params cache %s unreadable (%s); reconverting",
+                       cache_file, e)
+        return None
+
 
 DEMO_CFG = DecoderConfig(
     vocab_size=260, hidden_size=128, num_layers=2, num_heads=8,
@@ -170,11 +249,25 @@ class GenerationService:
 
         hf_cfg = AutoConfig.from_pretrained(path, local_files_only=True)
         cfg = config_from_hf(hf_cfg)
-        model = AutoModelForCausalLM.from_pretrained(
-            path, local_files_only=True)
-        params = params_from_torch_causal_lm(
-            model.state_dict(), cfg, dtype=jnp.bfloat16)
-        del model
+        # conversion cache: the torch->JAX pass materializes the whole
+        # torch model (an extra f32 copy of the weights in host RAM) and
+        # re-transposes every matrix; after the first boot the bf16 JAX
+        # pytree is read straight from an npz next to the checkpoint,
+        # fingerprint-validated against the torch weight files
+        fp = _ckpt_fingerprint(path)
+        cache_file = os.path.join(path, "ragroute_jax_params.npz")
+        params = load_params_cache(cache_file, fp)
+        if params is None:
+            model = AutoModelForCausalLM.from_pretrained(
+                path, local_files_only=True)
+            params = params_from_torch_causal_lm(
+                model.state_dict(), cfg, dtype=jnp.bfloat16)
+            del model
+            try:
+                save_params_cache(cache_file, params, fp)
+            except OSError as e:  # read-only checkpoint dir: still serve
+                logger.warning("could not write params cache %s: %s",
+                               cache_file, e)
         if quantize in ("int8", "int4"):
             from ragroute_tpu.llm.model import quantize_decoder_params
 

@@ -481,3 +481,70 @@ def test_prefix_mismatch_raises():
     svc.tokenizer = _ExactPrefix()
     with pytest.raises(ValueError, match="shared prefix"):
         svc._encode_request(_sys_msgs("anything"))
+
+
+def test_prefix_sharing_composes_with_int8_kv_cache():
+    """Prefix sharing + int8 KV cache: the prefix block stays bf16/f32
+    (computed once, never quantized) while slot rows quantize — the two
+    features compose, and plain vs speculative engines stay token-exact
+    vs each other on the composed configuration."""
+    from ragroute_tpu.llm.continuous import shared_prefix_ids
+    from ragroute_tpu.llm.service import ByteTokenizer
+
+    pre = shared_prefix_ids(ByteTokenizer(), SYS)
+    msgs = [_sys_msgs(u) for u in ("hello", "federated")]
+
+    async def run(svc):
+        outs = await asyncio.gather(*[svc.chat(m) for m in msgs])
+        await svc.stop()
+        return outs
+
+    plain = asyncio.run(run(demo_continuous_service(
+        max_new_tokens=10, slots=2, chunk_steps=4, prefix_ids=pre,
+        cache_dtype="int8")))
+    spec = asyncio.run(run(demo_continuous_service(
+        max_new_tokens=10, slots=2, chunk_steps=4, prefix_ids=pre,
+        cache_dtype="int8", spec_window=4)))
+    assert plain == spec
+    assert all(isinstance(o, str) and o for o in plain)
+
+
+def test_continuous_service_with_tp_sharded_params():
+    """Continuous serving over TENSOR-PARALLEL weights: hand the service
+    TP-sharded params on the (dp=2, idx=4) virtual mesh and it must
+    emit exactly the tokens of the unsharded service — GSPMD inserts
+    the per-layer collectives inside the jitted admit/decode steps; the
+    KV cache state inherits the head sharding from the computation."""
+    from jax.sharding import Mesh, NamedSharding
+    from ragroute_tpu.llm.service import ByteTokenizer
+    from ragroute_tpu.llm.sharding import shard_decoder_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=8, num_kv_heads=4, head_dim=8,
+                        intermediate_size=64)
+    params = init_decoder_params(jax.random.key(5), cfg)
+    tok = ByteTokenizer()
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4),
+                ("dp", "idx"))
+    sharded = shard_decoder_params(params, cfg, mesh, axis="idx")
+
+    def svc(p):
+        return ContinuousGenerationService(
+            p, cfg, tok, slots=2, cache_len=256, max_new_tokens=10,
+            prompt_buckets=(128,), chunk_steps=4,
+            cache_dtype=jnp.float32, eos_id=tok.eos_id,
+            pad_id=tok.pad_id)
+
+    msgs = [[{"role": "user", "content": u}]
+            for u in ("hello tp", "sharded decode")]
+
+    async def run(s):
+        outs = await asyncio.gather(*[s.chat(m) for m in msgs])
+        await s.stop()
+        return outs
+
+    ref = asyncio.run(run(svc(params)))
+    got = asyncio.run(run(svc(sharded)))
+    assert got == ref

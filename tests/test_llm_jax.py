@@ -8,6 +8,8 @@ greedy generation vs ``model.generate``, and KV-cache internal
 consistency (decode_step == re-prefill at every step).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -495,3 +497,69 @@ def test_int8_kv_cache_structure():
 
     with pytest.raises(ValueError, match="cache dtype"):
         init_cache(cfg, 3, 20, "int2")
+
+
+# ---------------------------------------------------------------------------
+# torch->JAX conversion cache
+# ---------------------------------------------------------------------------
+
+def test_params_cache_roundtrip_and_invalidation(tmp_path):
+    from ragroute_tpu.llm.service import (load_params_cache,
+                                          save_params_cache)
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, num_kv_heads=2, head_dim=8,
+                        intermediate_size=64)
+    params = init_decoder_params(jax.random.key(9), cfg,
+                                 dtype=jnp.bfloat16)
+    f = str(tmp_path / "cache.npz")
+    save_params_cache(f, params, "fp-1")
+    got = load_params_cache(f, "fp-1")
+    assert got is not None
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.dtype == b.dtype and bool(jnp.all(a == b)),
+        params, got))
+    # wrong fingerprint -> stale -> None
+    assert load_params_cache(f, "fp-2") is None
+    # corrupt file -> graceful None, not a crash
+    with open(f, "wb") as fh:
+        fh.write(b"not an npz")
+    assert load_params_cache(f, "fp-1") is None
+
+
+def test_from_checkpoint_uses_conversion_cache(tmp_path, monkeypatch):
+    """Second boot must come from the npz cache: torch model loading is
+    POISONED after the first call and from_checkpoint still serves
+    identical weights."""
+    import transformers
+
+    from ragroute_tpu.llm.service import ByteTokenizer, GenerationService
+
+    model, cfg, _ = _tiny_llama(seed=5)
+    d = str(tmp_path / "ckpt")
+    model.save_pretrained(d)
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        staticmethod(lambda *a, **k: ByteTokenizer()))
+
+    svc1 = GenerationService.from_checkpoint(d)
+    cache = os.path.join(d, "ragroute_jax_params.npz")
+    assert os.path.exists(cache)
+
+    def boom(*a, **k):
+        raise AssertionError("torch conversion ran despite a valid cache")
+
+    monkeypatch.setattr(transformers.AutoModelForCausalLM,
+                        "from_pretrained", staticmethod(boom))
+    svc2 = GenerationService.from_checkpoint(d)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), svc1.params, svc2.params))
+
+    # touching the weights invalidates the cache -> conversion re-runs
+    # (and here, the poisoned loader proves it by raising)
+    weights = [n for n in os.listdir(d)
+               if n.endswith((".safetensors", ".bin"))]
+    p = os.path.join(d, weights[0])
+    os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 7))
+    with pytest.raises(AssertionError, match="torch conversion ran"):
+        GenerationService.from_checkpoint(d)
