@@ -77,6 +77,16 @@ def parse_args(argv=None):
                              "greedy-exact, drafts copied from each "
                              "answer's own history — the RAG quote "
                              "regime)")
+    parser.add_argument("--llm-temperature", type=float, default=0.0,
+                        help="Sampling temperature for --llm-backend jax "
+                             "(0 = greedy, the default)")
+    parser.add_argument("--llm-top-k", type=int, default=0,
+                        help="Keep only the k highest-probability tokens "
+                             "when sampling (0 = off)")
+    parser.add_argument("--llm-top-p", type=float, default=1.0,
+                        help="Nucleus sampling: keep the smallest token "
+                             "set whose probability mass reaches p "
+                             "(1.0 = off)")
     parser.add_argument("--llm-prefix-cache", action="store_true",
                         help="Shared-prefix KV for --llm-serving "
                              "continuous: the constant head every RAG "

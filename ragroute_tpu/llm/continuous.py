@@ -126,7 +126,7 @@ def prefill_rows(params, cfg: DecoderConfig, ids, lens, prefix_kv=None,
 
 def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
           temperature: float, eos_id: int, seed, prefix_kv=None,
-          pos0: int = 0):
+          pos0: int = 0, top_k: int = 0, top_p: float = 1.0):
     """Prefill ``ids [n, P]`` and install them into cache rows ``slots``
     [n]. Returns (state, first sampled token per admitted prompt [n]).
     With a shared prefix, ``ids`` are the post-prefix SUFFIXES and the
@@ -154,7 +154,7 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
                 v_new.astype(cache["v"].dtype)),
         }
     key = jax.random.fold_in(jax.random.key(0), seed)
-    tok0 = sample_token(logits, key, temperature)
+    tok0 = sample_token(logits, key, temperature, top_k, top_p)
     counts = counts.at[slots].set(lens)
     last_tok = last_tok.at[slots].set(tok0)
     alive = (tok0 != eos_id) & (budgets > 0)
@@ -166,7 +166,8 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
 
 def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                  temperature: float, eos_id: int, pad_id: int,
-                 prefix_kv=None, pos0: int = 0):
+                 prefix_kv=None, pos0: int = 0, top_k: int = 0,
+                 top_p: float = 1.0):
     """Run ``steps`` ragged decode steps over every slot. Returns
     (state, tokens [steps, slots] — ``pad_id`` on inactive lanes,
     alive [steps, slots] — whether the lane was active when the token
@@ -215,7 +216,7 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         logits = _logits(params, cfg, h)[:, 0]
 
         key = jax.random.fold_in(jax.random.key(1), tstep)
-        nxt = sample_token(logits, key, temperature)
+        nxt = sample_token(logits, key, temperature, top_k, top_p)
         nxt = jnp.where(active, nxt, pad_id)
         counts = counts + active.astype(jnp.int32)
         budget = budget - active.astype(jnp.int32)
@@ -251,6 +252,8 @@ class ContinuousGenerationService:
                  admit_buckets: Sequence[int] = (1, 2, 4),
                  chunk_steps: int = 16,
                  temperature: float = 0.0,
+                 top_k: int = 0,
+                 top_p: float = 1.0,
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
                  pad_id: Optional[int] = None,
@@ -283,6 +286,8 @@ class ContinuousGenerationService:
         self.admit_buckets = tuple(sorted(int(b) for b in admit_buckets))
         self.chunk_steps = int(chunk_steps)
         self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
         self.eos_id = resolve_special_id(tokenizer, eos_id,
                                          "eos_token_id", "eos_id")
         self.pad_id = resolve_special_id(tokenizer, pad_id,
@@ -560,12 +565,14 @@ class ContinuousGenerationService:
         if self._chunk_jit is None:
             cfg, steps = self.cfg, self.chunk_steps
             temp, eos, pad = self.temperature, self.eos_id, self.pad_id
+            tk, tp = self.top_k, self.top_p
             p0 = len(self.prefix_ids) if self.prefix_ids else 0
 
             def run(params, state, pk=None, pv=None):
                 pkv = None if pk is None else (pk, pv)
                 return decode_chunk(params, cfg, state, steps, temp, eos,
-                                    pad, prefix_kv=pkv, pos0=p0)
+                                    pad, prefix_kv=pkv, pos0=p0,
+                                    top_k=tk, top_p=tp)
 
             self._chunk_jit = jax.jit(run, donate_argnums=(1,))
         self._state, toks, alive = self._chunk_jit(*self._chunk_args())
@@ -576,6 +583,7 @@ class ContinuousGenerationService:
         fn = self._admit_jit.get((n, p))
         if fn is None:
             cfg, temp, eos = self.cfg, self.temperature, self.eos_id
+            tk, tp = self.top_k, self.top_p
             p0 = len(self.prefix_ids) if self.prefix_ids else 0
 
             def run(params, state, ids, lens, slots, budgets, seed,
@@ -583,7 +591,7 @@ class ContinuousGenerationService:
                 pkv = None if pk is None else (pk, pv)
                 return admit(params, cfg, state, ids, lens, slots,
                              budgets, temp, eos, seed, prefix_kv=pkv,
-                             pos0=p0)
+                             pos0=p0, top_k=tk, top_p=tp)
 
             fn = jax.jit(run, donate_argnums=(1,))
             self._admit_jit[(n, p)] = fn

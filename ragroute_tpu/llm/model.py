@@ -502,17 +502,38 @@ def decode_step(params, cfg: DecoderConfig, cache, token, lengths,
     return _logits(params, cfg, h)[:, 0], cache
 
 
-def sample_token(logits, key, temperature: float):
-    """Greedy at temperature 0 else categorical; f32 logits [B, V]."""
+def sample_token(logits, key, temperature: float, top_k: int = 0,
+                 top_p: float = 1.0):
+    """Greedy at temperature 0 else categorical over f32 logits [B, V],
+    optionally truncated: ``top_k`` keeps the k highest logits,
+    ``top_p`` the smallest nucleus whose probability mass reaches p
+    (both static → baked into the jitted step; combined, top-k applies
+    first, standard sampler order). top-k is a ``lax.top_k`` threshold;
+    top-p sorts the (possibly top-k-truncated) row once — O(V log V) on
+    the VPU per step, negligible against the weight stream."""
     if temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(
-        key, logits / temperature, axis=-1).astype(jnp.int32)
+    l = logits.astype(jnp.float32) / temperature
+    neg = jnp.finfo(jnp.float32).min
+    if top_k and top_k < l.shape[-1]:
+        kth = jax.lax.top_k(l, top_k)[0][..., -1:]
+        l = jnp.where(l < kth, neg, l)
+    if top_p < 1.0:
+        srt = jnp.sort(l, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        # keep a sorted token while the mass BEFORE it is < p (so the
+        # nucleus always contains at least the argmax)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) < top_p
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        l = jnp.where(l < thresh, neg, l)
+    return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
 
 def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
              max_new: int, *, eos_id: int, pad_id: int = 0,
-             temperature: float = 0.0, rng_seed: int = 0,
+             temperature: float = 0.0, top_k: int = 0, top_p: float = 1.0,
+             rng_seed: int = 0,
              cache_dtype=jnp.float32,
              first_token: Optional[jnp.ndarray] = None,
              budgets: Optional[jnp.ndarray] = None,
@@ -535,7 +556,7 @@ def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
     key = jax.random.key(rng_seed)
     tok0 = (first_token if first_token is not None
             else sample_token(logits0, jax.random.fold_in(key, 0),
-                              temperature))
+                              temperature, top_k, top_p))
     done0 = (tok0 == eos_id) | (budgets <= 1)
     tok0 = jnp.where(budgets <= 0, pad_id, tok0)
 
@@ -543,7 +564,7 @@ def generate(params, cfg: DecoderConfig, input_ids, attention_mask,
         cache, tok, done, key = carry
         logits, cache = decode_step(params, cfg, cache, tok, lengths, p, t)
         nxt = sample_token(logits, jax.random.fold_in(key, t + 1),
-                           temperature)
+                           temperature, top_k, top_p)
         nxt = jnp.where(done, pad_id, nxt)
         # emitting index t+1 (0-based); a row is done once it has emitted
         # budget tokens, i.e. after index budget-1

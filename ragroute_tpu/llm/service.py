@@ -209,6 +209,8 @@ class GenerationService:
                  prompt_buckets: Sequence[int] = (128, 512, 2048),
                  batch_buckets: Sequence[int] = (1, 4, 16),
                  temperature: float = 0.0,
+                 top_k: int = 0,
+                 top_p: float = 1.0,
                  cache_dtype=jnp.bfloat16,
                  eos_id: Optional[int] = None,
                  pad_id: Optional[int] = None,
@@ -220,6 +222,8 @@ class GenerationService:
         self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.temperature = float(temperature)
+        self.top_k = int(top_k)
+        self.top_p = float(top_p)
         self.cache_dtype = cache_dtype
         self.eos_id = resolve_special_id(tokenizer, eos_id,
                                          "eos_token_id", "eos_id")
@@ -381,13 +385,14 @@ class GenerationService:
             return fn
         cfg, max_new = self.cfg, self.max_new_tokens
         temperature, eos, pad = self.temperature, self.eos_id, self.pad_id
+        top_k, top_p = self.top_k, self.top_p
         cache_dtype = self.cache_dtype
 
         def run(params, ids, mask, budgets):
             toks, _ = generate(
                 params, cfg, ids, mask, max_new, eos_id=eos, pad_id=pad,
-                temperature=temperature, cache_dtype=cache_dtype,
-                budgets=budgets)
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                cache_dtype=cache_dtype, budgets=budgets)
             return toks
 
         fn = jax.jit(run)

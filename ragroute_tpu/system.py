@@ -202,6 +202,9 @@ class ServingSystem:
         self.llm_quant = getattr(args, "llm_quant", None)
         self.llm_kv_quant = getattr(args, "llm_kv_quant", None)
         self.llm_prefix_cache = getattr(args, "llm_prefix_cache", False)
+        self.llm_temperature = getattr(args, "llm_temperature", 0.0) or 0.0
+        self.llm_top_k = getattr(args, "llm_top_k", 0) or 0
+        self.llm_top_p = getattr(args, "llm_top_p", 1.0) or 1.0
         self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
         self.llm_spec_window: int = getattr(args, "llm_spec_window", 0) or 0
         self.nprobe = getattr(args, "nprobe", None)
@@ -363,6 +366,8 @@ class ServingSystem:
             ckpt = getattr(self, "llm_checkpoint", None)
             kv = getattr(self, "llm_kv_quant", None)
             kv_kw = {"cache_dtype": "int8"} if kv == "int8" else {}
+            kv_kw.update(temperature=self.llm_temperature,
+                         top_k=self.llm_top_k, top_p=self.llm_top_p)
             service = (GenerationService.from_checkpoint(
                 ckpt, quantize=getattr(self, "llm_quant", None),
                 max_new_tokens=self.llm_max_new, **kv_kw)
@@ -400,6 +405,8 @@ class ServingSystem:
                     prompt_buckets=service.prompt_buckets,
                     cache_len=cache_len,
                     cache_dtype=service.cache_dtype,
+                    temperature=service.temperature,
+                    top_k=service.top_k, top_p=service.top_p,
                     eos_id=service.eos_id, pad_id=service.pad_id,
                     spec_window=spec, prefix_ids=prefix)
             llm = LLMClient("jax", service=service)

@@ -563,3 +563,58 @@ def test_from_checkpoint_uses_conversion_cache(tmp_path, monkeypatch):
     os.utime(p, (os.path.getatime(p), os.path.getmtime(p) + 7))
     with pytest.raises(AssertionError, match="torch conversion ran"):
         GenerationService.from_checkpoint(d)
+
+
+# ---------------------------------------------------------------------------
+# sampling controls (temperature / top-k / top-p)
+# ---------------------------------------------------------------------------
+
+def test_sample_token_top_k_membership_and_top_p_nucleus():
+    from ragroute_tpu.llm.model import sample_token
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0, -1.0, -2.0, 0.5]])
+    keys = [jax.random.key(i) for i in range(300)]
+
+    # top_k=3 -> only the 3 highest-logit tokens {4, 3, 2} ever appear
+    draws = {int(sample_token(logits, k, 1.0, top_k=3)[0]) for k in keys}
+    assert draws <= {4, 3, 2} and len(draws) >= 2
+
+    # top_k=1 == greedy at any temperature
+    assert all(int(sample_token(logits, k, 5.0, top_k=1)[0]) == 4
+               for k in keys[:20])
+
+    # a dominant token (prob ~0.98) with top_p=0.5 -> nucleus is just it
+    dom = jnp.asarray([[8.0, 1.0, 1.0, 1.0]])
+    assert all(int(sample_token(dom, k, 1.0, top_p=0.5)[0]) == 0
+               for k in keys[:50])
+
+    # near-uniform row, top_p=0.5 -> roughly half the tokens reachable,
+    # and the argmax is always in the nucleus
+    uni = jnp.asarray([[0.02, 0.01, 0.0, -0.01, -0.02, -0.03, -0.04,
+                        -0.05]])
+    draws = {int(sample_token(uni, k, 1.0, top_p=0.5)[0]) for k in keys}
+    assert 0 in draws and draws <= {0, 1, 2, 3, 4}
+
+    # no truncation == plain categorical (same key, same draw)
+    for k in keys[:10]:
+        a = int(sample_token(logits, k, 0.7)[0])
+        b = int(sample_token(logits, k, 0.7, top_k=0, top_p=1.0)[0])
+        assert a == b
+
+
+def test_generate_with_sampling_deterministic_per_seed():
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, num_layers=2,
+                        num_heads=4, num_kv_heads=2, head_dim=8,
+                        intermediate_size=64)
+    params = init_decoder_params(jax.random.key(4), cfg)
+    ids, mask = _left_padded_batch(cfg.vocab_size, [10, 5], 10, seed=21)
+    kw = dict(eos_id=-1, pad_id=0, temperature=0.8, top_k=8, top_p=0.9)
+    a, _ = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask), 12,
+                    rng_seed=3, **kw)
+    b, _ = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask), 12,
+                    rng_seed=3, **kw)
+    c, _ = generate(params, cfg, jnp.asarray(ids), jnp.asarray(mask), 12,
+                    rng_seed=4, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (np.asarray(a) != np.asarray(c)).any()
+    assert (np.asarray(a) < cfg.vocab_size).all()
