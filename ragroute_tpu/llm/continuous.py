@@ -43,11 +43,11 @@ import numpy as np
 
 from ragroute_tpu.llm.model import (
     DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
-    _mlp, _qkv, _rms, cache_read, init_cache, quant_kv, sample_token,
+    _mlp, _qkv, _rms, cache_read, cache_write, init_cache, sample_token,
 )
 from ragroute_tpu.llm.service import (
     _render_prompt, clamp_budget, encode_prompt, pick_bucket,
-    resolve_special_id,
+    resolve_special_id, validate_sampling,
 )
 
 logger = logging.getLogger("llm.continuous")
@@ -136,23 +136,14 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
                                         prefix_kv=prefix_kv, pos0=pos0)
     p = ids.shape[1]
     ln = jnp.arange(cfg.num_layers)[:, None]
+
     # scatter the [L, n, P, ...] prompt K/V into the slot rows
-    if "ks" in cache:
-        kq, ks_ = quant_kv(k_new)
-        vq, vs_ = quant_kv(v_new)
-        cache = {
-            "k": cache["k"].at[ln, slots[None, :], :p].set(kq),
-            "ks": cache["ks"].at[ln, slots[None, :], :p].set(ks_),
-            "v": cache["v"].at[ln, slots[None, :], :p].set(vq),
-            "vs": cache["vs"].at[ln, slots[None, :], :p].set(vs_),
-        }
-    else:
-        cache = {
-            "k": cache["k"].at[ln, slots[None, :], :p].set(
-                k_new.astype(cache["k"].dtype)),
-            "v": cache["v"].at[ln, slots[None, :], :p].set(
-                v_new.astype(cache["v"].dtype)),
-        }
+    def at_rows(plane, payload):
+        return plane.at[ln, slots[None, :], :p].set(payload)
+
+    cache = dict(cache)
+    cache_write(cache, "k", k_new, at_rows)
+    cache_write(cache, "v", v_new, at_rows)
     key = jax.random.fold_in(jax.random.key(0), seed)
     tok0 = sample_token(logits, key, temperature, top_k, top_p)
     counts = counts.at[slots].set(lens)
@@ -192,18 +183,11 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
             q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
             # per-row scatter at each slot's own write position; inactive
             # rows rewrite their current (masked-out-next-admit) position
-            if "ks" in cache:
-                kq, ks_ = quant_kv(k[:, 0])
-                vq, vs_ = quant_kv(v[:, 0])
-                cache["k"] = cache["k"].at[li, rows, counts].set(kq)
-                cache["ks"] = cache["ks"].at[li, rows, counts].set(ks_)
-                cache["v"] = cache["v"].at[li, rows, counts].set(vq)
-                cache["vs"] = cache["vs"].at[li, rows, counts].set(vs_)
-            else:
-                cache["k"] = cache["k"].at[li, rows, counts].set(
-                    k[:, 0].astype(cache["k"].dtype))
-                cache["v"] = cache["v"].at[li, rows, counts].set(
-                    v[:, 0].astype(cache["v"].dtype))
+            def at_count(plane, payload, li=li):
+                return plane.at[li, rows, counts].set(payload)
+
+            cache_write(cache, "k", k[:, 0], at_count)
+            cache_write(cache, "v", v[:, 0], at_count)
             ck, ksc = cache_read(cache, "k", li)
             cv, vsc = cache_read(cache, "v", li)
             pkv = (None if prefix_kv is None
@@ -286,8 +270,7 @@ class ContinuousGenerationService:
         self.admit_buckets = tuple(sorted(int(b) for b in admit_buckets))
         self.chunk_steps = int(chunk_steps)
         self.temperature = float(temperature)
-        self.top_k = int(top_k)
-        self.top_p = float(top_p)
+        self.top_k, self.top_p = validate_sampling(top_k, top_p)
         self.eos_id = resolve_special_id(tokenizer, eos_id,
                                          "eos_token_id", "eos_id")
         self.pad_id = resolve_special_id(tokenizer, pad_id,

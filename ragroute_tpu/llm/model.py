@@ -402,6 +402,25 @@ def quant_kv(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, s
 
 
+def cache_write(cache: Dict[str, jnp.ndarray], name: str, val, put) -> None:
+    """ONE quantize-aware KV-cache write shared by every engine
+    (lockstep prefill/decode, continuous admit/chunk, speculative).
+    ``val`` is the new K or V block in compute precision; ``put(plane,
+    payload)`` scatters a payload into one cache plane at the caller's
+    indices — the same index expression serves the code plane
+    ``[..., Dh]`` and the scale plane ``[...]`` because the indices
+    only address leading axes. Centralizing the \"quantize then write
+    codes+scales, else cast and write\" branch here is what keeps the
+    cross-engine token-exactness contract safe if the quantization
+    scheme ever changes."""
+    if name + "s" in cache:
+        q, s = quant_kv(val)
+        cache[name] = put(cache[name], q)
+        cache[name + "s"] = put(cache[name + "s"], s)
+    else:
+        cache[name] = put(cache[name], val.astype(cache[name].dtype))
+
+
 def cache_read(cache: Dict[str, jnp.ndarray], name: str, li):
     """Layer ``li``'s K or V codes plus the dequant scale (``None`` for
     a non-quantized cache). Pass both to ``_attend`` — scales are folded
@@ -439,20 +458,12 @@ def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
         h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
         h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
 
-    def put(name, val):
-        if name + "s" in cache:
-            q, s = quant_kv(val)
-            cache[name] = jax.lax.dynamic_update_slice(
-                cache[name], q, (0, 0, 0, 0, 0))
-            cache[name + "s"] = jax.lax.dynamic_update_slice(
-                cache[name + "s"], s, (0, 0, 0, 0))
-        else:
-            cache[name] = jax.lax.dynamic_update_slice(
-                cache[name], val.astype(cache[name].dtype),
-                (0, 0, 0, 0, 0))
+    def at_origin(plane, payload):
+        return jax.lax.dynamic_update_slice(
+            plane, payload, (0,) * plane.ndim)
 
-    put("k", jnp.stack(new_k))
-    put("v", jnp.stack(new_v))
+    cache_write(cache, "k", jnp.stack(new_k), at_origin)
+    cache_write(cache, "v", jnp.stack(new_v), at_origin)
     return _logits(params, cfg, h[:, -1:])[:, 0], cache
 
 
@@ -475,24 +486,13 @@ def decode_step(params, cfg: DecoderConfig, cache, token, lengths,
     for li, layer in enumerate(params["layers"]):
         x = _rms(h, layer["ln1"], cfg.rms_eps)
         q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-        if "ks" in cache:
-            kq, ks_ = quant_kv(k)
-            vq, vs_ = quant_kv(v)
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], kq[None], (li, 0, slot, 0, 0))
-            cache["ks"] = jax.lax.dynamic_update_slice(
-                cache["ks"], ks_[None], (li, 0, slot, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], vq[None], (li, 0, slot, 0, 0))
-            cache["vs"] = jax.lax.dynamic_update_slice(
-                cache["vs"], vs_[None], (li, 0, slot, 0))
-        else:
-            cache["k"] = jax.lax.dynamic_update_slice(
-                cache["k"], k[None].astype(cache["k"].dtype),
-                (li, 0, slot, 0, 0))
-            cache["v"] = jax.lax.dynamic_update_slice(
-                cache["v"], v[None].astype(cache["v"].dtype),
-                (li, 0, slot, 0, 0))
+        def at_slot(plane, payload, li=li):
+            return jax.lax.dynamic_update_slice(
+                plane, payload[None],
+                (li, 0, slot) + (0,) * (plane.ndim - 3))
+
+        cache_write(cache, "k", k, at_slot)
+        cache_write(cache, "v", v, at_slot)
         ck, ksc = cache_read(cache, "k", li)
         cv, vsc = cache_read(cache, "v", li)
         h = h + _dot(

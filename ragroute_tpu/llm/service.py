@@ -73,7 +73,10 @@ def save_params_cache(cache_file: str, params: Dict, fingerprint: str):
             put(k, v)
     flat["__fingerprint__"] = np.frombuffer(
         fingerprint.encode(), np.uint8)
-    tmp = cache_file + ".tmp.npz"   # ends in .npz: savez won't rename
+    # per-process tmp name: --workers N boots convert concurrently and a
+    # shared tmp path would let one writer truncate another's in-progress
+    # file, publishing a corrupt npz (ends in .npz so savez won't rename)
+    tmp = f"{cache_file}.tmp.{os.getpid()}.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, cache_file)
 
@@ -172,6 +175,21 @@ def resolve_special_id(tokenizer, explicit, attr: str, fallback_attr: str,
     return int(v) if v is not None else default
 
 
+def validate_sampling(top_k, top_p) -> Tuple[int, float]:
+    """Reject degenerate truncation params at CONSTRUCTION time: a bad
+    value inside the jitted step would either crash every admission
+    (negative top_k → lax.top_k ValueError, which the continuous worker
+    would re-hit forever) or silently emit token id 0 on every step
+    (top_p=0 floors ALL logits; argmax ties resolve to index 0)."""
+    top_k, top_p = int(top_k), float(top_p)
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0 (0 = off), got {top_k}")
+    if not 0.0 < top_p <= 1.0:
+        raise ValueError(
+            f"top_p must be in (0, 1] (1.0 = off), got {top_p}")
+    return top_k, top_p
+
+
 def pick_bucket(buckets: Sequence[int], n: int) -> int:
     """Smallest bucket that fits ``n`` (largest bucket if none do)."""
     for b in buckets:
@@ -222,8 +240,7 @@ class GenerationService:
         self.prompt_buckets = tuple(sorted(int(b) for b in prompt_buckets))
         self.batch_buckets = tuple(sorted(int(b) for b in batch_buckets))
         self.temperature = float(temperature)
-        self.top_k = int(top_k)
-        self.top_p = float(top_p)
+        self.top_k, self.top_p = validate_sampling(top_k, top_p)
         self.cache_dtype = cache_dtype
         self.eos_id = resolve_special_id(tokenizer, eos_id,
                                          "eos_token_id", "eos_id")

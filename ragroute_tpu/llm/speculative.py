@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ragroute_tpu.llm.model import (
     DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
-    _mlp, _qkv, _rms, cache_read, quant_kv,
+    _mlp, _qkv, _rms, cache_read, cache_write,
 )
 
 
@@ -112,22 +112,11 @@ def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         for li, layer in enumerate(params["layers"]):
             x = _rms(h, layer["ln1"], cfg.rms_eps)
             q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-            if "ks" in cache:
-                kq, ks_ = quant_kv(k)
-                vq, vs_ = quant_kv(v)
-                cache["k"] = cache["k"].at[
-                    li, rows[:, None], slot_pos].set(kq)
-                cache["ks"] = cache["ks"].at[
-                    li, rows[:, None], slot_pos].set(ks_)
-                cache["v"] = cache["v"].at[
-                    li, rows[:, None], slot_pos].set(vq)
-                cache["vs"] = cache["vs"].at[
-                    li, rows[:, None], slot_pos].set(vs_)
-            else:
-                cache["k"] = cache["k"].at[li, rows[:, None], slot_pos].set(
-                    k.astype(cache["k"].dtype))
-                cache["v"] = cache["v"].at[li, rows[:, None], slot_pos].set(
-                    v.astype(cache["v"].dtype))
+            def at_window(plane, payload, li=li):
+                return plane.at[li, rows[:, None], slot_pos].set(payload)
+
+            cache_write(cache, "k", k, at_window)
+            cache_write(cache, "v", v, at_window)
             ck, ksc = cache_read(cache, "k", li)
             cv, vsc = cache_read(cache, "v", li)
             pkv = (None if prefix_kv is None

@@ -202,9 +202,16 @@ class ServingSystem:
         self.llm_quant = getattr(args, "llm_quant", None)
         self.llm_kv_quant = getattr(args, "llm_kv_quant", None)
         self.llm_prefix_cache = getattr(args, "llm_prefix_cache", False)
-        self.llm_temperature = getattr(args, "llm_temperature", 0.0) or 0.0
-        self.llm_top_k = getattr(args, "llm_top_k", 0) or 0
-        self.llm_top_p = getattr(args, "llm_top_p", 1.0) or 1.0
+        # NO falsy-coercion here: `or` would silently turn an explicit
+        # --llm-top-p 0.0 into "nucleus off" (the service rejects
+        # degenerate values loudly instead, llm/service.py)
+        def _num(name, default):
+            v = getattr(args, name, None)
+            return default if v is None else v
+
+        self.llm_temperature = _num("llm_temperature", 0.0)
+        self.llm_top_k = _num("llm_top_k", 0)
+        self.llm_top_p = _num("llm_top_p", 1.0)
         self.llm_serving: str = getattr(args, "llm_serving", None) or "batch"
         self.llm_spec_window: int = getattr(args, "llm_spec_window", 0) or 0
         self.nprobe = getattr(args, "nprobe", None)

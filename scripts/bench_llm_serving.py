@@ -109,8 +109,14 @@ def main():
     if args.prefix_tokens:
         from ragroute_tpu.llm.continuous import shared_prefix_ids
 
-        # ByteTokenizer: 1 byte = 1 token, so the head is exact
-        sys_txt = ("x" * (args.prefix_tokens - 14))
+        # ByteTokenizer: 1 byte = 1 token; the rendered head adds
+        # bos + "<|system|>\n" + "\n<|user|>\n" = 22 tokens around the
+        # system text, so size the text to hit the requested total
+        if args.prefix_tokens <= 23:
+            ap.error("--prefix-tokens must be > 23 (render overhead "
+                     "is 22 tokens and the system text must be "
+                     "non-empty)")
+        sys_txt = "x" * (args.prefix_tokens - 22)
         sys_msgs = [{"role": "system", "content": sys_txt}]
         pre = shared_prefix_ids(tok, sys_txt)
 

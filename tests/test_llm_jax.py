@@ -618,3 +618,18 @@ def test_generate_with_sampling_deterministic_per_seed():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert (np.asarray(a) != np.asarray(c)).any()
     assert (np.asarray(a) < cfg.vocab_size).all()
+
+
+def test_degenerate_sampling_params_rejected_at_construction():
+    """top_p=0 (would silently emit token id 0 forever) and negative
+    top_k (would crash every admission) must be rejected when the
+    service is BUILT, not at first decode."""
+    from ragroute_tpu.llm.continuous import demo_continuous_service
+    from ragroute_tpu.llm.service import demo_service
+
+    with pytest.raises(ValueError, match="top_p"):
+        demo_service(temperature=0.8, top_p=0.0)
+    with pytest.raises(ValueError, match="top_k"):
+        demo_service(temperature=0.8, top_k=-1)
+    with pytest.raises(ValueError, match="top_p"):
+        demo_continuous_service(temperature=0.8, top_p=-0.5)
