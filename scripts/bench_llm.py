@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ragroute_tpu.llm.model import (DecoderConfig, generate,
+from ragroute_tpu.llm.model import (DecoderConfig, QuantW, QuantW4,
+                                    _int4_group, generate,
                                     init_decoder_params)
 
 QWEN3_06B = DecoderConfig(
@@ -38,7 +39,83 @@ QWEN3_06B = DecoderConfig(
     num_kv_heads=8, head_dim=128, intermediate_size=3072,
     rope_theta=1e6, qk_norm=True, tie_embeddings=True)
 
+# the two 8B-class registry targets (config.py LLM_MODELS; shapes pinned
+# from the HF configs the reference serves through Ollama)
+QWEN3_8B = DecoderConfig(
+    vocab_size=151936, hidden_size=4096, num_layers=36, num_heads=32,
+    num_kv_heads=8, head_dim=128, intermediate_size=12288,
+    rope_theta=1e6, qk_norm=True, tie_embeddings=False)
+LLAMA31_8B = DecoderConfig(
+    vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
+    num_kv_heads=8, head_dim=128, intermediate_size=14336,
+    rope_theta=500000.0, rope_scaling=(8.0, 1.0, 4.0, 8192))
+
+SHAPES = {"qwen3-0.6b": QWEN3_06B, "qwen3-8b": QWEN3_8B,
+          "llama31-8b": LLAMA31_8B}
+
 HBM_GBPS = 819.0  # v5e chip spec
+
+
+def random_quant_params(cfg: DecoderConfig, bits: int,
+                        group: int = 128) -> dict:
+    """Random already-quantized weights, built leaf-by-leaf on the host
+    and shipped straight to the device. The bf16 master of an 8B model
+    (16.4 GB) does not fit v5e HBM, and random VALUES don't affect
+    speed — so for the 8B-shape benches we synthesize the quantized
+    form directly: random int8 codes (any byte is a valid nibble pair)
+    with constant scales sized so activations stay O(1)
+    (codes ~U[-127,127] have std ≈73; scale = 1/(73·sqrt(in)) recovers
+    the 1/sqrt(in) init std). Mirrors quantize_decoder_params' layout
+    exactly (per-channel int8 / group-wise packed int4, embed head-form
+    for int4)."""
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+
+    def q8(in_dim, out_dim, scale_axis_len=None):
+        codes = rng.integers(-127, 128, (in_dim, out_dim), np.int8)
+        scale = np.full((scale_axis_len or out_dim,),
+                        1.0 / (73.0 * in_dim ** 0.5), np.float32)
+        return QuantW(jax.device_put(codes, dev),
+                      jax.device_put(scale, dev))
+
+    def q4(in_dim, out_dim):
+        g = _int4_group(in_dim, group)
+        codes = rng.integers(-128, 128, (in_dim // 2, out_dim), np.int8)
+        scale = np.full((in_dim // g, out_dim),
+                        1.0 / (7.5 * in_dim ** 0.5), np.float32)
+        return QuantW4(jax.device_put(codes, dev),
+                       jax.device_put(scale, dev))
+
+    qmat = (lambda i, o: q8(i, o)) if bits == 8 else q4
+    d, v = cfg.hidden_size, cfg.vocab_size
+    if bits == 8:
+        # [V, D] with per-ROW scales (axis=1), like quantize(axis=1)
+        codes = rng.integers(-127, 128, (v, d), np.int8)
+        scale = np.full((v,), 0.02 / 73.0, np.float32)
+        embed = QuantW(jax.device_put(codes, dev),
+                       jax.device_put(scale, dev))
+    else:
+        embed = q4(d, v)  # head-form [D/2, V]
+    params = {"embed": embed,
+              "ln_f": jax.device_put(np.ones((d,), "bfloat16"), dev),
+              "layers": []}
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qmat(d, v)
+    ones = lambda n: jax.device_put(np.ones((n,), "bfloat16"), dev)
+    for _ in range(cfg.num_layers):
+        layer = {
+            "ln1": ones(d), "ln2": ones(d),
+            "wq": qmat(d, cfg.q_dim), "wk": qmat(d, cfg.kv_dim),
+            "wv": qmat(d, cfg.kv_dim), "wo": qmat(cfg.q_dim, d),
+            "gate": qmat(d, cfg.intermediate_size),
+            "up": qmat(d, cfg.intermediate_size),
+            "down": qmat(cfg.intermediate_size, d),
+        }
+        if cfg.qk_norm:
+            layer["q_norm"] = ones(cfg.head_dim)
+            layer["k_norm"] = ones(cfg.head_dim)
+        params["layers"].append(layer)
+    return params
 
 
 def param_bytes(params):
@@ -88,13 +165,26 @@ def main():
                     help="weight-only int4 quantization (group-128 "
                          "scales, Pallas dequant matmul — halves the "
                          "weight stream again over int8)")
+    ap.add_argument("--model", choices=sorted(SHAPES), default="qwen3-0.6b",
+                    help="registry shape to bench; the 8B shapes "
+                         "require --int8 or --int4 (a bf16 8B master "
+                         "exceeds v5e HBM) and build random quantized "
+                         "weights directly (see random_quant_params)")
     args = ap.parse_args()
 
-    cfg = QWEN3_06B
+    cfg = SHAPES[args.model]
     if args.layers:
         cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
-    params = init_decoder_params(jax.random.key(0), cfg, dtype=jnp.bfloat16)
-    if args.int8 or args.int4:
+    big = cfg.hidden_size > 2048
+    if big and not (args.int8 or args.int4):
+        ap.error(f"--model {args.model} needs --int8 or --int4 "
+                 "(bf16 master exceeds v5e HBM)")
+    if big:
+        params = random_quant_params(cfg, bits=(4 if args.int4 else 8))
+    else:
+        params = init_decoder_params(jax.random.key(0), cfg,
+                                     dtype=jnp.bfloat16)
+    if (args.int8 or args.int4) and not big:
         from ragroute_tpu.llm.model import quantize_decoder_params
 
         params = quantize_decoder_params(
@@ -123,7 +213,7 @@ def main():
 
     best = max(rows, key=lambda r: r["decode_tok_s"])
     print(json.dumps({
-        "model": f"qwen3-0.6B-shape(L={cfg.num_layers})",
+        "model": f"{args.model}-shape(L={cfg.num_layers})",
         "param_gb": round(pbytes / 2**30, 2),
         "prompt_len": args.prompt,
         "max_new": args.max_new,
