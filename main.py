@@ -144,6 +144,16 @@ def parse_args(argv=None):
     parser.add_argument("--buckets", type=int, nargs="+", default=None,
                         help="Batch bucket sizes (each is compiled at "
                              "startup; default 1 8 32 128 512)")
+    parser.add_argument("--frontend", type=str, default="aiohttp",
+                        choices=["aiohttp", "native"],
+                        help="HTTP front-end: 'native' moves the IO plane "
+                             "to a C++ epoll server (native/frontend.cpp) "
+                             "— sockets, HTTP parsing, keep-alive, and "
+                             "micro-batch formation run outside Python, "
+                             "lifting the ~1.5k q/s one-core aiohttp "
+                             "ceiling. Retrieval surface only (requires "
+                             "--disable-llm; admin/mutable/streaming-LLM "
+                             "endpoints need the default front-end)")
     parser.add_argument("--workers", type=int, default=1,
                         help="SO_REUSEPORT worker processes sharing the "
                              "HTTP port (multi-core front-end; each "
@@ -206,7 +216,10 @@ def main(argv=None):
         return
     system = ServingSystem(args)
     try:
-        asyncio.run(system.run_forever())
+        if system.frontend == "native":
+            system.run_native()
+        else:
+            asyncio.run(system.run_forever())
     except KeyboardInterrupt:
         pass
     except Exception as e:

@@ -1,0 +1,580 @@
+"""Native (C++) HTTP front-end: ctypes bindings + the serving loop.
+
+The measured host profile (BENCHMARKS.md, round 3) puts aiohttp's
+per-request parse/header/socket work at ~0.67 ms of host CPU — a hard
+~1.5k q/s ceiling on one core regardless of device speed. ``--frontend
+native`` replaces the whole Python IO plane with ``native/frontend.cpp``:
+an epoll event loop owns the sockets, parses HTTP/1.1 (keep-alive,
+pipeline ordering), and writes responses; this module pulls PARSED
+REQUESTS IN BATCHES and pushes complete response bodies. The batch pull
+doubles as the serving micro-batcher (replacing the asyncio
+``QueryBatcher``): requests that arrive while Python runs a device step
+accumulate in C++ and are handed over as one batch, so batch formation
+costs zero event-loop work.
+
+Scope: the query surface with the LLM disabled — ``GET/POST /query``
+(incl. ``stream=1`` SSE framing, which with --disable-llm is a single
+final event + [DONE]), ``POST /query/batch``, ``/healthz``, ``/stats``.
+Admin/mutable endpoints and live generation need the asyncio front-end
+(the default); ``ServingSystem`` enforces the valid combinations.
+
+Response assembly is SHARED with the asyncio server (the sync
+``FederationServer._assemble_pre`` / ``_finalize`` helpers and the raw
+doc-splice fast path), so the two front-ends return byte-compatible
+bodies — gated by ``tests/test_native_frontend.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import logging
+import os
+import subprocess
+import threading
+import time
+import uuid
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs
+
+import numpy as np
+
+from ragroute_tpu.config import BATCH_WINDOW_MS
+from ragroute_tpu.engine.batcher import QueryResult, fetch_candidates_policy
+from ragroute_tpu.engine.server import FederationServer, _dumps
+
+logger = logging.getLogger("native_frontend")
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "frontend.cpp")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "libfrontend.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+class _FeReq(ctypes.Structure):
+    # must match FeReq in native/frontend.cpp
+    _fields_ = [
+        ("id", ctypes.c_uint64),
+        ("method", ctypes.c_int32),
+        ("path_len", ctypes.c_int32),
+        ("qs_len", ctypes.c_int32),
+        ("body_len", ctypes.c_int32),
+        ("_pad", ctypes.c_int32),
+        ("path", ctypes.c_void_p),
+        ("qs", ctypes.c_void_p),
+        ("body", ctypes.c_void_p),
+    ]
+
+
+def _build() -> bool:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB, _SRC, "-pthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception as e:
+        logger.warning("native frontend build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.fe_start.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+        lib.fe_start.restype = ctypes.c_void_p
+        lib.fe_port.argtypes = [ctypes.c_void_p]
+        lib.fe_port.restype = ctypes.c_int
+        lib.fe_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(_FeReq),
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.fe_next.restype = ctypes.c_int
+        lib.fe_respond.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                   ctypes.c_int, ctypes.c_char_p,
+                                   ctypes.c_char_p, ctypes.c_longlong]
+        lib.fe_respond.restype = ctypes.c_int
+        lib.fe_stat.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.fe_stat.restype = ctypes.c_longlong
+        lib.fe_shutdown.argtypes = [ctypes.c_void_p]
+        lib.fe_shutdown.restype = None
+        lib.fe_stop.argtypes = [ctypes.c_void_p]
+        lib.fe_stop.restype = None
+        _lib = lib
+        return lib
+
+
+def native_frontend_available() -> bool:
+    return _load() is not None
+
+
+class NativeFrontend:
+    """Thin wrapper over the C front-end handle."""
+
+    MAX_POP = 256  # requests per fe_next call (bulk bodies expand after)
+
+    def __init__(self, host: str, port: int, reuse_port: bool = False):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native frontend unavailable (g++ missing?)")
+        self._lib = lib
+        self._h = lib.fe_start(host.encode(), port, int(reuse_port))
+        if not self._h:
+            raise OSError(f"fe_start failed to bind {host}:{port}")
+        self._buf = (_FeReq * self.MAX_POP)()
+
+    @property
+    def port(self) -> int:
+        return int(self._lib.fe_port(self._h))
+
+    def next(self, max_n: int, first_timeout_ms: int = 200,
+             window_ms: int = 0):
+        """Pop up to ``max_n`` parsed requests as
+        ``(id, method, path, qs, body)`` tuples (bytes); ``None`` when the
+        front-end was shut down, ``[]`` on timeout."""
+        max_n = min(max_n, self.MAX_POP)
+        n = self._lib.fe_next(self._h, self._buf, max_n,
+                              first_timeout_ms, window_ms)
+        if n < 0:
+            return None
+        out = []
+        for i in range(n):
+            r = self._buf[i]
+            out.append((
+                r.id, r.method,
+                ctypes.string_at(r.path, r.path_len) if r.path_len else b"",
+                ctypes.string_at(r.qs, r.qs_len) if r.qs_len else b"",
+                ctypes.string_at(r.body, r.body_len) if r.body_len else b"",
+            ))
+        return out
+
+    def respond(self, rid: int, status: int, body,
+                ctype: bytes = b"application/json") -> None:
+        if isinstance(body, str):
+            body = body.encode()
+        self._lib.fe_respond(self._h, rid, status, ctype, body, len(body))
+
+    def stats(self) -> dict:
+        names = ("accepted", "requests", "bad_requests", "responses",
+                 "dropped_responses")
+        return {n: int(self._lib.fe_stat(self._h, i))
+                for i, n in enumerate(names)}
+
+    def shutdown(self) -> None:
+        """Wake any blocked fe_next; the loop thread then calls close()."""
+        self._lib.fe_shutdown(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.fe_stop(self._h)
+            self._h = None
+
+
+class _Work:
+    __slots__ = ("rid", "query", "choices", "qid", "stream", "group",
+                 "gidx", "start", "embs", "embed_time", "t_submit")
+
+    def __init__(self, rid, query, choices, qid, stream=False, group=None,
+                 gidx=0):
+        self.rid = rid
+        self.query = query
+        self.choices = choices
+        self.qid = qid
+        self.stream = stream
+        self.group = group    # _Group for /query/batch members
+        self.gidx = gidx
+        self.start = time.time()
+        self.embs = None
+        self.embed_time = 0.0
+        self.t_submit = 0.0
+
+
+class _Group:
+    """One POST /query/batch request awaiting its member results."""
+
+    __slots__ = ("rid", "results", "remaining")
+
+    def __init__(self, rid, n):
+        self.rid = rid
+        self.results: List = [None] * n
+        self.remaining = n
+
+
+class NativeFederationServer:
+    """Serve a ``FederationServer``'s engine through the C++ front-end.
+
+    The FederationServer is used purely as the (already-tested) assembly
+    library — its aiohttp app and asyncio batcher are never started. One
+    Python thread runs the loop: pop a request batch from C++, run the
+    jitted engine step per bucket chunk, assemble responses with the
+    shared sync helpers, push the bodies back to C++.
+    """
+
+    def __init__(self, server: FederationServer, *,
+                 window_ms: float = BATCH_WINDOW_MS):
+        if not server.disable_llm:
+            raise ValueError(
+                "--frontend native serves the retrieval surface with the "
+                "LLM disabled; generation needs the asyncio front-end")
+        if getattr(server.engine.shard_set, "mutable", False):
+            raise ValueError(
+                "--frontend native does not serve the /docs/* mutable "
+                "endpoints; use the asyncio front-end with --mutable")
+        if server.embed_batcher is not None:
+            # zoo providers still work: embed_many() is called synchronously
+            # per pop batch, which batches the encoder forward the same way
+            server.embed_batcher = None
+        self.server = server
+        self.engine = server.engine
+        self.world = server.world
+        self.strategy = server.strategy
+        self.provider = server.provider
+        self.window_ms = int(window_ms)
+        self.buckets = tuple(sorted(server.batcher.buckets))
+        self.staged = server.batcher.staged
+        self._fetch = fetch_candidates_policy(self.world)
+        self.fe: Optional[NativeFrontend] = None
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self, *, thread: bool = False) -> None:
+        if self.server.warmup:
+            self.server._warmup()
+        self.fe = NativeFrontend(self.server.host, self.server.port,
+                                 reuse_port=self.server.reuse_port)
+        self._running = True
+        logger.info("native HTTP front-end on http://%s:%s",
+                    self.server.host, self.fe.port)
+        if thread:
+            self._thread = threading.Thread(
+                target=self.serve_forever, name="native-frontend-loop",
+                daemon=True)
+            self._thread.start()
+
+    @property
+    def bound_port(self) -> int:
+        return self.fe.port if self.fe else self.server.port
+
+    def stop(self) -> None:
+        self._running = False
+        if self.fe is not None:
+            self.fe.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+        else:
+            if self.fe is not None:
+                self.fe.close()
+                self.fe = None
+
+    # -- loop --------------------------------------------------------------
+
+    def serve_forever(self) -> None:
+        try:
+            while self._running:
+                reqs = self.fe.next(NativeFrontend.MAX_POP,
+                                    first_timeout_ms=200,
+                                    window_ms=self.window_ms)
+                if reqs is None:
+                    break
+                if not reqs:
+                    continue
+                self._handle(reqs)
+        finally:
+            if self.fe is not None:
+                self.fe.close()
+                self.fe = None
+
+    # -- request routing -----------------------------------------------------
+
+    def _handle(self, reqs) -> None:
+        work: List[_Work] = []
+        for rid, method, path, qs, body in reqs:
+            try:
+                self._route(rid, method, path, qs, body, work)
+            except Exception as e:  # never kill the loop on one request
+                logger.exception("request handling failed")
+                self.fe.respond(rid, 500, f"Internal error: {e}",
+                                ctype=b"text/plain; charset=utf-8")
+        if work:
+            self._run_queries(work)
+
+    def _route(self, rid, method, path, qs, body, work: List[_Work]) -> None:
+        if path == b"/query":
+            params = parse_qs(qs.decode("utf-8", "replace"),
+                              keep_blank_values=True)
+            if method == 1 and body:
+                # POST /query: form-encoded fields (reference parity)
+                params.update(parse_qs(body.decode("utf-8", "replace"),
+                                       keep_blank_values=True))
+
+            def first(key):
+                v = params.get(key)
+                return v[0] if v else ""
+
+            query = first("q")
+            choices = first("choices")
+            question_id = first("qid")
+            # validation parity (reference http_server.py:117-130)
+            if not query:
+                return self.fe.respond(rid, 400, "Please provide a query",
+                                       ctype=b"text/plain; charset=utf-8")
+            if not choices:
+                return self.fe.respond(rid, 400, "Please provide choices",
+                                       ctype=b"text/plain; charset=utf-8")
+            if self.world.name == "feb4rag" and not question_id:
+                return self.fe.respond(
+                    rid, 400,
+                    "For FeB4RAG, please provide a question ID (qid)",
+                    ctype=b"text/plain; charset=utf-8")
+            try:
+                choices = json.loads(choices)
+            except json.JSONDecodeError:
+                return self.fe.respond(rid, 400, "Invalid choices format",
+                                       ctype=b"text/plain; charset=utf-8")
+            stream = first("stream") in ("1", "true")
+            work.append(_Work(rid, query, choices, question_id,
+                              stream=stream))
+            return None
+
+        if path == b"/query/batch" and method == 1:
+            try:
+                data = json.loads(body)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                return self.fe.respond(rid, 400, "Invalid JSON body",
+                                       ctype=b"text/plain; charset=utf-8")
+            queries = data.get("queries") if isinstance(data, dict) else data
+            if not isinstance(queries, list) or not queries:
+                return self.fe.respond(
+                    rid, 400, "Provide a non-empty 'queries' list",
+                    ctype=b"text/plain; charset=utf-8")
+            group = _Group(rid, len(queries))
+            for j, item in enumerate(queries):
+                err = None
+                if not isinstance(item, dict):
+                    err = "Each query must be an object"
+                else:
+                    query = item.get("q", "")
+                    choices = item.get("choices", "")
+                    question_id = str(item.get("qid", "") or "")
+                    if not query:
+                        err = "Please provide a query"
+                    elif not choices:
+                        err = "Please provide choices"
+                    elif self.world.name == "feb4rag" and not question_id:
+                        err = ("For FeB4RAG, please provide a question ID "
+                               "(qid)")
+                    elif isinstance(choices, str):
+                        try:
+                            choices = json.loads(choices)
+                        except json.JSONDecodeError:
+                            err = "Invalid choices format"
+                if err is not None:
+                    self._group_done(group, j, {"error": err})
+                else:
+                    work.append(_Work(rid, query, choices, question_id,
+                                      group=group, gidx=j))
+            return None
+
+        if path == b"/healthz":
+            return self.fe.respond(rid, 200, _dumps({
+                "status": "ok",
+                "world": self.world.name,
+                "strategy": self.strategy,
+                "total_docs": self.engine.shard_set.total_docs,
+                "index_bytes": self.engine.shard_set.index_bytes,
+            }))
+
+        if path == b"/stats":
+            snap = self.server.metrics.snapshot()
+            snap["frontend"] = {"kind": "native", **self.fe.stats()}
+            return self.fe.respond(rid, 200, _dumps(snap))
+
+        self.fe.respond(
+            rid, 501,
+            f"The native front-end serves the query surface only "
+            f"({path.decode('utf-8', 'replace')} is not implemented); "
+            f"start without --frontend native for admin/mutable/LLM "
+            f"endpoints",
+            ctype=b"text/plain; charset=utf-8")
+
+    # -- query execution -----------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _embed(self, items: List[_Work]) -> List[_Work]:
+        """Fill ``w.embs`` per item; failed items are responded to and
+        dropped. Blocking providers with embed_many share ONE batched
+        forward (the native-loop equivalent of EmbeddingBatcher)."""
+        world = self.world
+        texts = []
+        for w in items:
+            # wikipedia formats query+choices for encoding
+            # (reference http_server.py:147-150)
+            if world.name == "wikipedia":
+                texts.append("\n".join([w.query, " | ".join(w.choices)]))
+            else:
+                texts.append(w.query)
+        ok: List[_Work] = []
+        if (getattr(self.provider, "blocking", False)
+                and hasattr(self.provider, "embed_many") and len(items) > 1):
+            t0 = time.time()
+            try:
+                many = self.provider.embed_many(
+                    texts, [w.qid for w in items])
+            except Exception as e:
+                for w in items:
+                    self._fail(w, e)
+                return []
+            dt = (time.time() - t0) / max(len(items), 1)
+            for w, e in zip(items, many):
+                w.embs, w.embed_time = e, dt
+                ok.append(w)
+            return ok
+        for w, text in zip(items, texts):
+            t0 = time.time()
+            try:
+                w.embs = self.provider.embed(text, w.qid)
+            except Exception as e:
+                self._fail(w, e)
+                continue
+            w.embed_time = time.time() - t0
+            ok.append(w)
+        return ok
+
+    def _run_queries(self, work: List[_Work]) -> None:
+        items = self._embed(work)
+        max_b = self.buckets[-1]
+        for i in range(0, len(items), max_b):
+            chunk = items[i:i + max_b]
+            try:
+                self._run_chunk(chunk)
+            except Exception as e:
+                logger.exception("engine step failed")
+                for w in chunk:
+                    self._fail(w, e)
+
+    def _run_chunk(self, chunk: List[_Work]) -> None:
+        world = self.world
+        n = len(chunk)
+        padded = self._bucket(n)
+        embs: Dict[str, np.ndarray] = {}
+        for enc in world.encoders:
+            dim = next(
+                s.embed_dim for s in world.sources if s.encoder == enc)
+            arr = np.zeros((padded, dim), dtype=np.float32)
+            for i, w in enumerate(chunk):
+                arr[i] = w.embs[enc]
+            embs[enc] = arr
+        for w in chunk:
+            w.t_submit = time.time()
+        out = self.engine.search(
+            embs, strategy=self.strategy, staged=self.staged,
+            fetch_candidates=self._fetch)
+        t_done = time.time()
+        srv = self.server
+        for i, w in enumerate(chunk):
+            res = QueryResult(
+                probs=out.probs[i],
+                mask=out.mask[i],
+                shard_scores=(None if out.shard_scores is None
+                              else out.shard_scores[i]),
+                shard_ids=out.shard_ids[i],
+                merged_score=out.merged_score[i],
+                merged_shard=out.merged_shard[i],
+                merged_local=out.merged_local[i],
+                merged_valid=int(out.merged_valid[i]),
+                selection_time=out.selection_time,
+                doc_select_time=out.doc_select_time,
+                batch_size=n,
+            )
+            batch_wait = max(0.0, (t_done - w.t_submit)
+                             - res.selection_time - res.doc_select_time)
+            t_assemble = time.time()
+            query_id = str(uuid.uuid4())
+            try:
+                selected, ds_stats, top_docs, raw_docs = srv._assemble_pre(
+                    res, query_id, w.qid)
+                result = srv._finalize(
+                    {"query_id": query_id, "query": w.query, "answer": ""},
+                    res, selected=selected, ds_stats=ds_stats,
+                    top_docs=top_docs, raw_docs=raw_docs,
+                    generate_time=0.0, docs_tokens=0, start=w.start,
+                    embedding_time=w.embed_time, batch_wait=batch_wait,
+                    t_assemble=t_assemble)
+            except Exception as e:
+                logger.exception("assembly failed")
+                self._fail(w, e)
+                continue
+            self._deliver(w, result)
+
+    # -- response delivery ---------------------------------------------------
+
+    def _fail(self, w: _Work, e: Exception) -> None:
+        if w.group is not None:
+            self._group_done(w.group, w.gidx, {"error": str(e)})
+        else:
+            self.fe.respond(w.rid, 500, f"Internal error: {e}",
+                            ctype=b"text/plain; charset=utf-8")
+
+    def _encode_single(self, result: dict) -> str:
+        raw = result.pop("__rawdocs__", None)
+        if raw is not None:
+            body = self.server._splice_raw(_dumps(result), [raw], [result])
+            if body is not None:
+                return body
+        return _dumps(result)
+
+    def _deliver(self, w: _Work, result: dict) -> None:
+        if w.group is not None:
+            self._group_done(w.group, w.gidx, result)
+            return
+        body = self._encode_single(result)
+        if w.stream:
+            # SSE framing parity: with the LLM disabled there are no delta
+            # events — one final (authoritative) event, then [DONE]
+            sse = "data: " + body + "\n\ndata: [DONE]\n\n"
+            self.fe.respond(w.rid, 200, sse, ctype=b"text/event-stream")
+        else:
+            self.fe.respond(w.rid, 200, body)
+
+    def _group_done(self, group: _Group, idx: int, result) -> None:
+        group.results[idx] = result
+        group.remaining -= 1
+        if group.remaining > 0:
+            return
+        results = group.results
+        frags, owners = [], []
+        for r in results:
+            if isinstance(r, dict):
+                raw = r.pop("__rawdocs__", None)
+                if raw is not None:
+                    frags.append(raw)
+                    owners.append(r)
+        body = _dumps({"results": results})
+        if frags:
+            spliced = self.server._splice_raw(body, frags, owners)
+            body = (spliced if spliced is not None
+                    else _dumps({"results": results}))
+        self.fe.respond(group.rid, 200, body)

@@ -395,8 +395,16 @@ class FederationServer:
             result = await asyncio.wait_for(
                 self._process(query, choices, question_id, stream_cb=cb),
                 timeout=QUERY_TIMEOUT_S)
-            result.pop("__rawdocs__", None)
-            await resp.write(b"data: " + _dumps(result).encode() + b"\n\n")
+            # The final event is the authoritative full response: raw doc
+            # fragments (disable-llm fast path) must be spliced in here
+            # exactly like the non-streamed body — dropping them would
+            # leave the internal raw token where top_docs belongs.
+            raw = result.pop("__rawdocs__", None)
+            body = _dumps(result)
+            if raw is not None:
+                spliced = self._splice_raw(body, [raw], [result])
+                body = spliced if spliced is not None else _dumps(result)
+            await resp.write(b"data: " + body.encode() + b"\n\n")
         except asyncio.TimeoutError:
             await resp.write(
                 b'data: {"error": "Search timed out"}\n\n')
@@ -706,48 +714,8 @@ class FederationServer:
                          - res.selection_time - res.doc_select_time)
         t_assemble = time.time()
 
-        selected = [
-            self.world.sources[i].name
-            for i in range(self.world.num_sources) if res.mask[i]
-        ]
-
-        # Per-source stats with serialized-response message sizes. For the
-        # score-merged worlds only the SIZE of the per-source response is
-        # needed (the docs themselves are resolved once, for the merged
-        # top-k) — raw line lengths from the doc store avoid k parses per
-        # source per query; feb4rag resolves fully because the qrels-oracle
-        # rerank consumes per-source candidates.
-        ds_stats = {}
-        per_source_docs: Dict[str, List] = {}
-        per_source_ids: Dict[str, List] = {}
-        need_docs = self.world.name == "feb4rag"
-        for si, src in enumerate(self.world.sources):
-            if not res.mask[si]:
-                continue
-            if need_docs:
-                ids, docs, scores = self._resolve_source(res, si)
-                per_source_ids[src.name] = ids
-                per_source_docs[src.name] = docs
-                payload = {
-                    "query_id": query_id, "client_id": si, "name": src.name,
-                    "indices": ids, "docs": docs, "scores": scores,
-                    "duration": res.doc_select_time,
-                }
-                msg_size = len(json.dumps(payload, default=str))
-            else:
-                msg_size = self._estimate_message_size(res, si, query_id)
-            ds_stats[src.name] = {
-                "duration": res.doc_select_time,
-                "message_size": msg_size,
-            }
-
-        raw_docs = None
-        if self._get_raw is not None:
-            raw_docs = self._merge_top_docs_raw(res)
-        # raw mode implies disable_llm, so nothing below reads the parsed
-        # docs when the raw fragment exists
-        top_docs = (None if raw_docs is not None else self._merge_top_docs(
-            res, question_id, per_source_ids, per_source_docs))
+        selected, ds_stats, top_docs, raw_docs = self._assemble_pre(
+            res, query_id, question_id)
 
         response = {
             "query_id": query_id,
@@ -789,6 +757,70 @@ class FederationServer:
             response["answer"] = llm_res.answer
             llm_wall = time.time() - t0
 
+        return self._finalize(
+            response, res, selected=selected, ds_stats=ds_stats,
+            top_docs=top_docs, raw_docs=raw_docs,
+            generate_time=generate_time, docs_tokens=docs_tokens,
+            start=start, embedding_time=embedding_time,
+            batch_wait=batch_wait, t_assemble=t_assemble,
+            llm_wall=llm_wall)
+
+    def _assemble_pre(self, res: QueryResult, query_id: str,
+                      question_id: str):
+        """Everything between the device result and the LLM stage, sync
+        (shared by the asyncio handlers and the native front-end loop):
+        selected source names, per-source stats, merged top docs.
+
+        Per-source stats carry serialized-response message sizes. For the
+        score-merged worlds only the SIZE of the per-source response is
+        needed (the docs themselves are resolved once, for the merged
+        top-k) — raw line lengths from the doc store avoid k parses per
+        source per query; feb4rag resolves fully because the qrels-oracle
+        rerank consumes per-source candidates.
+        """
+        selected = [
+            self.world.sources[i].name
+            for i in range(self.world.num_sources) if res.mask[i]
+        ]
+        ds_stats = {}
+        per_source_docs: Dict[str, List] = {}
+        per_source_ids: Dict[str, List] = {}
+        need_docs = self.world.name == "feb4rag"
+        for si, src in enumerate(self.world.sources):
+            if not res.mask[si]:
+                continue
+            if need_docs:
+                ids, docs, scores = self._resolve_source(res, si)
+                per_source_ids[src.name] = ids
+                per_source_docs[src.name] = docs
+                payload = {
+                    "query_id": query_id, "client_id": si, "name": src.name,
+                    "indices": ids, "docs": docs, "scores": scores,
+                    "duration": res.doc_select_time,
+                }
+                msg_size = len(json.dumps(payload, default=str))
+            else:
+                msg_size = self._estimate_message_size(res, si, query_id)
+            ds_stats[src.name] = {
+                "duration": res.doc_select_time,
+                "message_size": msg_size,
+            }
+
+        raw_docs = None
+        if self._get_raw is not None:
+            raw_docs = self._merge_top_docs_raw(res)
+        # raw mode implies disable_llm, so nothing downstream reads the
+        # parsed docs when the raw fragment exists
+        top_docs = (None if raw_docs is not None else self._merge_top_docs(
+            res, question_id, per_source_ids, per_source_docs))
+        return selected, ds_stats, top_docs, raw_docs
+
+    def _finalize(self, response: dict, res: QueryResult, *, selected,
+                  ds_stats, top_docs, raw_docs, generate_time, docs_tokens,
+                  start, embedding_time, batch_wait, t_assemble,
+                  llm_wall=0.0) -> dict:
+        """Attach the reference metadata schema + observe metrics (sync;
+        shared by the asyncio handlers and the native front-end loop)."""
         e2e = time.time() - start
         self.metrics.observe_query(
             embedding=embedding_time, selection=res.selection_time,

@@ -236,7 +236,27 @@ class ServingSystem:
         self.num_processes = getattr(args, "num_processes", 1) or 1
         self.process_id = getattr(args, "process_id", 0) or 0
         self.reuse_port = getattr(args, "reuse_port", False)
+        # --frontend native: C++ epoll IO plane (engine/native_frontend.py).
+        # Valid only for the retrieval surface: the sync serving loop can't
+        # await LLM backends, the /docs/* endpoints are asyncio-only, and
+        # simulate's per-query LLM_DELAY sleep needs the event loop.
+        self.frontend = getattr(args, "frontend", None) or "aiohttp"
+        if self.frontend == "native":
+            if not self.disable_llm:
+                raise ValueError(
+                    "--frontend native serves the retrieval surface with "
+                    "the LLM disabled; add --disable-llm or use the "
+                    "default front-end for generation")
+            if self.mutable:
+                raise ValueError(
+                    "--frontend native does not serve the /docs/* mutable "
+                    "endpoints — drop --mutable or --frontend native")
+            if self.simulate:
+                raise ValueError(
+                    "--frontend native does not support --simulate "
+                    "(per-query stage delays need the event loop)")
         self.server: Optional[FederationServer] = None
+        self.native = None  # NativeFederationServer with --frontend native
         self._watchdog: Optional[asyncio.Task] = None
         self._stopping = False
 
@@ -465,6 +485,39 @@ class ServingSystem:
                 logger.error("batch worker died (%s); restarting", exc)
                 await b.start()
 
+    def run_native(self) -> None:
+        """Serve through the C++ front-end (``--frontend native``): no
+        asyncio — the C++ epoll thread owns the sockets and this (main)
+        thread runs the device loop. Blocks until SIGINT/SIGTERM."""
+        from ragroute_tpu.engine.native_frontend import (
+            NativeFederationServer)
+
+        if self.server is None:
+            self.build()
+        native = NativeFederationServer(self.server)
+        self.native = native
+        native.start()
+        logger.info(
+            "Starting ragroute-tpu with dataset %s (routing=%s, "
+            "native front-end)", self.dataset, self.routing)
+
+        def _sig(signum, frame):
+            logger.info("signal %s: shutting down native front-end", signum)
+            native._running = False
+            if native.fe is not None:
+                native.fe.shutdown()
+
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                signal.signal(sig, _sig)
+            except ValueError:  # non-main thread (tests)
+                pass
+        try:
+            native.serve_forever()
+        except KeyboardInterrupt:
+            native.stop()
+        logger.info("Shutdown complete")
+
     async def run_forever(self) -> None:
         if self.num_processes > 1 and self.process_id > 0:
             # follower host: no HTTP front-end; join the leader's
@@ -511,7 +564,10 @@ def _worker_entry(args_dict: dict) -> None:
     args = argparse.Namespace(**args_dict)
     system = ServingSystem(args)
     try:
-        aio.run(system.run_forever())
+        if system.frontend == "native":
+            system.run_native()
+        else:
+            aio.run(system.run_forever())
     except KeyboardInterrupt:
         pass
 
