@@ -126,9 +126,13 @@ def native_frontend_available() -> bool:
 class NativeFrontend:
     """Thin wrapper over the C front-end handle."""
 
-    MAX_POP = 256  # requests per fe_next call (bulk bodies expand after)
+    MAX_POP = 512  # default requests per fe_next call; the serving loop
+    # sizes this to its largest batch bucket (a smaller pop padded up to
+    # the bucket wastes device work: a 256-cap measured 917 q/s vs
+    # aiohttp's 1052 because every 512-bucket step carried 50% padding)
 
-    def __init__(self, host: str, port: int, reuse_port: bool = False):
+    def __init__(self, host: str, port: int, reuse_port: bool = False,
+                 max_pop: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("native frontend unavailable (g++ missing?)")
@@ -136,7 +140,8 @@ class NativeFrontend:
         self._h = lib.fe_start(host.encode(), port, int(reuse_port))
         if not self._h:
             raise OSError(f"fe_start failed to bind {host}:{port}")
-        self._buf = (_FeReq * self.MAX_POP)()
+        self.max_pop = int(max_pop) or self.MAX_POP
+        self._buf = (_FeReq * self.max_pop)()
 
     @property
     def port(self) -> int:
@@ -147,7 +152,7 @@ class NativeFrontend:
         """Pop up to ``max_n`` parsed requests as
         ``(id, method, path, qs, body)`` tuples (bytes); ``None`` when the
         front-end was shut down, ``[]`` on timeout."""
-        max_n = min(max_n, self.MAX_POP)
+        max_n = min(max_n, self.max_pop)
         n = self._lib.fe_next(self._h, self._buf, max_n,
                               first_timeout_ms, window_ms)
         if n < 0:
@@ -257,8 +262,12 @@ class NativeFederationServer:
     def start(self, *, thread: bool = False) -> None:
         if self.server.warmup:
             self.server._warmup()
+        # pop up to the largest bucket per batch: anything smaller pads
+        # the device step with dead rows under closed-loop load
         self.fe = NativeFrontend(self.server.host, self.server.port,
-                                 reuse_port=self.server.reuse_port)
+                                 reuse_port=self.server.reuse_port,
+                                 max_pop=max(NativeFrontend.MAX_POP,
+                                             self.buckets[-1]))
         self._running = True
         logger.info("native HTTP front-end on http://%s:%s",
                     self.server.host, self.fe.port)
@@ -289,7 +298,7 @@ class NativeFederationServer:
     def serve_forever(self) -> None:
         try:
             while self._running:
-                reqs = self.fe.next(NativeFrontend.MAX_POP,
+                reqs = self.fe.next(self.fe.max_pop,
                                     first_timeout_ms=200,
                                     window_ms=self.window_ms)
                 if reqs is None:
