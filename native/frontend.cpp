@@ -213,6 +213,11 @@ void write_simple(Server* s, Conn* c, int code, const std::string& body,
   c->order.push_back(id);
   s->done[id] = std::move(out);
   s->done_close[id] = close_after;
+  // Latch close_after NOW (not when the response drains): parse_requests
+  // checks it to stop re-parsing the same malformed bytes while earlier
+  // pipelined requests are still in Python — otherwise every new read
+  // event would queue a duplicate error response.
+  if (close_after) c->close_after = true;
   drain_ready_responses(s, c);
 }
 

@@ -373,3 +373,43 @@ def test_requires_disable_llm():
     syn, server = make_server(disable_llm=False)
     with pytest.raises(ValueError, match="LLM disabled"):
         NativeFederationServer(server)
+
+
+def test_malformed_pipelined_request_single_400():
+    """A malformed request pipelined after a valid one gets exactly ONE
+    400 and the connection closes — the parser must latch close_after
+    immediately, not when the error response drains, or every further
+    read event re-parses the same bad bytes and queues duplicate 400s
+    (regression: observed as duplicate error responses under pipelining
+    while the valid request was still in the Python device step)."""
+    syn, server, ns = start_native()
+    try:
+        q0 = syn.questions[0]
+        valid = (f"GET {query_path(q0['question'], q0['options'], q0['qid'])}"
+                 f" HTTP/1.1\r\nHost: x\r\n\r\n").encode()
+        s = socket.create_connection(("127.0.0.1", ns.bound_port),
+                                     timeout=60)
+        s.sendall(valid + b"BOGUS\r\n\r\n")
+        time.sleep(0.1)
+        try:
+            # a second write forces another read event on the conn while
+            # (possibly) the valid request is still being processed
+            s.sendall(b"MORE JUNK\r\n\r\n")
+        except OSError:
+            pass  # already closed — fine
+        buf = b""
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            s.settimeout(max(0.1, deadline - time.time()))
+            try:
+                chunk = s.recv(65536)
+            except socket.timeout:
+                break
+            if not chunk:
+                break  # server closed the conn, as it must
+            buf += chunk
+        s.close()
+        assert buf.count(b"HTTP/1.1 200") == 1
+        assert buf.count(b"HTTP/1.1 400") == 1
+    finally:
+        ns.stop()
