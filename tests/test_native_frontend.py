@@ -375,6 +375,65 @@ def test_requires_disable_llm():
         NativeFederationServer(server)
 
 
+def test_parser_robustness_fuzz():
+    """Deterministic fuzz of the C++ HTTP parser: garbage bytes, huge
+    headers, split writes, bogus Content-Length, unsupported
+    Transfer-Encoding, early disconnects. The server must stay alive
+    (every connection either gets an error status or a clean close) and
+    still answer a well-formed query afterwards."""
+    import random
+
+    syn, server, ns = start_native()
+    rng = random.Random(0xF00D)
+    try:
+        port = ns.bound_port
+        cases = [
+            b"\x00\x01\x02\xff\xfe garbage\r\n\r\n",
+            b"GET\r\n\r\n",
+            b"GET /query HTTP/1.1\r\n" + b"X-Pad: " + b"a" * 70000
+            + b"\r\n\r\n",
+            b"POST /query HTTP/1.1\r\nContent-Length: 999999999999\r\n\r\n",
+            b"POST /query HTTP/1.1\r\nContent-Length: -5\r\n\r\nhello",
+            b"POST /q HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\n0\r\n\r\n",
+            b"GET /nope HTTP/1.1\r\nHost: x\r\n\r\n",
+            bytes(rng.getrandbits(8) for _ in range(4096)),
+            b"GET /query?q=a&choices=bad HTTP/1.0\r\n\r\n",
+        ]
+        for raw in cases:
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            try:
+                # split writes exercise partial-read reassembly
+                mid = len(raw) // 2
+                s.sendall(raw[:mid])
+                time.sleep(0.01)
+                s.sendall(raw[mid:])
+                # short timeout: an incomplete header legitimately gets
+                # NO response (the parser waits for more bytes)
+                s.settimeout(2)
+                try:
+                    s.recv(65536)  # response or clean close — both fine
+                except socket.timeout:
+                    pass
+            except OSError:
+                pass  # reset mid-write is an acceptable rejection
+            finally:
+                s.close()
+        # a few abrupt disconnects mid-request
+        for _ in range(5):
+            s = socket.create_connection(("127.0.0.1", port), timeout=30)
+            s.sendall(b"GET /query?q=a")
+            s.close()
+        # the server must still serve a valid query
+        q0 = syn.questions[0]
+        status, _, body = http_get(
+            port, query_path(q0["question"], q0["options"], q0["qid"]))
+        assert status == 200
+        assert json.loads(body)["query"] == q0["question"]
+    finally:
+        ns.stop()
+
+
 def test_malformed_pipelined_request_single_400():
     """A malformed request pipelined after a valid one gets exactly ONE
     400 and the connection closes — the parser must latch close_after
