@@ -35,7 +35,7 @@ import threading
 import time
 import uuid
 from typing import Dict, List, Optional
-from urllib.parse import parse_qs
+from urllib.parse import unquote_plus
 
 import numpy as np
 
@@ -44,6 +44,28 @@ from ragroute_tpu.engine.batcher import QueryResult, fetch_candidates_policy
 from ragroute_tpu.engine.server import FederationServer, _dumps
 
 logger = logging.getLogger("native_frontend")
+
+
+def _parse_qs_first(qs: str, out: Dict[str, str]) -> Dict[str, str]:
+    """First-value query-string parse into ``out`` (later dups ignored,
+    matching the ``parse_qs(...)[key][0]`` reads this replaces). Decoding
+    only runs when a value actually carries %xx/+ escapes — the stdlib
+    parse_qs chain measured ~75 µs/request of pure dispatch overhead
+    under load (native-loop cProfile, BENCHMARKS.md)."""
+    for part in qs.split("&"):
+        if not part:
+            continue
+        key, _, val = part.partition("=")
+        if "%" in key or "+" in key:
+            key = unquote_plus(key, errors="replace")
+        if key in out:
+            continue
+        if "%" in val:
+            val = unquote_plus(val, errors="replace")
+        elif "+" in val:
+            val = val.replace("+", " ")
+        out[key] = val
+    return out
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -103,12 +125,21 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fe_port.argtypes = [ctypes.c_void_p]
         lib.fe_port.restype = ctypes.c_int
         lib.fe_next.argtypes = [ctypes.c_void_p, ctypes.POINTER(_FeReq),
-                                ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_int, ctypes.c_int]
         lib.fe_next.restype = ctypes.c_int
         lib.fe_respond.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                    ctypes.c_int, ctypes.c_char_p,
                                    ctypes.c_char_p, ctypes.c_longlong]
         lib.fe_respond.restype = ctypes.c_int
+        lib.fe_respond_many.argtypes = [
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_longlong)]
+        lib.fe_respond_many.restype = ctypes.c_int
         lib.fe_stat.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.fe_stat.restype = ctypes.c_longlong
         lib.fe_shutdown.argtypes = [ctypes.c_void_p]
@@ -148,13 +179,17 @@ class NativeFrontend:
         return int(self._lib.fe_port(self._h))
 
     def next(self, max_n: int, first_timeout_ms: int = 200,
-             window_ms: int = 0):
+             window_ms: int = 0, fill_n: int = 0, fill_ms: int = 0):
         """Pop up to ``max_n`` parsed requests as
         ``(id, method, path, qs, body)`` tuples (bytes); ``None`` when the
-        front-end was shut down, ``[]`` on timeout."""
+        front-end was shut down, ``[]`` on timeout. ``fill_n/fill_ms``:
+        after the first request is in hand, keep waiting up to ``fill_ms``
+        (from now) for ``fill_n`` requests to queue — fuller device
+        batches at a small latency cost."""
         max_n = min(max_n, self.max_pop)
         n = self._lib.fe_next(self._h, self._buf, max_n,
-                              first_timeout_ms, window_ms)
+                              first_timeout_ms, window_ms,
+                              fill_n, fill_ms)
         if n < 0:
             return None
         out = []
@@ -173,6 +208,36 @@ class NativeFrontend:
         if isinstance(body, str):
             body = body.encode()
         self._lib.fe_respond(self._h, rid, status, ctype, body, len(body))
+
+    def respond_many(self, items) -> int:
+        """Deliver ``[(rid, status, ctype, body), ...]`` in one native
+        call: one inflight-map pass, one queue push, one eventfd wakeup
+        (per-response calls each wake the IO thread, which preempts the
+        serving thread on a shared core — measured 0.24 ms/response)."""
+        n = len(items)
+        if n == 0:
+            return 0
+        if n == 1:
+            rid, status, ctype, body = items[0]
+            self.respond(rid, status, body, ctype)
+            return 1
+        ids = (ctypes.c_uint64 * n)()
+        sts = (ctypes.c_int32 * n)()
+        cts = (ctypes.c_char_p * n)()
+        bds = (ctypes.c_char_p * n)()
+        lns = (ctypes.c_longlong * n)()
+        bodies = []  # keep the encoded bytes alive through the call
+        for i, (rid, status, ctype, body) in enumerate(items):
+            if isinstance(body, str):
+                body = body.encode()
+            bodies.append(body)
+            ids[i] = rid
+            sts[i] = status
+            cts[i] = ctype
+            bds[i] = body
+            lns[i] = len(body)
+        return int(self._lib.fe_respond_many(
+            self._h, n, ids, sts, cts, bds, lns))
 
     def stats(self) -> dict:
         names = ("accepted", "requests", "bad_requests", "responses",
@@ -250,12 +315,23 @@ class NativeFederationServer:
         self.strategy = server.strategy
         self.provider = server.provider
         self.window_ms = int(window_ms)
+        # min-fill wait: after the first request, wait up to this many ms
+        # for the pop to reach the largest bucket — a padded 512-bucket
+        # device step costs the same as a full one, so a few ms of
+        # accumulation buys real rows. Engaged adaptively (serve_forever):
+        # only after a ≥32-request pop, so light load never pays it.
+        # A/B at 512 clients: 0 → 1567 q/s, 15 → 1796, 30 → 1349 (over-
+        # waiting starves the device); 0 disables.
+        self.fill_ms = int(os.environ.get("RAGROUTE_NATIVE_FILL_MS", "15"))
         self.buckets = tuple(sorted(server.batcher.buckets))
         self.staged = server.batcher.staged
         self._fetch = fetch_candidates_policy(self.world)
         self.fe: Optional[NativeFrontend] = None
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # responses buffered during one _handle pass, delivered with a
+        # single fe_respond_many call (serve_forever is single-threaded)
+        self._out: List = []
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -296,15 +372,24 @@ class NativeFederationServer:
     # -- loop --------------------------------------------------------------
 
     def serve_forever(self) -> None:
+        last_n = 0
         try:
             while self._running:
+                # the min-fill wait engages only under real load (the
+                # previous pop was a multi-query batch): a lone request
+                # must not pay fill_ms of latency waiting for company
+                fill = self.fill_ms if last_n >= 32 else 0
                 reqs = self.fe.next(self.fe.max_pop,
                                     first_timeout_ms=200,
-                                    window_ms=self.window_ms)
+                                    window_ms=self.window_ms,
+                                    fill_n=self.buckets[-1] if fill else 0,
+                                    fill_ms=fill)
                 if reqs is None:
                     break
                 if not reqs:
+                    last_n = 0
                     continue
+                last_n = len(reqs)
                 self._handle(reqs)
         finally:
             if self.fe is not None:
@@ -313,50 +398,57 @@ class NativeFederationServer:
 
     # -- request routing -----------------------------------------------------
 
+    def _respond(self, rid: int, status: int, body,
+                 ctype: bytes = b"application/json") -> None:
+        self._out.append((rid, status, ctype, body))
+
     def _handle(self, reqs) -> None:
         work: List[_Work] = []
-        for rid, method, path, qs, body in reqs:
-            try:
-                self._route(rid, method, path, qs, body, work)
-            except Exception as e:  # never kill the loop on one request
-                logger.exception("request handling failed")
-                self.fe.respond(rid, 500, f"Internal error: {e}",
-                                ctype=b"text/plain; charset=utf-8")
-        if work:
-            self._run_queries(work)
+        try:
+            for rid, method, path, qs, body in reqs:
+                try:
+                    self._route(rid, method, path, qs, body, work)
+                except Exception as e:  # never kill the loop on one request
+                    logger.exception("request handling failed")
+                    self._respond(rid, 500, f"Internal error: {e}",
+                                  ctype=b"text/plain; charset=utf-8")
+            if work:
+                self._run_queries(work)
+        finally:
+            out, self._out = self._out, []
+            self.fe.respond_many(out)
 
     def _route(self, rid, method, path, qs, body, work: List[_Work]) -> None:
         if path == b"/query":
-            params = parse_qs(qs.decode("utf-8", "replace"),
-                              keep_blank_values=True)
+            params: Dict[str, str] = {}
             if method == 1 and body:
-                # POST /query: form-encoded fields (reference parity)
-                params.update(parse_qs(body.decode("utf-8", "replace"),
-                                       keep_blank_values=True))
+                # POST /query: form-encoded fields override the query
+                # string (reference parity) — parse the body first so its
+                # first-occurrence values win
+                _parse_qs_first(body.decode("utf-8", "replace"), params)
+            _parse_qs_first(qs.decode("utf-8", "replace"), params)
 
-            def first(key):
-                v = params.get(key)
-                return v[0] if v else ""
+            first = params.get
 
-            query = first("q")
-            choices = first("choices")
-            question_id = first("qid")
+            query = first("q", "")
+            choices = first("choices", "")
+            question_id = first("qid", "")
             # validation parity (reference http_server.py:117-130)
             if not query:
-                return self.fe.respond(rid, 400, "Please provide a query",
+                return self._respond(rid, 400, "Please provide a query",
                                        ctype=b"text/plain; charset=utf-8")
             if not choices:
-                return self.fe.respond(rid, 400, "Please provide choices",
+                return self._respond(rid, 400, "Please provide choices",
                                        ctype=b"text/plain; charset=utf-8")
             if self.world.name == "feb4rag" and not question_id:
-                return self.fe.respond(
+                return self._respond(
                     rid, 400,
                     "For FeB4RAG, please provide a question ID (qid)",
                     ctype=b"text/plain; charset=utf-8")
             try:
                 choices = json.loads(choices)
             except json.JSONDecodeError:
-                return self.fe.respond(rid, 400, "Invalid choices format",
+                return self._respond(rid, 400, "Invalid choices format",
                                        ctype=b"text/plain; charset=utf-8")
             stream = first("stream") in ("1", "true")
             work.append(_Work(rid, query, choices, question_id,
@@ -367,11 +459,11 @@ class NativeFederationServer:
             try:
                 data = json.loads(body)
             except (json.JSONDecodeError, UnicodeDecodeError):
-                return self.fe.respond(rid, 400, "Invalid JSON body",
+                return self._respond(rid, 400, "Invalid JSON body",
                                        ctype=b"text/plain; charset=utf-8")
             queries = data.get("queries") if isinstance(data, dict) else data
             if not isinstance(queries, list) or not queries:
-                return self.fe.respond(
+                return self._respond(
                     rid, 400, "Provide a non-empty 'queries' list",
                     ctype=b"text/plain; charset=utf-8")
             group = _Group(rid, len(queries))
@@ -403,7 +495,7 @@ class NativeFederationServer:
             return None
 
         if path == b"/healthz":
-            return self.fe.respond(rid, 200, _dumps({
+            return self._respond(rid, 200, _dumps({
                 "status": "ok",
                 "world": self.world.name,
                 "strategy": self.strategy,
@@ -414,9 +506,9 @@ class NativeFederationServer:
         if path == b"/stats":
             snap = self.server.metrics.snapshot()
             snap["frontend"] = {"kind": "native", **self.fe.stats()}
-            return self.fe.respond(rid, 200, _dumps(snap))
+            return self._respond(rid, 200, _dumps(snap))
 
-        self.fe.respond(
+        self._respond(
             rid, 501,
             f"The native front-end serves the query surface only "
             f"({path.decode('utf-8', 'replace')} is not implemented); "
@@ -503,6 +595,14 @@ class NativeFederationServer:
             fetch_candidates=self._fetch)
         t_done = time.time()
         srv = self.server
+        query_ids = [str(uuid.uuid4()) for _ in chunk]
+        # one vectorized [n, N] message-size pass for the whole chunk
+        # (uuid4 strings all have one length; feb4rag sizes its payloads
+        # from the resolved docs inside _assemble_pre instead)
+        msg_sizes_all = None
+        if self.world.name != "feb4rag":
+            msg_sizes_all = srv._estimate_message_sizes_chunk(
+                out.shard_ids[:n], len(query_ids[0]))
         for i, w in enumerate(chunk):
             res = QueryResult(
                 probs=out.probs[i],
@@ -521,10 +621,12 @@ class NativeFederationServer:
             batch_wait = max(0.0, (t_done - w.t_submit)
                              - res.selection_time - res.doc_select_time)
             t_assemble = time.time()
-            query_id = str(uuid.uuid4())
+            query_id = query_ids[i]
             try:
                 selected, ds_stats, top_docs, raw_docs = srv._assemble_pre(
-                    res, query_id, w.qid)
+                    res, query_id, w.qid,
+                    msg_sizes=(None if msg_sizes_all is None
+                               else msg_sizes_all[i]))
                 result = srv._finalize(
                     {"query_id": query_id, "query": w.query, "answer": ""},
                     res, selected=selected, ds_stats=ds_stats,
@@ -544,7 +646,7 @@ class NativeFederationServer:
         if w.group is not None:
             self._group_done(w.group, w.gidx, {"error": str(e)})
         else:
-            self.fe.respond(w.rid, 500, f"Internal error: {e}",
+            self._respond(w.rid, 500, f"Internal error: {e}",
                             ctype=b"text/plain; charset=utf-8")
 
     def _encode_single(self, result: dict) -> str:
@@ -564,9 +666,9 @@ class NativeFederationServer:
             # SSE framing parity: with the LLM disabled there are no delta
             # events — one final (authoritative) event, then [DONE]
             sse = "data: " + body + "\n\ndata: [DONE]\n\n"
-            self.fe.respond(w.rid, 200, sse, ctype=b"text/event-stream")
+            self._respond(w.rid, 200, sse, ctype=b"text/event-stream")
         else:
-            self.fe.respond(w.rid, 200, body)
+            self._respond(w.rid, 200, body)
 
     def _group_done(self, group: _Group, idx: int, result) -> None:
         group.results[idx] = result
@@ -586,4 +688,4 @@ class NativeFederationServer:
             spliced = self.server._splice_raw(body, frags, owners)
             body = (spliced if spliced is not None
                     else _dumps({"results": results}))
-        self.fe.respond(group.rid, 200, body)
+        self._respond(group.rid, 200, body)

@@ -766,7 +766,7 @@ class FederationServer:
             llm_wall=llm_wall)
 
     def _assemble_pre(self, res: QueryResult, query_id: str,
-                      question_id: str):
+                      question_id: str, msg_sizes=None):
         """Everything between the device result and the LLM stage, sync
         (shared by the asyncio handlers and the native front-end loop):
         selected source names, per-source stats, merged top docs.
@@ -799,6 +799,8 @@ class FederationServer:
                     "duration": res.doc_select_time,
                 }
                 msg_size = len(json.dumps(payload, default=str))
+            elif msg_sizes is not None:
+                msg_size = int(msg_sizes[si])
             else:
                 msg_size = self._estimate_message_size(res, si, query_id)
             ds_stats[src.name] = {
@@ -874,6 +876,33 @@ class FederationServer:
             tab = (rawl, idl)
             self._size_cache[si] = tab
         return tab
+
+    def _estimate_message_sizes_chunk(self, shard_ids_all: np.ndarray,
+                                      qid_len: int) -> np.ndarray:
+        """Vectorized ``[B, N]`` equivalent of `_estimate_message_size`:
+        one numpy pass per source per CHUNK instead of ~8 small-array ops
+        per (query, source) — the per-call numpy dispatch overhead
+        measured ~70 µs under 512-client load (native-loop cProfile,
+        BENCHMARKS.md)."""
+        bsz, nsrc, k = shard_ids_all.shape
+        out = np.zeros((bsz, nsrc), dtype=np.int64)
+        for si, src in enumerate(self.world.sources):
+            rawl, idl = self._size_tables(si)
+            ids = shard_ids_all[:, si, :]
+            size = np.full((bsz,), qid_len + len(src.name) + 96 + 20 * k,
+                           dtype=np.int64)
+            if idl is not None:
+                n = idl.shape[0]
+                clipped = np.clip(ids, 0, max(n - 1, 0))
+                per = np.where((ids >= 0) & (ids < n), idl[clipped], 0)
+                size += per.sum(axis=1)
+            if rawl is not None:
+                n = rawl.shape[0]
+                clipped = np.clip(ids, 0, max(n - 1, 0))
+                per = np.where((ids >= 0) & (ids < n), rawl[clipped], 4)
+                size += per.sum(axis=1) + 2 * k
+            out[:, si] = size
+        return out
 
     def _estimate_message_size(self, res: QueryResult, si: int,
                                query_id: str) -> int:

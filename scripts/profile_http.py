@@ -19,6 +19,10 @@ end is the binding constraint — see BENCHMARKS.md "HTTP serving").
 import argparse
 import asyncio
 import cProfile
+import faulthandler
+import signal
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 import io
 import json
 import os
@@ -31,7 +35,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-async def run(args):
+def build_server(args):
     import jax.numpy as jnp
 
     from ragroute_tpu.engine import FederatedSearchEngine
@@ -58,14 +62,15 @@ async def run(args):
         doc_store=MemoryDocStore.from_synthetic(syn),
         disable_llm=True, port=0,
         batcher=QueryBatcher(engine, strategy="ragroute"))
-    await server.start()
-    port = server.bound_port
+    return syn, server
 
+
+def load_command(syn, port, args):
     qids_path = os.path.join(tempfile.gettempdir(), "profile_qids.json")
     with open(qids_path, "w") as f:
         json.dump([q["qid"] for q in syn.questions], f)
 
-    load_cmd = [
+    return [
         sys.executable, os.path.join(os.path.dirname(__file__),
                                      "http_load.py"),
         "--server", f"http://127.0.0.1:{port}",
@@ -75,6 +80,12 @@ async def run(args):
         "--warmup-seconds", "3",
         "--bulk", str(args.bulk),
     ]
+
+
+async def run(args):
+    syn, server = build_server(args)
+    await server.start()
+    load_cmd = load_command(syn, server.bound_port, args)
     print(f"driving load: {' '.join(load_cmd[1:])}", file=sys.stderr)
 
     prof = cProfile.Profile() if args.cprofile else None
@@ -86,7 +97,53 @@ async def run(args):
     if prof:
         prof.disable()
     await server.stop()
+    emit_report(out, server, prof)
 
+
+def run_native(args):
+    """Profile the C++ front-end's Python serving loop (--frontend native).
+
+    The IO plane (parse/write) runs on the C++ epoll thread and is
+    invisible to cProfile by design; what this measures is everything
+    Python still pays per query — embed, device step + transfer,
+    response assembly, ctypes handoff — i.e. the native path's remaining
+    host ceiling. serve_forever runs in THIS thread under the profiler
+    (cProfile instruments only its own thread); a watcher thread stops
+    the loop when the load generator exits.
+    """
+    import threading
+
+    from ragroute_tpu.engine.native_frontend import NativeFederationServer
+
+    syn, server = build_server(args)
+    native = NativeFederationServer(server)
+    native.start(thread=False)
+    load_cmd = load_command(syn, native.bound_port, args)
+    print(f"driving load: {' '.join(load_cmd[1:])}", file=sys.stderr)
+
+    proc = subprocess.Popen(load_cmd, stdout=subprocess.PIPE)
+
+    def _watch():
+        proc.wait()
+        # wake the blocked fe_next; serve_forever's finally closes the
+        # handle on ITS thread (full stop() here would race the close)
+        native._running = False
+        if native.fe is not None:
+            native.fe.shutdown()
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+    prof = cProfile.Profile() if args.cprofile else None
+    if prof:
+        prof.enable()
+    native.serve_forever()
+    if prof:
+        prof.disable()
+    out = proc.stdout.read()
+    emit_report(out, server, prof)
+
+
+def emit_report(out, server, prof):
     load = json.loads(out.decode().strip().splitlines()[-1])
     stats = server.metrics.snapshot()
 
@@ -118,8 +175,15 @@ def main():
                     help="queries per request via POST /query/batch "
                          "(0 = single-query GET mode)")
     ap.add_argument("--cprofile", action="store_true")
+    ap.add_argument("--frontend", choices=["aiohttp", "native"],
+                    default="aiohttp",
+                    help="'native' profiles the Python serving loop "
+                         "behind the C++ IO plane")
     args = ap.parse_args()
-    asyncio.run(run(args))
+    if args.frontend == "native":
+        run_native(args)
+    else:
+        asyncio.run(run(args))
 
 
 if __name__ == "__main__":

@@ -472,3 +472,60 @@ def test_malformed_pipelined_request_single_400():
         assert buf.count(b"HTTP/1.1 400") == 1
     finally:
         ns.stop()
+
+
+def test_mixed_burst_batched_responses():
+    """Valid queries and validation failures arriving in ONE pop batch
+    are all answered correctly through the batched fe_respond_many path
+    (errors queue into the same outbox as results)."""
+    syn, server, ns = start_native()
+    try:
+        port = ns.bound_port
+        results = {}
+
+        def client(tid):
+            q = syn.questions[tid % len(syn.questions)]
+            if tid % 3 == 2:
+                path = "/query?choices=%5B%5D"  # missing q -> 400
+            else:
+                path = query_path(q["question"], q["options"], q["qid"])
+            status, _, body = http_get(port, path)
+            results[tid] = (status, body)
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(9)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for tid, (status, body) in results.items():
+            if tid % 3 == 2:
+                assert status == 400
+                assert body == b"Please provide a query"
+            else:
+                assert status == 200
+                assert json.loads(body)["metadata"]["top_docs"]
+    finally:
+        ns.stop()
+
+
+def test_respond_many_skips_unknown_ids():
+    """fe_respond_many returns the accepted count and ignores ids that
+    are not in flight (e.g. a connection that died mid-step)."""
+    syn, server, ns = start_native()
+    try:
+        port = ns.bound_port
+        # a real request we answer manually alongside two bogus ids
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        assert r.status == 200
+        r.read()
+        conn.close()
+        accepted = ns.fe.respond_many([
+            (1 << 60, 200, b"application/json", b"{}"),
+            ((1 << 60) + 1, 500, b"text/plain", b"nope"),
+        ])
+        assert accepted == 0
+    finally:
+        ns.stop()
