@@ -47,7 +47,8 @@ class QueryResult:
     shard_scores: Optional[np.ndarray]  # [N, k]; None on the serving
     #                            path of score-merged worlds
     #                            (fetch_candidates_policy)
-    shard_ids: np.ndarray      # [N, k]
+    shard_ids: Optional[np.ndarray]  # [N, k]; None when the engine
+    #                            computed msg_base on device instead
     merged_score: np.ndarray   # [k]
     merged_shard: np.ndarray   # [k]
     merged_local: np.ndarray   # [k]
@@ -55,6 +56,8 @@ class QueryResult:
     selection_time: float      # per-batch stage times (shared)
     doc_select_time: float
     batch_size: int
+    msg_base: Optional[np.ndarray] = None  # [N] device-computed response
+    #                            sizes minus the query-id length
 
 
 class QueryBatcher:
@@ -210,7 +213,8 @@ class QueryBatcher:
                             mask=out.mask[i],
                             shard_scores=(None if out.shard_scores is None
                                           else out.shard_scores[i]),
-                            shard_ids=out.shard_ids[i],
+                            shard_ids=(None if out.shard_ids is None
+                                       else out.shard_ids[i]),
                             merged_score=out.merged_score[i],
                             merged_shard=out.merged_shard[i],
                             merged_local=out.merged_local[i],
@@ -218,6 +222,8 @@ class QueryBatcher:
                             selection_time=out.selection_time,
                             doc_select_time=out.doc_select_time,
                             batch_size=n,
+                            msg_base=(None if out.msg_base is None
+                                      else out.msg_base[i]),
                         ))
                 except Exception as e:  # deliver failures to every waiter
                     for _, fut in batch:

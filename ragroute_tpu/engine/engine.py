@@ -50,11 +50,17 @@ class SearchOutput:
     #                             scores; None when the search ran with
     #                             fetch_candidates=False (the serving
     #                             default for score-merged worlds)
-    shard_ids: np.ndarray       # [B, N, k] local doc indices
+    shard_ids: Optional[np.ndarray]  # [B, N, k] local doc indices; None
+    #                             when payload tables are loaded and the
+    #                             search ran with fetch_candidates=False
+    #                             (msg_base replaces its only consumer)
     merged_score: np.ndarray    # [B, k] natural merged scores
     merged_shard: np.ndarray    # [B, k] winning shard index (-1 = invalid)
     merged_local: np.ndarray    # [B, k] local doc index within shard
     merged_valid: np.ndarray    # [B] number of valid merged entries
+    msg_base: Optional[np.ndarray] = None  # [B, N] device-computed
+    #                             serialized-response size per source,
+    #                             minus the query-id length (host adds it)
     selection_time: float = 0.0   # router stage (s), staged mode only
     doc_select_time: float = 0.0  # scoring+merge stage (s)
 
@@ -92,6 +98,66 @@ def gate_and_merge(world: WorldConfig, k: int, mask, per_scores, per_ids):
     merged_shard = jnp.where(valid, merged_shard, -1)
     merged_valid = valid.sum(axis=1).astype(jnp.int32)
     return shard_scores, shard_ids, merged_score, merged_shard, merged_local, merged_valid
+
+
+def build_payload_tables(per_source, names, k: int):
+    """Pack per-source doc-length tables into device arrays for
+    :func:`payload_base`.
+
+    ``per_source[i]`` is ``(rawl, idl)`` — int32 per-doc byte lengths of
+    the raw doc-store line and the id string (either may be ``None``) —
+    exactly the tables the server's host-side estimator uses
+    (``server._size_tables``). Returns ``(tab [N, n_max] i32,
+    inv [N] i32, const [N] i32)``: merged per-doc byte length, the
+    contribution of an out-of-range (pad) id, and the per-source envelope
+    constant (everything in ``server._estimate_message_size`` except the
+    query-id length, which the host adds).
+    """
+    n_max = 1
+    for rawl, idl in per_source:
+        for t in (rawl, idl):
+            if t is not None:
+                n_max = max(n_max, len(t))
+    n = len(per_source)
+    tab = np.zeros((n, n_max), np.int32)
+    inv = np.zeros((n,), np.int32)
+    const = np.zeros((n,), np.int32)
+    for i, (rawl, idl) in enumerate(per_source):
+        const[i] = len(names[i]) + 96 + 20 * k
+        if idl is not None:
+            tab[i, :len(idl)] += idl
+        if rawl is not None:
+            tab[i, :len(rawl)] += rawl
+            # pad ids under a raw table contribute the 4-byte "null";
+            # ids past the table end match the host estimator's
+            # (ids >= n) exclusion only through the validity mask, so
+            # tab rows beyond len(rawl) stay 0 and inv covers them via
+            # payload_base's explicit range check
+            inv[i] = 4
+            const[i] += 2 * k
+    return (jnp.asarray(tab), jnp.asarray(inv), jnp.asarray(const),
+            jnp.asarray(np.array([  # per-source valid-id horizon
+                max((len(t) for t in pair if t is not None), default=0)
+                for pair in per_source], np.int32)))
+
+
+def payload_base(ptables, shard_ids):
+    """Device-side ``[B, N]`` serialized-response size (sans qid length).
+
+    Mirrors ``server._estimate_message_size`` exactly: valid local ids
+    gather their per-doc byte length; pad/out-of-range ids contribute
+    the per-source invalid constant. Replaces the host's only use of the
+    ``[B, N, k]`` ``shard_ids`` fetch on the score-merged serving path —
+    at B=512/N=9/k=32 that fetch is ~590 KB/step vs 18 KB for this.
+    """
+    tab, inv, const, nvalid = ptables
+    ids = shard_ids                                     # [B, N, k]
+    n_max = tab.shape[1]
+    ok = (ids >= 0) & (ids < nvalid[None, :, None])
+    gathered = jnp.take_along_axis(
+        tab[None, :, :], jnp.clip(ids, 0, n_max - 1), axis=2)
+    per = jnp.where(ok, gathered, inv[None, :, None])
+    return const[None, :] + per.sum(axis=2, dtype=jnp.int32)
 
 
 def _score_fn(
@@ -318,26 +384,34 @@ class FederatedSearchEngine:
 
         @jax.jit
         def score_step(shard_arrays, ivf_arrays, lr_arrays, query_embs,
-                       mask):
-            return _score_fn(
+                       mask, ptables):
+            scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
                 compaction_, ivf_arrays, nprobe_, packed, lr_arrays,
                 k_refine_)
+            msg = (payload_base(ptables, scored[1])
+                   if ptables is not None else None)
+            return scored + (msg,)
 
         @functools.partial(jax.jit, static_argnames=("strategy",))
         def full_step(params, bank, shard_arrays, ivf_arrays, lr_arrays,
-                      query_embs, rng, *, strategy: str):
+                      query_embs, rng, ptables, *, strategy: str):
             probs, mask = _route_fn(
                 world, strategy, params, bank, query_embs, rng, thr)
             scored = _score_fn(
                 world, k, impl_, n_docs, shard_arrays, query_embs, mask,
                 compaction_, ivf_arrays, nprobe_, packed, lr_arrays,
                 k_refine_)
-            return (probs, mask) + scored
+            msg = (payload_base(ptables, scored[1])
+                   if ptables is not None else None)
+            return (probs, mask) + scored + (msg,)
 
         self._route_step = route_step
         self._score_step = score_step
         self._full_step = full_step
+        # device payload-size tables (set_payload_tables); None = host
+        # falls back to its numpy estimator over fetched shard_ids
+        self._ptables = None
         self._ivf = (shard_set.ivf_arrays()
                      if impl in ("ivf", "hybrid") else None)
         self._lr = (shard_set.lr_arrays() if impl == "lowrank" else None)
@@ -353,6 +427,19 @@ class FederatedSearchEngine:
         # replaces the shard arrays (donated scatters), and a cached list
         # here would hand XLA deleted buffers
         return self.shard_set.arrays()
+
+    def set_payload_tables(self, per_source, names) -> None:
+        """Enable device-side response-size computation (``msg_base``).
+
+        ``per_source``/``names`` as in :func:`build_payload_tables`; pass
+        ``per_source=None`` to disable (host estimator over fetched
+        shard_ids). The serving layer only enables this for immutable
+        shard sets — live add/delete changes doc lengths, and the host
+        tables are the source of truth there.
+        """
+        self._ptables = (None if per_source is None else
+                         build_payload_tables(per_source, names,
+                                              self.world.k))
 
     # ------------------------------------------------------------------
 
@@ -447,14 +534,15 @@ class FederatedSearchEngine:
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             scored = self._score_step(
-                self._arrays, self._ivf, self._lr, embs, mask)
+                self._arrays, self._ivf, self._lr, embs, mask,
+                self._ptables)
             np.asarray(scored[2])
             doc_t = time.perf_counter() - t0
         else:
             t0 = time.perf_counter()
             out = self._full_step(
                 params, bank, self._arrays, self._ivf, self._lr, embs,
-                rng, strategy=strategy)
+                rng, self._ptables, strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
 
@@ -463,15 +551,25 @@ class FederatedSearchEngine:
         # remote tunnel, x8 fields dominated serving latency); a single
         # device_get batches them into one transfer. In fused mode this
         # fetch IS the sync, so it closes the doc_select timer.
+        msg_dev = scored[6]
+        msg_base = None
         if fetch_candidates:
             (probs, mask, shard_scores, shard_ids, merged_score,
              merged_shard, merged_local, merged_valid) = jax.device_get(
-                (probs, mask) + tuple(scored))
+                (probs, mask) + tuple(scored[:6]))
+        elif msg_dev is not None:
+            # device-computed response sizes replace shard_ids' only
+            # serving-path consumer: fetch [B, N] i32 instead of [B, N, k]
+            shard_scores = None
+            shard_ids = None
+            (probs, mask, merged_score, merged_shard, merged_local,
+             merged_valid, msg_base) = jax.device_get(
+                (probs, mask) + tuple(scored[2:7]))
         else:
             shard_scores = None
             (probs, mask, shard_ids, merged_score, merged_shard,
              merged_local, merged_valid) = jax.device_get(
-                (probs, mask, scored[1]) + tuple(scored[2:]))
+                (probs, mask, scored[1]) + tuple(scored[2:6]))
         if not staged:
             doc_t = time.perf_counter() - t0
         return SearchOutput(
@@ -483,6 +581,7 @@ class FederatedSearchEngine:
             merged_shard=merged_shard,
             merged_local=merged_local,
             merged_valid=merged_valid,
+            msg_base=msg_base,
             selection_time=sel_t,
             doc_select_time=doc_t,
         )

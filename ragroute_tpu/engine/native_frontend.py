@@ -600,7 +600,10 @@ class NativeFederationServer:
         # (uuid4 strings all have one length; feb4rag sizes its payloads
         # from the resolved docs inside _assemble_pre instead)
         msg_sizes_all = None
-        if self.world.name != "feb4rag":
+        if out.msg_base is not None:
+            # device-computed sizes: add the (uniform) qid length host-side
+            msg_sizes_all = out.msg_base[:n] + len(query_ids[0])
+        elif self.world.name != "feb4rag":
             msg_sizes_all = srv._estimate_message_sizes_chunk(
                 out.shard_ids[:n], len(query_ids[0]))
         for i, w in enumerate(chunk):
@@ -609,7 +612,8 @@ class NativeFederationServer:
                 mask=out.mask[i],
                 shard_scores=(None if out.shard_scores is None
                               else out.shard_scores[i]),
-                shard_ids=out.shard_ids[i],
+                shard_ids=(None if out.shard_ids is None
+                           else out.shard_ids[i]),
                 merged_score=out.merged_score[i],
                 merged_shard=out.merged_shard[i],
                 merged_local=out.merged_local[i],

@@ -179,6 +179,23 @@ class FederationServer:
 
             self._get_raw = _raw_line
 
+        # Device-side response sizing: push the per-source message-size
+        # estimate into the jitted step so the serving path fetches a
+        # [B, N] i32 msg_base instead of the [B, N, k] shard_ids it fed
+        # the host estimator (~590 KB vs 18 KB per 512-batch). Immutable
+        # score-merged worlds only — live add/delete changes doc lengths
+        # (host tables stay authoritative there), and feb4rag fetches
+        # full candidates anyway. Enabled before warmup so the compiled
+        # buckets include the msg_base computation.
+        if (not getattr(engine.shard_set, "mutable", False)
+                and self.world.name != "feb4rag"
+                and hasattr(engine, "set_payload_tables")
+                and os.environ.get("RAGROUTE_DEVICE_MSG_SIZE", "1") != "0"):
+            per = [self._size_tables(si)
+                   for si in range(self.world.num_sources)]
+            names = [s.name for s in self.world.sources]
+            engine.set_payload_tables(per, names)
+
     # -- lifecycle ---------------------------------------------------------
 
     def _warmup(self) -> None:
@@ -801,6 +818,9 @@ class FederationServer:
                 msg_size = len(json.dumps(payload, default=str))
             elif msg_sizes is not None:
                 msg_size = int(msg_sizes[si])
+            elif res.msg_base is not None:
+                # device-computed size; the host only adds the qid length
+                msg_size = int(res.msg_base[si]) + len(query_id)
             else:
                 msg_size = self._estimate_message_size(res, si, query_id)
             ds_stats[src.name] = {

@@ -547,6 +547,43 @@ def test_message_size_ignores_padding_ids():
     assert s_pad < s_real
 
 
+def test_device_msg_base_matches_host_estimator():
+    """Device-computed [B, N] response sizes (msg_base) must equal the
+    host numpy estimator over the same shard ids — the serving path
+    swaps a [B, N, k] shard_ids fetch for msg_base, so any divergence
+    silently corrupts the message_size parity metric."""
+    syn, server = make_server(strategy="all")
+    engine = server.engine
+    # the server enables device sizing for immutable score-merged worlds
+    assert engine._ptables is not None
+    dims = {s.encoder: s.embed_dim for s in syn.world.sources}
+    rng = np.random.default_rng(7)
+    embs = {e: rng.standard_normal((8, d)).astype(np.float32)
+            for e, d in dims.items()}
+    out_ids = engine.search(embs, strategy="all", fetch_candidates=True)
+    out_msg = engine.search(embs, strategy="all", fetch_candidates=False)
+    assert out_msg.shard_ids is None and out_msg.msg_base is not None
+    qid = "q" * 36
+    host = server._estimate_message_sizes_chunk(out_ids.shard_ids, len(qid))
+    np.testing.assert_array_equal(
+        out_msg.msg_base.astype(np.int64) + len(qid), host)
+
+    # crafted ids: pads (-1), boundaries (0, n-1) and out-of-range rows
+    # must all match the host estimator's per-table range guards
+    from ragroute_tpu.engine.engine import payload_base
+
+    n0 = engine.shard_set.shards[0].n_docs
+    k = syn.world.k
+    ids = np.zeros((2, syn.world.num_sources, k), np.int32)
+    ids[0, :, 0] = -1
+    ids[0, :, 1] = n0 - 1
+    ids[1, :, 0] = n0          # out of range
+    ids[1, :, 1] = n0 + 5
+    dev = np.asarray(payload_base(engine._ptables, jnp.asarray(ids)))
+    host2 = server._estimate_message_sizes_chunk(ids, 0)
+    np.testing.assert_array_equal(dev.astype(np.int64), host2)
+
+
 def test_run_workers_rejects_mutable():
     """--workers N + --mutable would serve inconsistent indexes (each
     worker owns an independent copy); must fail loudly at startup."""
