@@ -186,11 +186,23 @@ class FederationServer:
         # score-merged worlds only — live add/delete changes doc lengths
         # (host tables stay authoritative there), and feb4rag fetches
         # full candidates anyway. Enabled before warmup so the compiled
-        # buckets include the msg_base computation.
-        if (not getattr(engine.shard_set, "mutable", False)
+        # buckets include the msg_base computation. Default follows the
+        # backend: ON for accelerators, where the fetch crosses a real
+        # wire (v5e tunnel: 84.7 -> 81.8 ms/512-batch), OFF on the CPU
+        # backend, where device_get is a memcpy and the extra XLA:CPU
+        # gather measurably loses (~-7% q/s under the 512-client
+        # profile); RAGROUTE_DEVICE_MSG_SIZE=1/0 forces either way.
+        env = os.environ.get("RAGROUTE_DEVICE_MSG_SIZE")
+        if env is not None:
+            device_sizing = env == "1"
+        else:
+            import jax
+
+            device_sizing = jax.default_backend() != "cpu"
+        if (device_sizing
+                and not getattr(engine.shard_set, "mutable", False)
                 and self.world.name != "feb4rag"
-                and hasattr(engine, "set_payload_tables")
-                and os.environ.get("RAGROUTE_DEVICE_MSG_SIZE", "1") != "0"):
+                and hasattr(engine, "set_payload_tables")):
             per = [self._size_tables(si)
                    for si in range(self.world.num_sources)]
             names = [s.name for s in self.world.sources]

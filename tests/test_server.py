@@ -552,9 +552,15 @@ def test_device_msg_base_matches_host_estimator():
     host numpy estimator over the same shard ids — the serving path
     swaps a [B, N, k] shard_ids fetch for msg_base, so any divergence
     silently corrupts the message_size parity metric."""
-    syn, server = make_server(strategy="all")
+    import os
+
+    os.environ["RAGROUTE_DEVICE_MSG_SIZE"] = "1"  # default is OFF on CPU
+    try:
+        syn, server = make_server(strategy="all")
+    finally:
+        del os.environ["RAGROUTE_DEVICE_MSG_SIZE"]
     engine = server.engine
-    # the server enables device sizing for immutable score-merged worlds
+    # forced on: the server built device tables for this immutable world
     assert engine._ptables is not None
     dims = {s.encoder: s.embed_dim for s in syn.world.sources}
     rng = np.random.default_rng(7)
