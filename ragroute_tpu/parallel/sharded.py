@@ -30,7 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ragroute_tpu import config as cfg_mod
 from ragroute_tpu.config import WorldConfig
-from ragroute_tpu.engine.engine import _route_fn, gate_and_merge
+from ragroute_tpu.engine.engine import (_route_fn, build_payload_tables,
+                                        gate_and_merge, payload_base)
 from ragroute_tpu.index.ivf import IVFData
 from ragroute_tpu.index.shard import ShardSet
 from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, shard_topk, \
@@ -500,8 +501,13 @@ class ShardedSearch:
                              rng, threshold)
 
         @jax.jit
-        def score_step(arrays, ivf_arrays, lr_arrays, query_embs, mask):
-            return _score(arrays, ivf_arrays, lr_arrays, query_embs, mask)
+        def score_step(arrays, ivf_arrays, lr_arrays, query_embs, mask,
+                       ptables):
+            scored = _score(arrays, ivf_arrays, lr_arrays, query_embs,
+                            mask)
+            msg = (payload_base(ptables, scored[1])
+                   if ptables is not None else None)
+            return scored + (msg,)
 
         def full_fn(params, bank, arrays, ivf_arrays, lr_arrays,
                     query_embs, rng, *, strategy: str):
@@ -510,14 +516,34 @@ class ShardedSearch:
             return (probs, mask) + _score(
                 arrays, ivf_arrays, lr_arrays, query_embs, mask)
 
+        def served_step(params, bank, arrays, ivf_arrays, lr_arrays,
+                        query_embs, rng, ptables, *, strategy: str):
+            out = full_fn(params, bank, arrays, ivf_arrays, lr_arrays,
+                          query_embs, rng, strategy=strategy)
+            msg = (payload_base(ptables, out[3])
+                   if ptables is not None else None)
+            return out + (msg,)
+
         self._route_step = route_step
         self._score_step = score_step
         # unjitted full step, for composition (e.g. bench.py wraps it in
         # one lax.scan over distinct batches to amortize dispatch)
         self.full_fn = full_fn
-        self._step = jax.jit(full_fn, static_argnames=("strategy",))
+        self._step = jax.jit(served_step, static_argnames=("strategy",))
+        # device payload-size tables, same contract as the single-chip
+        # engine (the server enables them on accelerator backends)
+        self._ptables = None
         self._q_sharding = NamedSharding(mesh, P("dp", None))
         self._mask_sharding = NamedSharding(mesh, P("dp", None))
+
+    def set_payload_tables(self, per_source, names) -> None:
+        """Enable device-side response sizing (same contract as
+        :meth:`FederatedSearchEngine.set_payload_tables`). The tables are
+        deterministic host data (doc-store byte lengths), so every
+        process of a multi-host mesh builds identical replicas."""
+        self._ptables = (None if per_source is None else
+                         build_payload_tables(per_source, names,
+                                              self.world.k))
 
     def _fetch(self, tree):
         """Coalesced device->host fetch of an output pytree.
@@ -570,7 +596,8 @@ class ShardedSearch:
             sel_t = time.perf_counter() - t0
             t0 = time.perf_counter()
             scored = self._score_step(
-                self.arrays, self.ivf_arrays, self.lr_arrays, embs, mask)
+                self.arrays, self.ivf_arrays, self.lr_arrays, embs, mask,
+                self._ptables)
             if self._multiprocess:
                 jax.block_until_ready(scored)
             else:
@@ -580,20 +607,31 @@ class ShardedSearch:
             t0 = time.perf_counter()
             out = self._step(
                 self.params, self.bank, self.arrays, self.ivf_arrays,
-                self.lr_arrays, embs, sub, strategy=strategy)
+                self.lr_arrays, embs, sub, self._ptables,
+                strategy=strategy)
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
+        msg_dev = scored[6]
+        msg_base = None
         if fetch_candidates:
             (probs, mask, shard_scores, shard_ids, merged_score,
              merged_shard, merged_local, merged_valid) = self._fetch(
-                (probs, mask) + tuple(scored))
+                (probs, mask) + tuple(scored[:6]))
+        elif msg_dev is not None:
+            # device-computed response sizes replace shard_ids' only
+            # serving-path consumer (see the single-chip engine)
+            shard_scores = None
+            shard_ids = None
+            (probs, mask, merged_score, merged_shard, merged_local,
+             merged_valid, msg_base) = self._fetch(
+                (probs, mask) + tuple(scored[2:7]))
         else:
             # skip the [B, N, k] per-shard score transfer (see the
             # single-chip engine's docstring; profile-measured win)
             shard_scores = None
             (probs, mask, shard_ids, merged_score, merged_shard,
              merged_local, merged_valid) = self._fetch(
-                (probs, mask, scored[1]) + tuple(scored[2:]))
+                (probs, mask, scored[1]) + tuple(scored[2:6]))
         if not staged:
             doc_t = time.perf_counter() - t0
         return SearchOutput(
@@ -605,6 +643,7 @@ class ShardedSearch:
             merged_shard=merged_shard,
             merged_local=merged_local,
             merged_valid=merged_valid,
+            msg_base=msg_base,
             selection_time=sel_t,
             doc_select_time=doc_t,
         )

@@ -52,6 +52,32 @@ def make_mesh_server(world_name="medrag", strategy="all", dp=2, idx=4,
     return syn, shard_set, params, bank, server
 
 
+def test_mesh_device_msg_base_matches_host_estimator():
+    """The mesh engine's device-computed response sizes must match the
+    host estimator over the same shard ids (same gate as the single-chip
+    engine; the [B, N, k] fetch it replaces crosses ICI+PCIe here)."""
+    import os
+
+    os.environ["RAGROUTE_DEVICE_MSG_SIZE"] = "1"  # default OFF on CPU
+    try:
+        syn, shard_set, params, bank, server = make_mesh_server()
+    finally:
+        del os.environ["RAGROUTE_DEVICE_MSG_SIZE"]
+    engine = server.engine
+    assert engine._ptables is not None
+    dims = {s.encoder: s.embed_dim for s in syn.world.sources}
+    rng = np.random.default_rng(3)
+    embs = {e: rng.standard_normal((8, d)).astype(np.float32)
+            for e, d in dims.items()}
+    out_ids = engine.search(embs, strategy="all", fetch_candidates=True)
+    out_msg = engine.search(embs, strategy="all", fetch_candidates=False)
+    assert out_msg.shard_ids is None and out_msg.msg_base is not None
+    qid = "q" * 36
+    host = server._estimate_message_sizes_chunk(out_ids.shard_ids, len(qid))
+    np.testing.assert_array_equal(
+        out_msg.msg_base.astype(np.int64) + len(qid), host)
+
+
 async def query_server(port, q, choices, qid):
     async with aiohttp.ClientSession() as session:
         enc_q = aiohttp.helpers.quote(q)
