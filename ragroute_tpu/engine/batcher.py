@@ -177,13 +177,25 @@ class QueryBatcher:
         n = len(batch)
         padded = self._bucket(n)
         embs: Dict[str, np.ndarray] = {}
-        for enc in world.encoders:
-            dim = next(
-                s.embed_dim for s in world.sources if s.encoder == enc)
-            arr = np.zeros((padded, dim), dtype=np.float32)
+        if n and all("__row__" in qe for qe, _ in batch):
+            # every query is a row of the device-resident table: upload
+            # [B] int32 indices, gather on device (engine._device_embs)
+            rows = np.zeros(padded, dtype=np.int32)
             for i, (qe, _) in enumerate(batch):
-                arr[i] = qe[enc]
-            embs[enc] = arr
+                rows[i] = qe["__row__"]
+            embs = {"__rows__": rows}
+        else:
+            dense = [
+                self.engine.materialize_rows(qe["__row__"])
+                if "__row__" in qe else qe
+                for qe, _ in batch]
+            for enc in world.encoders:
+                dim = next(
+                    s.embed_dim for s in world.sources if s.encoder == enc)
+                arr = np.zeros((padded, dim), dtype=np.float32)
+                for i, qe in enumerate(dense):
+                    arr[i] = qe[enc]
+                embs[enc] = arr
         out = self.engine.search(
             embs, strategy=self.strategy, staged=self.staged,
             fetch_candidates=fetch_candidates_policy(world))

@@ -42,6 +42,7 @@ class PrecomputedEmbeddings:
         self.world = world
         self.table = dict(table)
         self.fallback = fallback or HashEmbeddings(world)
+        self._row_index = {qid: i for i, qid in enumerate(self.table)}
 
     @classmethod
     def from_synthetic(cls, syn) -> "PrecomputedEmbeddings":
@@ -56,6 +57,23 @@ class PrecomputedEmbeddings:
         if qid not in self.table:
             return self.fallback.embed(query, qid)
         return self.table[qid]
+
+    # -- device-resident fast path (engine.set_query_table) -------------
+
+    def row_of(self, qid: str):
+        """Row index of ``qid`` in :meth:`tables` order, or None (fall
+        back to :meth:`embed` — unknown qids keep hash semantics)."""
+        return self._row_index.get(qid)
+
+    def tables(self) -> Dict[str, np.ndarray]:
+        """Stacked ``{encoder: [Q, d]}`` view of the lookup table, row
+        order matching :meth:`row_of`, for one-time device upload."""
+        out = {}
+        for enc in self.world.encoders:
+            out[enc] = np.stack(
+                [embs[enc] for embs in self.table.values()]
+            ).astype(np.float32, copy=False)
+        return out
 
 
 class HashEmbeddings:

@@ -257,7 +257,7 @@ class NativeFrontend:
 
 class _Work:
     __slots__ = ("rid", "query", "choices", "qid", "stream", "group",
-                 "gidx", "start", "embs", "embed_time", "t_submit")
+                 "gidx", "start", "embs", "row", "embed_time", "t_submit")
 
     def __init__(self, rid, query, choices, qid, stream=False, group=None,
                  gidx=0):
@@ -270,6 +270,7 @@ class _Work:
         self.gidx = gidx
         self.start = time.time()
         self.embs = None
+        self.row = None       # device query-table row (rows fast path)
         self.embed_time = 0.0
         self.t_submit = 0.0
 
@@ -553,10 +554,14 @@ class NativeFederationServer:
                 w.embs, w.embed_time = e, dt
                 ok.append(w)
             return ok
+        rows_wired = self.server._rows_wired
         for w, text in zip(items, texts):
             t0 = time.time()
             try:
-                w.embs = self.provider.embed(text, w.qid)
+                if rows_wired:
+                    w.row = self.provider.row_of(w.qid)
+                if w.row is None:
+                    w.embs = self.provider.embed(text, w.qid)
             except Exception as e:
                 self._fail(w, e)
                 continue
@@ -581,13 +586,23 @@ class NativeFederationServer:
         n = len(chunk)
         padded = self._bucket(n)
         embs: Dict[str, np.ndarray] = {}
-        for enc in world.encoders:
-            dim = next(
-                s.embed_dim for s in world.sources if s.encoder == enc)
-            arr = np.zeros((padded, dim), dtype=np.float32)
+        if n and all(w.row is not None for w in chunk):
+            # rows fast path: [B] int32 indices into the device-resident
+            # query table; the dense [B, d] upload disappears
+            rows = np.zeros(padded, dtype=np.int32)
             for i, w in enumerate(chunk):
-                arr[i] = w.embs[enc]
-            embs[enc] = arr
+                rows[i] = w.row
+            embs = {"__rows__": rows}
+        else:
+            for enc in world.encoders:
+                dim = next(
+                    s.embed_dim for s in world.sources if s.encoder == enc)
+                arr = np.zeros((padded, dim), dtype=np.float32)
+                for i, w in enumerate(chunk):
+                    qe = (self.engine.materialize_rows(w.row)
+                          if w.embs is None else w.embs)
+                    arr[i] = qe[enc]
+                embs[enc] = arr
         for w in chunk:
             w.t_submit = time.time()
         out = self.engine.search(

@@ -114,6 +114,20 @@ class FederationServer:
         self.simulate = simulate
         self.relevance_data = relevance_data or {}
         self.batcher = batcher or QueryBatcher(engine, strategy=strategy)
+        # Device-resident query table: a table-backed provider (pre-
+        # computed embeddings, the benchmark configuration) uploads its
+        # whole table to the device ONCE; known qids then cross the
+        # host->device boundary as int32 row indices instead of [B, d]
+        # f32 vectors (engine gathers on device). Unknown qids keep the
+        # dense fallback path per batch.
+        self._rows_wired = False
+        if (os.environ.get("RAGROUTE_QUERY_TABLE", "1") != "0"
+                and hasattr(self.provider, "row_of")
+                and hasattr(self.provider, "tables")
+                and hasattr(engine, "set_query_table")
+                and getattr(self.provider, "table", None)):
+            engine.set_query_table(self.provider.tables())
+            self._rows_wired = True
         self.host = host
         self.port = port
         self.reuse_port = reuse_port
@@ -717,7 +731,11 @@ class FederationServer:
             formatted_query = query
 
         t0 = time.time()
-        if self.embed_batcher is not None:
+        if (self._rows_wired
+                and (row := self.provider.row_of(question_id)) is not None):
+            # table-backed qid: ship a row index, gather on device
+            embs = {"__row__": row}
+        elif self.embed_batcher is not None:
             # Live encoders micro-batch: concurrent arrivals share one
             # padded [B, L] forward per encoder (weight-stream-bound at
             # small B, so B queries cost ~1 query's forward).

@@ -719,3 +719,87 @@ def test_served_zoo_embedding_batches():
             await server.stop()
 
     asyncio.run(run())
+
+
+def test_rows_fast_path_matches_dense_path():
+    """Device query-table rows path == dense [B, d] upload, byte-for-byte.
+
+    A table-backed provider wires engine.set_query_table at server init;
+    known qids then travel as int32 row indices and the engine gathers
+    the embeddings on device. The served response must be identical to
+    the dense path (same vectors, same step program)."""
+    async def run():
+        syn, server = make_server()
+        assert server._rows_wired  # PrecomputedEmbeddings auto-wires
+        await server.start()
+        try:
+            q = syn.questions[0]
+            st, via_rows = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert st == 200
+            server._rows_wired = False  # force the dense provider path
+            st, via_dense = await query_server(
+                server.bound_port, q["question"], q["options"], q["qid"])
+            assert st == 200
+            for body in (via_rows, via_dense):
+                for f in ("query_id", "embedding_time", "e2e_time",
+                          "selection_time", "doc_select_time"):
+                    body.pop(f, None)
+                    body["metadata"].pop(f, None)
+                for stats in body["metadata"]["data_sources_stats"].values():
+                    stats.pop("duration", None)
+            assert via_rows == via_dense
+
+            # unknown qid: falls back to hash embeddings and still serves
+            st, body = await query_server(
+                server.bound_port, q["question"], q["options"],
+                "no-such-qid")
+            assert st == 200
+            assert len(body["metadata"]["top_docs"]) == syn.world.k
+        finally:
+            await server.stop()
+
+    asyncio.run(run())
+
+
+def test_batcher_mixed_rows_and_dense_batch():
+    """A batch mixing table rows and dense embeddings falls back to the
+    dense stacking path and matches the all-dense result exactly."""
+    syn, server = make_server()
+    provider = server.provider
+    batcher = server.batcher
+    engine = server.engine
+
+    dense = [provider.embed(q["question"], q["qid"])
+             for q in syn.questions[:3]]
+    rows = [provider.row_of(q["qid"]) for q in syn.questions[:3]]
+    assert all(r is not None for r in rows)
+
+    mixed = [({"__row__": rows[0]}, None), (dense[1], None),
+             ({"__row__": rows[2]}, None)]
+    all_dense = [(d, None) for d in dense]
+    all_rows = [({"__row__": r}, None) for r in rows]
+
+    out_mixed, n1 = batcher._run_batch(mixed)
+    out_dense, n2 = batcher._run_batch(all_dense)
+    out_rows, n3 = batcher._run_batch(all_rows)
+    assert n1 == n2 == n3 == 3
+    # compare live rows only: pad rows differ by design (rows path
+    # pads with table row 0, dense pads with zero vectors; both are
+    # dropped at demux)
+    np.testing.assert_array_equal(out_mixed.merged_shard[:3],
+                                  out_dense.merged_shard[:3])
+    np.testing.assert_array_equal(out_mixed.merged_local[:3],
+                                  out_dense.merged_local[:3])
+    np.testing.assert_array_equal(out_rows.merged_shard[:3],
+                                  out_dense.merged_shard[:3])
+    np.testing.assert_array_equal(out_rows.merged_local[:3],
+                                  out_dense.merged_local[:3])
+    np.testing.assert_allclose(out_rows.merged_score[:3],
+                               out_dense.merged_score[:3], rtol=0, atol=0)
+
+    # engine-level: gathered device embeddings == uploaded dense rows
+    got = engine._device_embs({"__rows__": np.asarray(rows, np.int32)})
+    for enc in syn.world.encoders:
+        want = np.stack([d[enc] for d in dense])
+        np.testing.assert_array_equal(np.asarray(got[enc]), want)
