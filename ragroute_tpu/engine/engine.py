@@ -65,6 +65,42 @@ class SearchOutput:
     doc_select_time: float = 0.0  # scoring+merge stage (s)
 
 
+class PendingSearch:
+    """An in-flight batched search: dispatched, result fetch deferred.
+
+    Produced by :meth:`FederatedSearchEngine.search_submit`; ``wait()``
+    performs the one coalesced device->host fetch and returns the
+    :class:`SearchOutput`. The pipelined serving loop keeps one of these
+    in flight so the device computes batch N+1 while the host assembles
+    batch N's responses.
+    """
+
+    __slots__ = ("_engine", "_probs", "_mask", "_scored", "_sel_t", "_t0",
+                 "_fetch_candidates", "_done")
+
+    def __init__(self, engine, probs, mask, scored, *, sel_t, t0,
+                 fetch_candidates):
+        self._engine = engine
+        self._probs = probs
+        self._mask = mask
+        self._scored = scored
+        self._sel_t = sel_t
+        self._t0 = t0
+        self._fetch_candidates = fetch_candidates
+        self._done = False
+
+    def wait(self) -> "SearchOutput":
+        if self._done:
+            raise RuntimeError("PendingSearch.wait() called twice")
+        self._done = True
+        out = self._engine._fetch_output(
+            self._probs, self._mask, self._scored,
+            fetch_candidates=self._fetch_candidates,
+            sel_t=self._sel_t, doc_t=None, t0=self._t0)
+        self._probs = self._mask = self._scored = None  # free device refs
+        return out
+
+
 def _route_fn(world: WorldConfig, strategy: str, params, bank, query_embs,
               rng, threshold=None):
     feats = build_features(world, bank, query_embs)
@@ -586,6 +622,65 @@ class FederatedSearchEngine:
             sel_t = 0.0
             probs, mask, scored = out[0], out[1], out[2:]
 
+        return self._fetch_output(
+            probs, mask, scored, fetch_candidates=fetch_candidates,
+            sel_t=sel_t, doc_t=(doc_t if staged else None), t0=t0)
+
+    def search_submit(
+        self,
+        query_embs: Dict[str, np.ndarray],
+        *,
+        strategy: str = "ragroute",
+        staged: bool = False,
+        fetch_candidates: bool = True,
+    ) -> "PendingSearch":
+        """Dispatch one batched search WITHOUT blocking on the result.
+
+        Returns a :class:`PendingSearch`; call :meth:`PendingSearch.wait`
+        for the :class:`SearchOutput`. Pipelined serving uses this to
+        overlap host-side response assembly of batch N with device
+        compute of batch N+1 (the dispatch is async; the coalesced
+        device->host fetch is the only blocking part). The step lock is
+        held only across the dispatch window — in-flight results are
+        immutable output buffers, safe to fetch after a donated live
+        update replaces the shard arrays.
+
+        In ``staged`` mode the router stage is synced at submit (its
+        timing contract needs a host round trip); only the scoring stage
+        overlaps.
+        """
+        with self._step_lock:
+            embs = self._device_embs(query_embs)
+            rng = self._next_key(strategy)
+            if strategy == "ragroute":
+                params, bank = self._router_inputs()
+            else:
+                params, bank = self._dummy_router(self.world.router_input_dim)
+            if staged:
+                t0 = time.perf_counter()
+                probs, mask = self._route_step(
+                    params, bank, embs, rng, strategy=strategy)
+                mask = jax.device_get(mask)
+                sel_t = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                scored = self._score_step(
+                    self._arrays, self._ivf, self._lr, embs, mask,
+                    self._ptables)
+            else:
+                t0 = time.perf_counter()
+                out = self._full_step(
+                    params, bank, self._arrays, self._ivf, self._lr, embs,
+                    rng, self._ptables, strategy=strategy)
+                sel_t = 0.0
+                probs, mask, scored = out[0], out[1], out[2:]
+        return PendingSearch(
+            self, probs, mask, scored, sel_t=sel_t, t0=t0,
+            fetch_candidates=fetch_candidates)
+
+    def _fetch_output(
+        self, probs, mask, scored, *, fetch_candidates: bool,
+        sel_t: float, doc_t, t0: float,
+    ) -> SearchOutput:
         # ONE device->host fetch for the whole output pytree: sequential
         # np.asarray per field costs a full round trip each (~27 ms on the
         # remote tunnel, x8 fields dominated serving latency); a single
@@ -610,7 +705,7 @@ class FederatedSearchEngine:
             (probs, mask, shard_ids, merged_score, merged_shard,
              merged_local, merged_valid) = jax.device_get(
                 (probs, mask, scored[1]) + tuple(scored[2:6]))
-        if not staged:
+        if doc_t is None:
             doc_t = time.perf_counter() - t0
         return SearchOutput(
             probs=probs,

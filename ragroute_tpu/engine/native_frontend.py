@@ -333,6 +333,14 @@ class NativeFederationServer:
         # responses buffered during one _handle pass, delivered with a
         # single fe_respond_many call (serve_forever is single-threaded)
         self._out: List = []
+        # device pipelining (double buffer): keep ONE submitted-but-not-
+        # fetched batch in flight so the device computes batch N+1 while
+        # the host assembles batch N's responses (engine.search_submit).
+        # The loop polls non-blocking while a batch is pending and drains
+        # it when no new work arrived.
+        self.pipeline = os.environ.get(
+            "RAGROUTE_NATIVE_PIPELINE", "1") != "0"
+        self._pending = None  # (chunk, PendingSearch)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -380,15 +388,24 @@ class NativeFederationServer:
                 # previous pop was a multi-query batch): a lone request
                 # must not pay fill_ms of latency waiting for company
                 fill = self.fill_ms if last_n >= 32 else 0
+                # with a device batch in flight, poll instead of block:
+                # if no new work arrived, go drain the pending batch (the
+                # blocking fetch) — new requests accumulate in C++ while
+                # the host is busy, so this never spins hot
+                pending = self._pending is not None
                 reqs = self.fe.next(self.fe.max_pop,
-                                    first_timeout_ms=200,
+                                    first_timeout_ms=0 if pending else 200,
                                     window_ms=self.window_ms,
                                     fill_n=self.buckets[-1] if fill else 0,
                                     fill_ms=fill)
                 if reqs is None:
                     break
                 if not reqs:
-                    last_n = 0
+                    if pending:
+                        self._drain_pending()
+                        self._flush()
+                    else:
+                        last_n = 0
                     continue
                 last_n = len(reqs)
                 self._handle(reqs)
@@ -416,7 +433,11 @@ class NativeFederationServer:
             if work:
                 self._run_queries(work)
         finally:
-            out, self._out = self._out, []
+            self._flush()
+
+    def _flush(self) -> None:
+        out, self._out = self._out, []
+        if out:
             self.fe.respond_many(out)
 
     def _route(self, rid, method, path, qs, body, work: List[_Work]) -> None:
@@ -574,14 +595,40 @@ class NativeFederationServer:
         max_b = self.buckets[-1]
         for i in range(0, len(items), max_b):
             chunk = items[i:i + max_b]
+            submitted = None
             try:
-                self._run_chunk(chunk)
+                submitted = self._submit_chunk(chunk)
             except Exception as e:
-                logger.exception("engine step failed")
+                logger.exception("engine submit failed")
                 for w in chunk:
                     self._fail(w, e)
+            # drain the PREVIOUS batch while the device runs this one —
+            # its responses flush in this _handle pass (double buffer)
+            self._drain_pending()
+            self._pending = submitted
+        if not self.pipeline:
+            self._drain_pending()
 
-    def _run_chunk(self, chunk: List[_Work]) -> None:
+    def _drain_pending(self) -> None:
+        pc, self._pending = self._pending, None
+        if pc is None:
+            return
+        chunk, pending = pc
+        try:
+            out = pending.wait()
+        except Exception as e:
+            logger.exception("engine step failed")
+            for w in chunk:
+                self._fail(w, e)
+            return
+        try:
+            self._finish_chunk(chunk, out)
+        except Exception as e:
+            logger.exception("response assembly failed")
+            for w in chunk:
+                self._fail(w, e)
+
+    def _submit_chunk(self, chunk: List[_Work]):
         world = self.world
         n = len(chunk)
         padded = self._bucket(n)
@@ -605,9 +652,12 @@ class NativeFederationServer:
                 embs[enc] = arr
         for w in chunk:
             w.t_submit = time.time()
-        out = self.engine.search(
+        return chunk, self.engine.search_submit(
             embs, strategy=self.strategy, staged=self.staged,
             fetch_candidates=self._fetch)
+
+    def _finish_chunk(self, chunk: List[_Work], out) -> None:
+        n = len(chunk)
         t_done = time.time()
         srv = self.server
         query_ids = [str(uuid.uuid4()) for _ in chunk]

@@ -250,3 +250,36 @@ def test_engine_int8_index():
                        a.merged_local[qi].tolist()))
         recalls.append(len(got & want) / k)
     assert np.mean(recalls) >= 0.95, recalls
+
+
+def test_search_submit_matches_blocking_search():
+    """Pipelined submit/wait == blocking search, field for field.
+
+    The pipelined serving loop dispatches batch N+1 before fetching
+    batch N (engine.search_submit / PendingSearch.wait); the deferred
+    fetch must return exactly what the blocking path returns, including
+    with two searches in flight at once."""
+    syn, eng = build_engine("medrag")
+
+    for strategy in ("ragroute", "all"):
+        want = eng.search(syn.query_embs, strategy=strategy)
+        got = eng.search_submit(syn.query_embs, strategy=strategy).wait()
+        np.testing.assert_array_equal(got.mask, want.mask)
+        np.testing.assert_array_equal(got.merged_shard, want.merged_shard)
+        np.testing.assert_array_equal(got.merged_local, want.merged_local)
+        np.testing.assert_allclose(got.merged_score, want.merged_score,
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(got.merged_valid, want.merged_valid)
+
+    # two in flight, drained out of submit order
+    p1 = eng.search_submit(syn.query_embs, strategy="all")
+    p2 = eng.search_submit(syn.query_embs, strategy="ragroute")
+    o2, o1 = p2.wait(), p1.wait()
+    base_all = eng.search(syn.query_embs, strategy="all")
+    base_rr = eng.search(syn.query_embs, strategy="ragroute")
+    np.testing.assert_array_equal(o1.merged_shard, base_all.merged_shard)
+    np.testing.assert_array_equal(o2.merged_shard, base_rr.merged_shard)
+
+    # a handle yields its result exactly once
+    with pytest.raises(RuntimeError):
+        p1.wait()
