@@ -731,8 +731,12 @@ class FederationServer:
             formatted_query = query
 
         t0 = time.time()
-        if (self._rows_wired
-                and (row := self.provider.row_of(question_id)) is not None):
+        # re-check row_of on every request: tests (and live provider
+        # swaps) may replace self.provider after init with one that has
+        # no table
+        row_of = (getattr(self.provider, "row_of", None)
+                  if self._rows_wired else None)
+        if row_of is not None and (row := row_of(question_id)) is not None:
             # table-backed qid: ship a row index, gather on device
             embs = {"__row__": row}
         elif self.embed_batcher is not None:
