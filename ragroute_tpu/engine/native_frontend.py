@@ -338,8 +338,18 @@ class NativeFederationServer:
         # the host assembles batch N's responses (engine.search_submit).
         # The loop polls non-blocking while a batch is pending and drains
         # it when no new work arrived.
+        #
+        # Default OFF — REFUTED on the remote-tunnel backend (512-client
+        # closed loop, same session): ON 2150 q/s / p50 228 ms vs OFF
+        # 2540 q/s / p50 194 ms. The tunnel executes RPCs in order, so
+        # the fetch of batch N (enqueued AFTER batch N+1's dispatch)
+        # completes only after N+1 finishes computing: doc_select p50
+        # 47 ms -> 131 ms (~2 batch times), i.e. the "overlap" serializes
+        # behind the next batch, and the eager non-blocking pops shrink
+        # mean batch size 309 -> 257 on top. Kept as an opt-in for
+        # locally-attached backends with out-of-order streams.
         self.pipeline = os.environ.get(
-            "RAGROUTE_NATIVE_PIPELINE", "1") != "0"
+            "RAGROUTE_NATIVE_PIPELINE", "0") == "1"
         self._pending = None  # (chunk, PendingSearch)
 
     # -- lifecycle ---------------------------------------------------------

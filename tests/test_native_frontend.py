@@ -12,6 +12,7 @@ framing, keep-alive and pipelined connections.
 
 import http.client
 import json
+import os
 import socket
 import sys
 import threading
@@ -529,3 +530,81 @@ def test_respond_many_skips_unknown_ids():
         assert accepted == 0
     finally:
         ns.stop()
+
+
+def test_pipelined_serve_loop_parity():
+    """RAGROUTE_NATIVE_PIPELINE=1 (double-buffered device batches) serves
+    the same responses as the default serial loop under concurrent load.
+
+    Default-off on the tunnel backend (measured regression — the
+    in-order stream serializes the fetch behind the next batch's
+    dispatch, BENCHMARKS.md), but the path must stay correct for
+    out-of-order backends."""
+    os.environ["RAGROUTE_NATIVE_PIPELINE"] = "1"
+    try:
+        syn, server, ns = start_native()
+        assert ns.pipeline
+    finally:
+        del os.environ["RAGROUTE_NATIVE_PIPELINE"]
+    try:
+        port = ns.bound_port
+        ok, errs = [], []
+
+        def client(tid):
+            conn = http.client.HTTPConnection("127.0.0.1", port,
+                                              timeout=120)
+            try:
+                for i in range(4):
+                    q = syn.questions[(tid + i) % len(syn.questions)]
+                    conn.request("GET", query_path(
+                        q["question"], q["options"], q["qid"]))
+                    r = conn.getresponse()
+                    data = r.read()
+                    if r.status == 200:
+                        ok.append(json.loads(data))
+                    else:
+                        errs.append((r.status, data))
+            finally:
+                conn.close()
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs[:3]
+        assert len(ok) == 32
+        # drained pending batch: nothing left in flight after idle
+        time.sleep(0.5)
+        assert ns._pending is None
+        # responses carry the full schema with real docs
+        for data in ok[:4]:
+            assert len(data["metadata"]["top_docs"]) == syn.world.k
+
+        # single-query parity against the serial loop, volatile fields out
+        q = syn.questions[2]
+        status, _, body = http_get(
+            port, query_path(q["question"], q["options"], q["qid"]))
+        assert status == 200
+        piped = json.loads(body)
+    finally:
+        ns.stop()
+
+    syn2, server2, ns2 = start_native()
+    try:
+        assert not ns2.pipeline  # default stays serial
+        status, _, body = http_get(
+            ns2.bound_port, query_path(q["question"], q["options"],
+                                       q["qid"]))
+        assert status == 200
+        serial = json.loads(body)
+    finally:
+        ns2.stop()
+
+    def normalize(r):
+        md = r["metadata"]
+        return (r["query"], r["answer"], md["data_sources"],
+                json.dumps(md["top_docs"], sort_keys=True))
+
+    assert normalize(piped) == normalize(serial)
