@@ -27,6 +27,7 @@ bodies — gated by ``tests/test_native_frontend.py``.
 from __future__ import annotations
 
 import ctypes
+import functools
 import json
 import logging
 import os
@@ -46,6 +47,15 @@ from ragroute_tpu.engine.server import FederationServer, _dumps
 logger = logging.getLogger("native_frontend")
 
 
+@functools.lru_cache(maxsize=8192)
+def _unquote_cached(val: str) -> str:
+    # stdlib unquote_plus costs ~47 µs per escaped value (cProfile under
+    # the 512-client load, dominated by the choices JSON); hot serving
+    # traffic repeats query strings, so a bounded decode cache turns the
+    # repeat cost into a dict hit
+    return unquote_plus(val, errors="replace")
+
+
 def _parse_qs_first(qs: str, out: Dict[str, str]) -> Dict[str, str]:
     """First-value query-string parse into ``out`` (later dups ignored,
     matching the ``parse_qs(...)[key][0]`` reads this replaces). Decoding
@@ -57,11 +67,11 @@ def _parse_qs_first(qs: str, out: Dict[str, str]) -> Dict[str, str]:
             continue
         key, _, val = part.partition("=")
         if "%" in key or "+" in key:
-            key = unquote_plus(key, errors="replace")
+            key = _unquote_cached(key)
         if key in out:
             continue
         if "%" in val:
-            val = unquote_plus(val, errors="replace")
+            val = _unquote_cached(val)
         elif "+" in val:
             val = val.replace("+", " ")
         out[key] = val

@@ -248,6 +248,14 @@ class FederationServer:
             fetch = fetch_candidates_policy(self.world)
             self.engine.search(embs, strategy=self.strategy, staged=staged,
                                fetch_candidates=fetch)
+            if self._rows_wired:
+                # compile the device query-table gather for this bucket
+                # too (the serving fast path); a cold gather would pay
+                # its XLA compile inside a live query otherwise
+                self.engine.search(
+                    {"__rows__": np.zeros(b, dtype=np.int32)},
+                    strategy=self.strategy, staged=staged,
+                    fetch_candidates=fetch)
             t0 = time.perf_counter()
             self.engine.search(embs, strategy=self.strategy, staged=staged,
                                fetch_candidates=fetch)
