@@ -38,6 +38,36 @@ def fetch_candidates_policy(world) -> bool:
             or os.environ.get("RAGROUTE_FETCH_CANDIDATES") == "1")
 
 
+def pack_query_embs(engine, rows, denses, padded):
+    """Pack one device batch from per-query (row, dense) pairs.
+
+    ``rows[i]`` is a query-table row index or None; ``denses[i]`` is a
+    dense ``{encoder: [d]}`` dict or None (exactly one of the two per
+    query). All-rows batches ship as ``{"__rows__": [padded] int32}``
+    (gathered on device; pad entries gather table row 0 and are dropped
+    at demux); any dense query makes the whole batch fall back to dense
+    ``[padded, d]`` stacking (pad rows zero). Shared by the asyncio
+    batcher and the native front-end so pad/mixed semantics can't drift
+    between the two serving paths.
+    """
+    world = engine.world
+    n = len(rows)
+    if n and all(r is not None for r in rows):
+        arr = np.zeros(padded, dtype=np.int32)
+        arr[:n] = rows
+        return {"__rows__": arr}
+    dense = [engine.materialize_rows(r) if d is None else d
+             for r, d in zip(rows, denses)]
+    embs: Dict[str, np.ndarray] = {}
+    for enc in world.encoders:
+        dim = next(s.embed_dim for s in world.sources if s.encoder == enc)
+        arr = np.zeros((padded, dim), dtype=np.float32)
+        for i, qe in enumerate(dense):
+            arr[i] = qe[enc]
+        embs[enc] = arr
+    return embs
+
+
 @dataclasses.dataclass
 class QueryResult:
     """One query's slice of a batched SearchOutput."""
@@ -173,33 +203,14 @@ class QueryBatcher:
                 break
 
     def _run_batch(self, batch) -> Tuple[SearchOutput, int]:
-        world = self.engine.world
-        n = len(batch)
-        padded = self._bucket(n)
-        embs: Dict[str, np.ndarray] = {}
-        if n and all("__row__" in qe for qe, _ in batch):
-            # every query is a row of the device-resident table: upload
-            # [B] int32 indices, gather on device (engine._device_embs)
-            rows = np.zeros(padded, dtype=np.int32)
-            for i, (qe, _) in enumerate(batch):
-                rows[i] = qe["__row__"]
-            embs = {"__rows__": rows}
-        else:
-            dense = [
-                self.engine.materialize_rows(qe["__row__"])
-                if "__row__" in qe else qe
-                for qe, _ in batch]
-            for enc in world.encoders:
-                dim = next(
-                    s.embed_dim for s in world.sources if s.encoder == enc)
-                arr = np.zeros((padded, dim), dtype=np.float32)
-                for i, qe in enumerate(dense):
-                    arr[i] = qe[enc]
-                embs[enc] = arr
+        rows = [qe.get("__row__") for qe, _ in batch]
+        denses = [None if "__row__" in qe else qe for qe, _ in batch]
+        embs = pack_query_embs(
+            self.engine, rows, denses, self._bucket(len(batch)))
         out = self.engine.search(
             embs, strategy=self.strategy, staged=self.staged,
-            fetch_candidates=fetch_candidates_policy(world))
-        return out, n
+            fetch_candidates=fetch_candidates_policy(self.engine.world))
+        return out, len(batch)
 
     async def _worker(self) -> None:
         loop = asyncio.get_running_loop()

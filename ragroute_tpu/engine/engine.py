@@ -523,6 +523,14 @@ class FederatedSearchEngine:
         fallback: a batch with any non-table query runs the dense path)."""
         return {enc: t[row] for enc, t in self._qtable_host.items()}
 
+    def warm_query_table(self, batch: int) -> None:
+        """Compile the query-table gather for one batch bucket (warmup);
+        a no-op when no table is set. Much cheaper than warming via a
+        full search: only the gather kernel compiles, no routing/scoring
+        step or output fetch."""
+        if getattr(self, "_qtable", None) is not None:
+            self._qtable_gather(self._qtable, np.zeros(batch, np.int32))
+
     def _device_embs(self, query_embs: Dict[str, np.ndarray]):
         rows = query_embs.get("__rows__")
         if rows is not None:

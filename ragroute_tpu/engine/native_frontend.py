@@ -41,18 +41,31 @@ from urllib.parse import unquote_plus
 import numpy as np
 
 from ragroute_tpu.config import BATCH_WINDOW_MS
-from ragroute_tpu.engine.batcher import QueryResult, fetch_candidates_policy
+from ragroute_tpu.engine.batcher import (
+    QueryResult, fetch_candidates_policy, pack_query_embs)
 from ragroute_tpu.engine.server import FederationServer, _dumps
 
 logger = logging.getLogger("native_frontend")
 
 
+_UNQUOTE_CACHE_MAX_LEN = 2048  # bound by BYTES, not just entries: bodies
+# can reach the frontend's 64 MB cap, and 8192 cached multi-MB uniques
+# would pin gigabytes. Short values (qids, choices JSON) are the ones
+# that repeat; long question bodies rarely do and skip the cache.
+
+
 @functools.lru_cache(maxsize=8192)
+def _unquote_cached_small(val: str) -> str:
+    return unquote_plus(val, errors="replace")
+
+
 def _unquote_cached(val: str) -> str:
     # stdlib unquote_plus costs ~47 µs per escaped value (cProfile under
     # the 512-client load, dominated by the choices JSON); hot serving
     # traffic repeats query strings, so a bounded decode cache turns the
     # repeat cost into a dict hit
+    if len(val) <= _UNQUOTE_CACHE_MAX_LEN:
+        return _unquote_cached_small(val)
     return unquote_plus(val, errors="replace")
 
 
@@ -265,6 +278,19 @@ class NativeFrontend:
             self._h = None
 
 
+class _DoneSearch:
+    """Already-fetched SearchOutput behind the PendingSearch interface
+    (engines that only implement blocking ``search``)."""
+
+    __slots__ = ("_out",)
+
+    def __init__(self, out):
+        self._out = out
+
+    def wait(self):
+        return self._out
+
+
 class _Work:
     __slots__ = ("rid", "query", "choices", "qid", "stream", "group",
                  "gidx", "start", "embs", "row", "embed_time", "t_submit")
@@ -419,6 +445,10 @@ class NativeFederationServer:
                                     fill_n=self.buckets[-1] if fill else 0,
                                     fill_ms=fill)
                 if reqs is None:
+                    # shutdown: deliver the in-flight batch's responses
+                    # before the IO plane closes rather than dropping them
+                    self._drain_pending()
+                    self._flush()
                     break
                 if not reqs:
                     if pending:
@@ -452,6 +482,11 @@ class NativeFederationServer:
                                   ctype=b"text/plain; charset=utf-8")
             if work:
                 self._run_queries(work)
+            elif self._pending is not None:
+                # a pop of pure non-query traffic must not strand the
+                # in-flight batch (pipeline mode): its results are ready,
+                # drain and deliver them with this pass's flush
+                self._drain_pending()
         finally:
             self._flush()
 
@@ -615,6 +650,12 @@ class NativeFederationServer:
         max_b = self.buckets[-1]
         for i in range(0, len(items), max_b):
             chunk = items[i:i + max_b]
+            if not self.pipeline:
+                # serial mode: fetch the previous chunk BEFORE dispatching
+                # the next — on the in-order tunnel stream a fetch enqueued
+                # after the next dispatch would wait for BOTH computations
+                # (the measured pipelining regression, BENCHMARKS.md)
+                self._drain_pending()
             submitted = None
             try:
                 submitted = self._submit_chunk(chunk)
@@ -622,9 +663,10 @@ class NativeFederationServer:
                 logger.exception("engine submit failed")
                 for w in chunk:
                     self._fail(w, e)
-            # drain the PREVIOUS batch while the device runs this one —
-            # its responses flush in this _handle pass (double buffer)
-            self._drain_pending()
+            if self.pipeline:
+                # drain the PREVIOUS batch while the device runs this one
+                # — its responses flush in this _handle pass
+                self._drain_pending()
             self._pending = submitted
         if not self.pipeline:
             self._drain_pending()
@@ -649,30 +691,21 @@ class NativeFederationServer:
                 self._fail(w, e)
 
     def _submit_chunk(self, chunk: List[_Work]):
-        world = self.world
-        n = len(chunk)
-        padded = self._bucket(n)
-        embs: Dict[str, np.ndarray] = {}
-        if n and all(w.row is not None for w in chunk):
-            # rows fast path: [B] int32 indices into the device-resident
-            # query table; the dense [B, d] upload disappears
-            rows = np.zeros(padded, dtype=np.int32)
-            for i, w in enumerate(chunk):
-                rows[i] = w.row
-            embs = {"__rows__": rows}
-        else:
-            for enc in world.encoders:
-                dim = next(
-                    s.embed_dim for s in world.sources if s.encoder == enc)
-                arr = np.zeros((padded, dim), dtype=np.float32)
-                for i, w in enumerate(chunk):
-                    qe = (self.engine.materialize_rows(w.row)
-                          if w.embs is None else w.embs)
-                    arr[i] = qe[enc]
-                embs[enc] = arr
+        embs = pack_query_embs(
+            self.engine, [w.row for w in chunk], [w.embs for w in chunk],
+            self._bucket(len(chunk)))
         for w in chunk:
             w.t_submit = time.time()
-        return chunk, self.engine.search_submit(
+        submit = getattr(self.engine, "search_submit", None)
+        if submit is None:
+            # engines without a deferred-fetch API (the mesh-sharded
+            # ShardedSearch serves via --mesh --frontend native): run the
+            # blocking search and wrap the finished output
+            out = self.engine.search(
+                embs, strategy=self.strategy, staged=self.staged,
+                fetch_candidates=self._fetch)
+            return chunk, _DoneSearch(out)
+        return chunk, submit(
             embs, strategy=self.strategy, staged=self.staged,
             fetch_candidates=self._fetch)
 

@@ -121,6 +121,7 @@ class FederationServer:
         # f32 vectors (engine gathers on device). Unknown qids keep the
         # dense fallback path per batch.
         self._rows_wired = False
+        self._rows_provider = None
         if (os.environ.get("RAGROUTE_QUERY_TABLE", "1") != "0"
                 and hasattr(self.provider, "row_of")
                 and hasattr(self.provider, "tables")
@@ -128,6 +129,9 @@ class FederationServer:
                 and getattr(self.provider, "table", None)):
             engine.set_query_table(self.provider.tables())
             self._rows_wired = True
+            # the device table mirrors THIS provider; a later provider
+            # swap must not serve row indices into the stale table
+            self._rows_provider = self.provider
         self.host = host
         self.port = port
         self.reuse_port = reuse_port
@@ -252,10 +256,7 @@ class FederationServer:
                 # compile the device query-table gather for this bucket
                 # too (the serving fast path); a cold gather would pay
                 # its XLA compile inside a live query otherwise
-                self.engine.search(
-                    {"__rows__": np.zeros(b, dtype=np.int32)},
-                    strategy=self.strategy, staged=staged,
-                    fetch_candidates=fetch)
+                self.engine.warm_query_table(b)
             t0 = time.perf_counter()
             self.engine.search(embs, strategy=self.strategy, staged=staged,
                                fetch_candidates=fetch)
@@ -739,11 +740,13 @@ class FederationServer:
             formatted_query = query
 
         t0 = time.time()
-        # re-check row_of on every request: tests (and live provider
-        # swaps) may replace self.provider after init with one that has
-        # no table
-        row_of = (getattr(self.provider, "row_of", None)
-                  if self._rows_wired else None)
+        # re-check the provider identity on every request: tests (and
+        # live swaps) may replace self.provider after init — a different
+        # provider's row indices must not gather from the stale device
+        # table, so any swap falls back to the dense embed path
+        row_of = (self.provider.row_of
+                  if self._rows_wired and self.provider is self._rows_provider
+                  else None)
         if row_of is not None and (row := row_of(question_id)) is not None:
             # table-backed qid: ship a row index, gather on device
             embs = {"__row__": row}

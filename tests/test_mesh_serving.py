@@ -192,3 +192,42 @@ def test_mesh_spec_parsing():
         parse_mesh_spec("8")
     with pytest.raises(ValueError):
         parse_mesh_spec("0x4")
+
+
+def test_mesh_native_frontend_serves():
+    """--mesh + --frontend native: the C++ IO plane over ShardedSearch.
+
+    ShardedSearch implements only the blocking ``search`` (no deferred
+    ``search_submit``); the native loop must fall back to the blocking
+    call rather than 500 every query (regression: the pipelined-loop
+    refactor briefly assumed search_submit on every engine)."""
+    import http.client
+    import pytest
+    from ragroute_tpu.engine.native_frontend import (
+        NativeFederationServer, native_frontend_available)
+    from urllib.parse import quote
+
+    if not native_frontend_available():
+        pytest.skip("native frontend unavailable (g++ missing)")
+
+    syn, shard_set, params, bank, server = make_mesh_server()
+    assert not hasattr(server.engine, "search_submit")
+    ns = NativeFederationServer(server)
+    ns.start(thread=True)
+    try:
+        q = syn.questions[0]
+        conn = http.client.HTTPConnection("127.0.0.1", ns.bound_port,
+                                          timeout=300)
+        conn.request("GET", (f"/query?q={quote(q['question'])}"
+                             f"&choices={quote(json.dumps(q['options']))}"
+                             f"&qid={q['qid']}"))
+        r = conn.getresponse()
+        body = r.read()
+        conn.close()
+        assert r.status == 200, body[:200]
+        data = json.loads(body)
+        assert len(data["metadata"]["top_docs"]) == syn.world.k
+        assert sorted(data["metadata"]["data_sources"]) == sorted(
+            s.name for s in syn.world.sources)
+    finally:
+        ns.stop()
