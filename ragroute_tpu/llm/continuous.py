@@ -158,13 +158,17 @@ def admit(params, cfg: DecoderConfig, state, ids, lens, slots, budgets,
 def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
                  temperature: float, eos_id: int, pad_id: int,
                  prefix_kv=None, pos0: int = 0, top_k: int = 0,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, track_tokens: bool = True):
     """Run ``steps`` ragged decode steps over every slot. Returns
     (state, tokens [steps, slots] — ``pad_id`` on inactive lanes,
     alive [steps, slots] — whether the lane was active when the token
     was emitted). ``prefix_kv``/``pos0``: see :func:`prefill_rows` —
     the shared prefix block is read ONCE per step (broadcast across
-    slots) instead of living in every slot's cache row."""
+    slots) instead of living in every slot's cache row.
+    ``track_tokens=False`` skips the per-step scatter into the
+    [slots, cache_len] token-history buffer — only prompt-lookup
+    speculative drafting reads it, so the non-spec serving engine
+    shouldn't pay the write."""
     inv_freq = jnp.asarray(_inv_freq(cfg))
     s_max = state[0]["k"].shape[2]
     n_slots = state[1].shape[0]
@@ -175,7 +179,8 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         positions = pos0 + counts[:, None]                # [B, 1]
         iota = jnp.arange(s_max)
         kmask = (iota[None, :] <= counts[:, None])[:, None, :]
-        toks = toks.at[rows, counts].set(tok)
+        if track_tokens:
+            toks = toks.at[rows, counts].set(tok)
 
         h = _embed_lookup(params, tok)[:, None]
         for li, layer in enumerate(params["layers"]):
@@ -344,8 +349,13 @@ class ContinuousGenerationService:
                 fut.cancel()
             stream = req.get("stream")
             if stream is not None:
+                # a shutdown-truncated stream must not look like a
+                # completed generation: carry an explicit error so
+                # chat_stream callers see ok=False, matching the
+                # CancelledError the non-streaming future raises
                 stream.put_nowait(
-                    {"final": self.tokenizer.decode(req["tokens"])})
+                    {"final": self.tokenizer.decode(req["tokens"]),
+                     "error": "service stopped before completion"})
 
     # -- API -----------------------------------------------------------------
 
@@ -553,9 +563,12 @@ class ContinuousGenerationService:
 
             def run(params, state, pk=None, pv=None):
                 pkv = None if pk is None else (pk, pv)
+                # this engine only runs with spec_window == 0 (the spec
+                # path uses spec_decode_chunk), so skip the token-history
+                # scatter that only drafting would read
                 return decode_chunk(params, cfg, state, steps, temp, eos,
                                     pad, prefix_kv=pkv, pos0=p0,
-                                    top_k=tk, top_p=tp)
+                                    top_k=tk, top_p=tp, track_tokens=False)
 
             self._chunk_jit = jax.jit(run, donate_argnums=(1,))
         self._state, toks, alive = self._chunk_jit(*self._chunk_args())

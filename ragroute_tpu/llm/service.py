@@ -248,6 +248,7 @@ class GenerationService:
                                          "pad_token_id", "pad_id")
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self._inflight: List = []  # dequeued-but-unresolved batch items
         self._flush_s = flush_interval_s
         self._compiled: Dict[Tuple[int, int], object] = {}
         self.generated_tokens = 0
@@ -313,6 +314,14 @@ class GenerationService:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # requests the worker had already dequeued into its in-flight
+        # batch (popped from the queue but not yet resolved when the
+        # cancel landed) would otherwise await forever
+        for item in self._inflight:
+            fut = item[-1]
+            if not fut.done():
+                fut.cancel()
+        self._inflight = []
         # a queued request would otherwise await a future nobody resolves
         while not self._queue.empty():
             try:
@@ -345,9 +354,11 @@ class GenerationService:
         loop = asyncio.get_running_loop()
         while True:
             first = await self._queue.get()
+            # track the in-flight batch from the moment it leaves the
+            # queue: stop() resolves these if the cancel lands mid-batch
+            items = self._inflight = [first]
             if self._flush_s:
                 await asyncio.sleep(self._flush_s)  # let a batch gather
-            items = [first]
             max_b = self.batch_buckets[-1]
             while len(items) < max_b:
                 try:
@@ -366,6 +377,8 @@ class GenerationService:
                 for _, _, fut in items:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
+                self._inflight = []
 
     def _run_batch(self, prompts: List[List[int]],
                    budgets: List[int]) -> List[str]:
@@ -381,7 +394,7 @@ class GenerationService:
             buds[i] = budgets[i]
         tokens = self._jit_generate(p, b)(
             self.params, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray(buds))
+            jnp.asarray(buds), jnp.int32(self.batches))
         tokens = np.asarray(tokens)
         self.batches += 1
         out = []
@@ -389,9 +402,12 @@ class GenerationService:
             row = [int(t) for t in tokens[i][:budgets[i]]]
             if self.eos_id in row:
                 row = row[: row.index(self.eos_id)]
-            # strip pads the scan emitted after a row finished early
-            while row and row[-1] == self.pad_id:
-                row.pop()
+            # scan padding never survives these cuts (pads are emitted
+            # only past a row's eos or budget); a remaining trailing
+            # pad_id is a REAL sampled token that happens to alias the
+            # pad id and must be kept — same contract as the continuous
+            # engine (continuous.py pad-alias note), so both serving
+            # modes decode identical token streams
             self.generated_tokens += len(row)
             out.append(self.tokenizer.decode(row))
         return out
@@ -405,11 +421,15 @@ class GenerationService:
         top_k, top_p = self.top_k, self.top_p
         cache_dtype = self.cache_dtype
 
-        def run(params, ids, mask, budgets):
+        def run(params, ids, mask, budgets, seed):
+            # seed is TRACED (one compile) and advanced per batch: with
+            # temperature>0, a fixed seed would make every batch reuse
+            # the same gumbel noise — repeated requests would "sample"
+            # byte-identical answers across batches and restarts
             toks, _ = generate(
                 params, cfg, ids, mask, max_new, eos_id=eos, pad_id=pad,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                cache_dtype=cache_dtype, budgets=budgets)
+                rng_seed=seed, cache_dtype=cache_dtype, budgets=budgets)
             return toks
 
         fn = jax.jit(run)
