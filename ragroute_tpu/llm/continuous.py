@@ -42,8 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ragroute_tpu.llm.model import (
-    DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
-    _mlp, _qkv, _rms, cache_read, cache_write, init_cache, sample_token,
+    DecoderConfig, _embed_lookup, _inv_freq, _logits, cache_write,
+    decode_layers, init_cache, prefill_layers, sample_token,
 )
 from ragroute_tpu.llm.service import (
     _render_prompt, clamp_budget, encode_prompt, pick_bucket,
@@ -107,17 +107,8 @@ def prefill_rows(params, cfg: DecoderConfig, ids, lens, prefix_kv=None,
              & valid[:, None, :])                          # [n, P, P]
 
     h = _embed_lookup(params, ids)
-    ks, vs = [], []
-    for li, layer in enumerate(params["layers"]):
-        x = _rms(h, layer["ln1"], cfg.rms_eps)
-        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-        ks.append(k)
-        vs.append(v)
-        pkv = (None if prefix_kv is None
-               else (prefix_kv[0][li], prefix_kv[1][li]))
-        h = h + _dot(_attend(q, k, v, kmask, cfg, prefix_kv=pkv),
-                     layer["wo"])
-        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    h, ks, vs = prefill_layers(params, cfg, h, positions, kmask,
+                               inv_freq=inv_freq, prefix_kv=prefix_kv)
     # gather each row's last hidden BEFORE the vocab matmul (P× cheaper)
     h_last = jnp.take_along_axis(
         h, (lens - 1)[:, None, None].astype(jnp.int32), axis=1)
@@ -182,26 +173,18 @@ def decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         if track_tokens:
             toks = toks.at[rows, counts].set(tok)
 
-        h = _embed_lookup(params, tok)[:, None]
-        for li, layer in enumerate(params["layers"]):
-            x = _rms(h, layer["ln1"], cfg.rms_eps)
-            q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-            # per-row scatter at each slot's own write position; inactive
-            # rows rewrite their current (masked-out-next-admit) position
-            def at_count(plane, payload, li=li):
+        # per-row scatter at each slot's own write position; inactive
+        # rows rewrite their current (masked-out-next-admit) position
+        def write(cache, li, k, v):
+            def at_count(plane, payload):
                 return plane.at[li, rows, counts].set(payload)
 
             cache_write(cache, "k", k[:, 0], at_count)
             cache_write(cache, "v", v[:, 0], at_count)
-            ck, ksc = cache_read(cache, "k", li)
-            cv, vsc = cache_read(cache, "v", li)
-            pkv = (None if prefix_kv is None
-                   else (prefix_kv[0][li], prefix_kv[1][li]))
-            h = h + _dot(
-                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc,
-                        prefix_kv=pkv),
-                layer["wo"])
-            h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+
+        h = _embed_lookup(params, tok)[:, None]
+        h = decode_layers(params, cfg, h, positions, kmask, cache, write,
+                          inv_freq=inv_freq, prefix_kv=prefix_kv)
         logits = _logits(params, cfg, h)[:, 0]
 
         key = jax.random.fold_in(jax.random.key(1), tstep)

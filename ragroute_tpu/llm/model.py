@@ -431,6 +431,52 @@ def cache_read(cache: Dict[str, jnp.ndarray], name: str, li):
     return cache[name][li], (None if s is None else s[li])
 
 
+def prefill_layers(params, cfg: DecoderConfig, h, positions, kmask, *,
+                   inv_freq, prefix_kv=None):
+    """The transformer stack for PREFILL-side engines (lockstep prefill,
+    continuous row admit): rms -> qkv -> attend fresh K/V -> wo -> mlp
+    per layer. Returns (h, ks, vs) with per-layer fresh K/V lists —
+    callers write them into their own cache layout. ONE copy of the
+    layer body keeps the cross-engine token-exactness contract safe
+    (a change here reaches every engine or none)."""
+    ks, vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        x = _rms(h, layer["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+        ks.append(k)
+        vs.append(v)
+        pkv = (None if prefix_kv is None
+               else (prefix_kv[0][li], prefix_kv[1][li]))
+        h = h + _dot(_attend(q, k, v, kmask, cfg, prefix_kv=pkv),
+                     layer["wo"])
+        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    return h, ks, vs
+
+
+def decode_layers(params, cfg: DecoderConfig, h, positions, kmask, cache,
+                  write, *, inv_freq, prefix_kv=None):
+    """The transformer stack for DECODE-side engines (lockstep decode
+    step, continuous ragged chunk, speculative window): rms -> qkv ->
+    cache_write -> cache_read -> attend(+scales, +prefix) -> wo -> mlp
+    per layer. ``write(cache, li, k, v)`` scatters fresh K/V into the
+    caller's cache layout (fixed slot / per-row count / window) — the
+    only thing that differs between engines."""
+    for li, layer in enumerate(params["layers"]):
+        x = _rms(h, layer["ln1"], cfg.rms_eps)
+        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
+        write(cache, li, k, v)
+        ck, ksc = cache_read(cache, "k", li)
+        cv, vsc = cache_read(cache, "v", li)
+        pkv = (None if prefix_kv is None
+               else (prefix_kv[0][li], prefix_kv[1][li]))
+        h = h + _dot(
+            _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc,
+                    prefix_kv=pkv),
+            layer["wo"])
+        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    return h
+
+
 def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
             cache) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Run the prompt (LEFT-padded to its bucket length P ≤ S) and fill
@@ -449,14 +495,8 @@ def prefill(params, cfg: DecoderConfig, input_ids, attention_mask,
     kmask = causal[None] & (mask[:, None, :] > 0)
 
     h = _embed_lookup(params, input_ids)
-    new_k, new_v = [], []
-    for layer in params["layers"]:
-        x = _rms(h, layer["ln1"], cfg.rms_eps)
-        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-        new_k.append(k)
-        new_v.append(v)
-        h = h + _dot(_attend(q, k, v, kmask, cfg), layer["wo"])
-        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+    h, new_k, new_v = prefill_layers(params, cfg, h, positions, kmask,
+                                     inv_freq=inv_freq)
 
     def at_origin(plane, payload):
         return jax.lax.dynamic_update_slice(
@@ -482,23 +522,18 @@ def decode_step(params, cfg: DecoderConfig, cache, token, lengths,
     kmask = ((iota[None, :] >= prompt_pad - lengths[:, None])
              & (iota[None, :] <= slot))[:, None, :]  # [B, 1, S]
 
-    h = _embed_lookup(params, token)[:, None]     # [B, 1, D]
-    for li, layer in enumerate(params["layers"]):
-        x = _rms(h, layer["ln1"], cfg.rms_eps)
-        q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-        def at_slot(plane, payload, li=li):
+    def write(cache, li, k, v):
+        def at_slot(plane, payload):
             return jax.lax.dynamic_update_slice(
                 plane, payload[None],
                 (li, 0, slot) + (0,) * (plane.ndim - 3))
 
         cache_write(cache, "k", k, at_slot)
         cache_write(cache, "v", v, at_slot)
-        ck, ksc = cache_read(cache, "k", li)
-        cv, vsc = cache_read(cache, "v", li)
-        h = h + _dot(
-            _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc),
-            layer["wo"])
-        h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+
+    h = _embed_lookup(params, token)[:, None]     # [B, 1, D]
+    h = decode_layers(params, cfg, h, positions, kmask, cache, write,
+                      inv_freq=inv_freq)
     return _logits(params, cfg, h)[:, 0], cache
 
 

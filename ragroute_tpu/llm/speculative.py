@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from ragroute_tpu.llm.model import (
-    DecoderConfig, _attend, _dot, _embed_lookup, _inv_freq, _logits,
-    _mlp, _qkv, _rms, cache_read, cache_write,
+    DecoderConfig, _embed_lookup, _inv_freq, _logits, cache_write,
+    decode_layers,
 )
 
 
@@ -107,25 +107,18 @@ def spec_decode_chunk(params, cfg: DecoderConfig, state, steps: int,
         kmask = (iota[None, None, :]
                  <= slot_positions[:, :, None])            # [B, w, S]
 
-        h = _embed_lookup(params, fed)                     # [B, w, D]
         slot_pos = jnp.clip(slot_positions, 0, s_max - 1)
-        for li, layer in enumerate(params["layers"]):
-            x = _rms(h, layer["ln1"], cfg.rms_eps)
-            q, k, v = _qkv(layer, cfg, x, positions, inv_freq)
-            def at_window(plane, payload, li=li):
+
+        def write(cache, li, k, v):
+            def at_window(plane, payload):
                 return plane.at[li, rows[:, None], slot_pos].set(payload)
 
             cache_write(cache, "k", k, at_window)
             cache_write(cache, "v", v, at_window)
-            ck, ksc = cache_read(cache, "k", li)
-            cv, vsc = cache_read(cache, "v", li)
-            pkv = (None if prefix_kv is None
-                   else (prefix_kv[0][li], prefix_kv[1][li]))
-            h = h + _dot(
-                _attend(q, ck, cv, kmask, cfg, k_scale=ksc, v_scale=vsc,
-                        prefix_kv=pkv),
-                layer["wo"])
-            h = h + _mlp(layer, _rms(h, layer["ln2"], cfg.rms_eps))
+
+        h = _embed_lookup(params, fed)                     # [B, w, D]
+        h = decode_layers(params, cfg, h, positions, kmask, cache, write,
+                          inv_freq=inv_freq, prefix_kv=prefix_kv)
         logits = _logits(params, cfg, h)                   # [B, w, V]
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
