@@ -95,6 +95,13 @@ IVF_HYBRID_NPROBE_DIVISOR = 32
 SHARD_PAD_MULTIPLE = 512
 UPDATE_CHUNK = 512
 
+# Routing-aware batch compaction: a compacted sub-batch (B/2 or B/4)
+# is only worth its extra compiled kernel variant when it still fills
+# MXU sublanes — below this row count the full-batch kernel wins.
+# Shared by the single-chip engine and the mesh engine so the
+# crossover can't drift between the two.
+COMPACTION_MIN_ROWS = 8
+
 # impl="lowrank": two-stage exact-rescored retrieval (low-rank coarse scan
 # + full-precision refine, index/lowrank.py). Candidate depth per query is
 # k' = LOWRANK_REFINE_MULT * k; automatic rank selection keeps the

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.config import COMPACTION_MIN_ROWS, WorldConfig
 from ragroute_tpu.index.shard import ShardSet
 from ragroute_tpu.ops.topk import NEG_INF, shard_topk
 from ragroute_tpu.router.features import RouterBank, build_features
@@ -316,14 +316,14 @@ def _score_fn(
         # (medrag's 2-of-4); each tier is one extra compiled kernel variant
         # per shard shape.
         half, quarter = bsz // 2, bsz // 4
-        if compaction and quarter >= 8:
+        if compaction and quarter >= COMPACTION_MIN_ROWS:
             s, idx = jax.lax.cond(
                 cnt == 0, skipped,
                 lambda: jax.lax.cond(
                     cnt <= quarter, lambda: compact_to(quarter),
                     lambda: jax.lax.cond(
                         cnt <= half, lambda: compact_to(half), full)))
-        elif compaction and half >= 8:
+        elif compaction and half >= COMPACTION_MIN_ROWS:
             s, idx = jax.lax.cond(
                 cnt == 0, skipped,
                 lambda: jax.lax.cond(

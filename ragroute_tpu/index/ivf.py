@@ -69,24 +69,42 @@ def default_n_clusters(n: int) -> int:
     return 1 << (c.bit_length() - 1)  # round the cap down to a power of 2
 
 
-def _upload_chunks(emb: np.ndarray, chunk: int):
+def _upload_chunks(emb: np.ndarray, chunk: int, mesh=None):
     """Upload the corpus ONCE as bf16 [n_chunks, chunk, d] + weights.
 
     bf16 halves the host->device transfer (the dominant build cost on a
     tunneled dev box); k-means quality is unaffected because all
     reductions accumulate in f32. One upload feeds both the Lloyd
     iterations and the preference-ranking pass.
+
+    With ``mesh``, the chunk axis is padded to the device count and the
+    numpy array is ``device_put`` DIRECTLY into the sharded layout —
+    each device receives only its slice, so a corpus bigger than one
+    chip's HBM never stages whole on the default device (the reason the
+    mesh build exists).
     """
     import ml_dtypes
 
     n, d = emb.shape
     n_pad = -(-n // chunk) * chunk
+    n_chunks = n_pad // chunk
+    if mesh is not None:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_chunks = -(-n_chunks // n_dev) * n_dev
+        n_pad = n_chunks * chunk
     x = np.zeros((n_pad, d), ml_dtypes.bfloat16)
     x[:n] = emb
     wt = np.zeros((n_pad,), np.float32)
     wt[:n] = 1.0
-    xc = jnp.asarray(x.reshape(n_pad // chunk, chunk, d))
-    wc = jnp.asarray(wt.reshape(n_pad // chunk, chunk))
+    x = x.reshape(n_chunks, chunk, d)
+    wt = wt.reshape(n_chunks, chunk)
+    if mesh is None:
+        return jnp.asarray(x), jnp.asarray(wt), n_pad
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    xc = jax.device_put(x, NamedSharding(mesh, P(axes, None, None)))
+    wc = jax.device_put(wt, NamedSharding(mesh, P(axes, None)))
     return xc, wc, n_pad
 
 
@@ -152,8 +170,8 @@ def _kmeans_device(xc, wc, emb: np.ndarray, n_clusters: int, iters: int,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
-    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
-    xc, wc = _pad_chunk_axis(xc, wc, n_dev)
+    # xc/wc arrive from _upload_chunks(mesh=...) already sharded over
+    # the chunk axis (padded to the device count) — no re-put here
 
     def local_run(cent0, xc_l, wc_l):
         lloyd = make_lloyd(axes)
@@ -167,20 +185,8 @@ def _kmeans_device(xc, wc, emb: np.ndarray, n_clusters: int, iters: int,
         in_specs=(P(), P(axes, None, None), P(axes, None)),
         out_specs=P(),
         check_vma=False))  # psum makes the output replicated
-    cent = run(jax.device_put(init, NamedSharding(mesh, P())),
-               jax.device_put(xc, NamedSharding(mesh, P(axes, None, None))),
-               jax.device_put(wc, NamedSharding(mesh, P(axes, None))))
+    cent = run(jax.device_put(init, NamedSharding(mesh, P())), xc, wc)
     return np.asarray(cent, dtype=np.float32)
-
-
-def _pad_chunk_axis(xc, wc, n_dev: int):
-    """Pad the chunk axis to a device multiple (zero-weight chunks)."""
-    n_chunks = xc.shape[0]
-    pad = (-n_chunks) % n_dev
-    if pad:
-        xc = jnp.pad(xc, ((0, pad), (0, 0), (0, 0)))
-        wc = jnp.pad(wc, ((0, pad), (0, 0)))
-    return xc, wc
 
 
 def _top_r_choices(xc, n: int, cent: np.ndarray, r: int,
@@ -208,13 +214,10 @@ def _top_r_choices(xc, n: int, cent: np.ndarray, r: int,
 
         return np.asarray(run(xc, jnp.asarray(cent), r))[:n]
 
-    import numpy as _np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axes = tuple(mesh.axis_names)
-    n_dev = int(_np.prod([mesh.shape[a] for a in axes]))
-    chunk = xc.shape[1]
-    xc, _ = _pad_chunk_axis(xc, jnp.zeros((xc.shape[0], chunk)), n_dev)
+    # xc arrives pre-sharded over the chunk axis (see _upload_chunks)
 
     def local_run(xc_l, cent):
         cb = -0.5 * jnp.sum(cent * cent, axis=1)
@@ -228,7 +231,7 @@ def _top_r_choices(xc, n: int, cent: np.ndarray, r: int,
         out_specs=P(axes, None),
         check_vma=False))
     tops = run(
-        jax.device_put(xc, NamedSharding(mesh, P(axes, None, None))),
+        xc,
         jax.device_put(jnp.asarray(cent), NamedSharding(mesh, P())))
     return np.asarray(tops)[:n]
 
@@ -317,7 +320,7 @@ def build_ivf(
         cent = emb.mean(axis=0, keepdims=True)
         assign = np.zeros(n, np.int32)
     else:
-        xc, wc, _ = _upload_chunks(emb, chunk=8192)
+        xc, wc, _ = _upload_chunks(emb, chunk=8192, mesh=mesh)
         cent = _kmeans_device(xc, wc, emb, c, kmeans_iters, seed,
                               mesh=mesh)
         choices = _top_r_choices(xc, n, cent, min(kmeans_rank, c),
@@ -375,18 +378,21 @@ def ivf_fingerprint(emb: np.ndarray) -> str:
     hit against regenerated embeddings of the same shape (different seed,
     ``--subclusters``, refreshed corpus) would silently serve stale
     vectors. Hashing the full matrix costs seconds at production scale;
-    a deterministic row subsample (~1k rows) plus shape plus a global sum
-    catches any realistic regeneration while staying O(MB).
+    a deterministic row subsample (~1k rows spread across the matrix)
+    plus shape catches any realistic regeneration while staying O(MB) —
+    a global reduction would stream the whole (possibly mmapped) corpus
+    per source per boot, the exact cost the cache exists to avoid.
     """
     import hashlib
 
     emb = np.asarray(emb)
     n = emb.shape[0]
     step = max(1, n // 1024)
+    sample = np.ascontiguousarray(emb[::step], dtype=np.float32)
     h = hashlib.sha1()
     h.update(str(emb.shape).encode())
-    h.update(np.ascontiguousarray(emb[::step], dtype=np.float32).tobytes())
-    h.update(np.float64(emb.sum(dtype=np.float64)).tobytes())
+    h.update(sample.tobytes())
+    h.update(np.float64(sample.sum(dtype=np.float64)).tobytes())
     return h.hexdigest()
 
 

@@ -36,12 +36,23 @@ _build_failed = False
 
 def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    # compile to a per-process temp path and publish with an atomic
+    # rename: concurrent builders (--workers N boot one per process)
+    # must never CDLL another process's half-written .so, and an
+    # interrupted build must not leave a corrupt file that poisons
+    # every later boot
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except Exception as e:
         logger.warning("native docstore build failed: %s", e)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
@@ -59,7 +70,22 @@ def _load() -> Optional[ctypes.CDLL]:
             if not _build():
                 _build_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError as e:
+            # a stale/corrupt .so must degrade to the Python store, not
+            # crash the boot; rebuild once in case the file predates the
+            # atomic-publish fix
+            logger.warning("native docstore load failed (%s); rebuilding", e)
+            if not _build():
+                _build_failed = True
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError as e2:
+                logger.warning("native docstore unusable: %s", e2)
+                _build_failed = True
+                return None
         lib.ds_open.argtypes = [ctypes.c_char_p]
         lib.ds_open.restype = ctypes.c_void_p
         lib.ds_count.argtypes = [ctypes.c_void_p]

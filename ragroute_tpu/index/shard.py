@@ -631,6 +631,13 @@ class ShardSet:
             # stay None, or their old local-index ids would resurrect
             dead = set(free) | set(slots)
             table = [None if s in dead else s for s in range(shard.n_docs)]
+            table.extend([None] * (shard.capacity - len(table)))
+            # docs added id-less EARLIER live in the reserve area beyond
+            # n_docs; they were (and must stay) identified by their slot
+            # index — the blanket None tail would null live documents
+            for s in self._added_rows[source]:
+                if s not in dead and s >= shard.n_docs:
+                    table[s] = s
             self.doc_ids[source] = table
         if table is not None:
             if len(table) < shard.capacity:

@@ -157,6 +157,16 @@ class LockstepEngine:
         self.engine = engine
         self.buckets = tuple(int(b) for b in buckets)
         self.leader = leader
+        # fail at CONSTRUCTION, not mid-protocol: a bucket the engine
+        # would reject (dp-indivisible batch) must never reach search()
+        # — by then the header broadcast is out and followers are parked
+        # in DCN collectives with no timeout (full-cluster restart)
+        dp = getattr(engine, "dp", 1)
+        bad = [b for b in self.buckets if b % dp != 0]
+        if bad:
+            raise ValueError(
+                f"buckets {bad} not divisible by mesh dp={dp}; "
+                f"round them up (system.py does this for --mesh)")
         self.world = engine.world
         self.shard_set = engine.shard_set
 

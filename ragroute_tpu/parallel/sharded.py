@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ragroute_tpu import config as cfg_mod
-from ragroute_tpu.config import WorldConfig
+from ragroute_tpu.config import COMPACTION_MIN_ROWS, WorldConfig
 from ragroute_tpu.engine.engine import (_route_fn, build_payload_tables,
                                         gate_and_merge, payload_base)
 from ragroute_tpu.index.ivf import IVFData
@@ -129,7 +129,7 @@ def sharded_shard_topk(
             idx = jnp.zeros((bsz_l, k), dtype=jnp.int32).at[sel].set(i_c)
             return s, idx
 
-        if half < 8:
+        if half < COMPACTION_MIN_ROWS:
             return full()
         return jax.lax.cond(routed_l.sum() <= half, compact, full)
 
@@ -235,6 +235,16 @@ def sharded_ivf_topk(
         if docs_cast.dtype == jnp.int8:
             docs_cast = docs_cast.astype(jnp.bfloat16)
         qd = qq.astype(docs_cast.dtype)[pair_q]
+        # KNOWN PERF GAP, deliberately open: the single-chip path
+        # replaced ragged_dot with the grouped-GEMM Pallas kernel
+        # (ops/ivf_topk._grouped_gains) after measuring ragged_dot's TPU
+        # lowering at ~30x its useful FLOPs (BENCHMARKS.md). The same
+        # swap here needs the _GROUP_ROWS pair-padding + scalar-prefetch
+        # block table rebuilt per device inside shard_map, and neither
+        # leg is validatable today: the CPU-mesh CI cannot execute the
+        # Mosaic kernel and no multi-chip TPU is available to measure
+        # the win. Revisit with hardware; correctness is unaffected
+        # (gated vs the single-chip ivf_topk in tests/test_parallel.py).
         gains = jax.lax.ragged_dot(
             qd, docs_cast, gs, preferred_element_type=jnp.float32)
         row_ok = sc < c_local
@@ -433,11 +443,14 @@ class ShardedSearch:
             # shard metadata (n_docs, name, score_mode) and host-side
             # doc-id tables stay; index_bytes keeps reporting the global
             # footprint.
+            # layouts the chosen impl will never read are DROPPED, not
+            # kept: writing back the original single-device IVF slabs
+            # (~1.25x corpus bytes) or lowrank slab would be exactly the
+            # double-residency this block exists to prevent
             d_sh, b_sh, sc_sh, c_sh = self.arrays[-1]
             shard_set.shards[i_s] = s.replace(
                 docs=d_sh, bias=b_sh, scale=sc_sh, center=c_sh,
-                ivf=(ivf if ivf is not None else s.ivf),
-                lr=(lr if lr is not None else s.lr))
+                ivf=ivf, lr=lr)
 
         world = self.world
         k = world.k

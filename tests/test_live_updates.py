@@ -378,3 +378,28 @@ def test_add_docs_honors_normalize_cos_false():
         row = np.asarray(ss.shards[0].docs[slot])
         want = (v[0] / np.linalg.norm(v[0])) if norm else v[0]
         np.testing.assert_allclose(row, want, rtol=1e-6)
+
+
+def test_late_id_table_keeps_earlier_idless_docs():
+    """Adding WITH doc_ids after earlier id-LESS adds must not null the
+    earlier live docs' identities: the materialized table keeps their
+    local-index ids (reserve slots >= n_docs included)."""
+    syn, base_emb, held_emb, _, _ = _world()
+    name = syn.world.sources[0].name
+    ss = ShardSet.build(syn.world, base_emb, dtype=jnp.float32,
+                        mutable=True, reserve_docs=8)
+    n0 = ss.shards[[s.name for s in syn.world.sources].index(name)].n_docs
+
+    idless = ss.add_docs(name, held_emb[name][:2])
+    assert idless == [n0, n0 + 1]  # reserve slots beyond the base corpus
+    # delete one base doc pre-table: its slot must stay None in the table
+    ss.delete_docs(name, slots=[3])
+
+    withid = ss.add_docs(name, held_emb[name][2:3], doc_ids=["late-id"])
+    table = ss.doc_ids[name]
+    assert table[idless[0]] == idless[0]
+    assert table[idless[1]] == idless[1]
+    assert withid == [3]  # the freed slot is recycled for the new doc
+    assert table[3] == "late-id"
+    # and earlier base docs keep local-index identity
+    assert table[0] == 0 and table[n0 - 1] == n0 - 1
