@@ -380,10 +380,6 @@ class FederatedSearchEngine:
         n_docs = tuple(s.scan_docs for s in shard_set.shards)
         packed = tuple(getattr(s, "packed4", False)
                        for s in shard_set.shards)
-        if any(packed) and impl in ("ivf", "hybrid"):
-            raise ValueError(
-                "int4 shards have no balanced-IVF path; use --impl "
-                "exact/pallas/auto with --dtype int4")
         if impl == "ivf":
             missing = [s.name for s in shard_set.shards if s.ivf is None]
             if missing:

@@ -57,6 +57,11 @@ class IVFData:
     perm: jnp.ndarray                 # [C, S] int32 original local doc id
     n_clusters: int = struct.field(pytree_node=False)
     capacity: int = struct.field(pytree_node=False)
+    # int4 mode: docs is int8 [C, d//2, S] with two 4-bit codes per byte
+    # (byte row j = dim j low nibble, dim j + d//2 high — the flat
+    # shard's half-concat layout, index.shard._pack_int4); scale
+    # dequantizes per (cluster, slot) like int8
+    packed4: bool = struct.field(pytree_node=False, default=False)
 
 
 def default_n_clusters(n: int) -> int:
@@ -291,7 +296,9 @@ def build_ivf(
         space as the flat shard stores (cos-normalized / mean-centered).
       mode: "dot" | "cos" | "l2" — sets the gain-form probe bias and the
         per-doc gain bias, matching :mod:`ragroute_tpu.ops.topk`.
-      dtype: on-device doc storage dtype (f32 / bf16 / int8-with-scales).
+      dtype: on-device doc storage dtype (f32 / bf16 / int8-with-scales,
+        or the string "int4" for packed-nibble codes — two per byte,
+        the flat shard's half-concat layout, 2x capacity over int8).
       n_clusters: cluster count C (default ~4*sqrt(n), power of two).
       capacity_slack: S = ceil(n/C * slack); docs overflowing their
         nearest cluster spill to their next-preferred one (measured
@@ -302,8 +309,14 @@ def build_ivf(
         chip builds where it will be served. The balanced-assign pass
         stays a (vectorized) host pass over [n, r] preferences.
     """
+    packed4 = isinstance(dtype, str) and dtype == "int4"
+    if isinstance(dtype, str) and not packed4:
+        raise ValueError(f"unknown dtype string {dtype!r} "
+                         f"(only 'int4' is a string dtype)")
     emb = np.asarray(emb, np.float32)
     n, d = emb.shape
+    if packed4 and d % 2:
+        raise ValueError(f"int4 packing needs an even embed dim, got {d}")
     c = n_clusters or default_n_clusters(n)
     c = int(max(1, min(c, n)))
     cap = max(-(-n // c), int(-(-n // c) * capacity_slack))
@@ -347,7 +360,22 @@ def build_ivf(
             bias[ci, :m] = 0.0
 
     scale = None
-    if dtype == jnp.int8:
+    if packed4:
+        # same per-doc quantizer as the flat int4 shard (MSE-optimal
+        # clipped scales + norm correction, index.shard._quantize_sym) on
+        # the slot rows, so a doc's codes are IDENTICAL to its flat-shard
+        # codes — full-probe IVF therefore reproduces the flat int4 scan
+        from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
+
+        rows = np.ascontiguousarray(
+            docs.transpose(0, 2, 1).reshape(c * cap, d))
+        codes, s_row = _quantize_sym(rows, 7, mse_opt=True)
+        packed = _pack_int4(codes)                     # [C*S, d//2]
+        docs = np.ascontiguousarray(
+            packed.reshape(c, cap, d // 2).transpose(0, 2, 1))
+        scale = jnp.asarray(s_row.reshape(c, cap), np.float32)
+        dtype = jnp.int8
+    elif dtype == jnp.int8:
         s_row = np.abs(docs).max(axis=1) / 127.0       # [C, S]
         s_row = np.where(s_row == 0.0, 1.0, s_row)
         docs = np.clip(np.round(docs / s_row[:, None, :]), -127, 127)
@@ -366,6 +394,7 @@ def build_ivf(
         perm=jnp.asarray(perm, jnp.int32),
         n_clusters=c,
         capacity=cap,
+        packed4=packed4,
     )
 
 
@@ -403,7 +432,7 @@ def save_ivf(ivf: IVFData, path: str, *,
     (from :func:`ivf_fingerprint`) binds the cache to its source
     embeddings."""
     docs = np.asarray(ivf.docs)
-    dtype_name = str(ivf.docs.dtype)
+    dtype_name = "int4" if ivf.packed4 else str(ivf.docs.dtype)
     if dtype_name == "bfloat16":
         docs = docs.view(np.uint16)
     np.savez(
@@ -455,4 +484,5 @@ def load_ivf(path: str,
             perm=jnp.asarray(z["perm"]),
             n_clusters=int(c),
             capacity=int(cap),
+            packed4=dtype_name == "int4",
         )

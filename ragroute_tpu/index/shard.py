@@ -322,11 +322,6 @@ class ShardSet:
         if isinstance(dtype, str) and not packed4:
             raise ValueError(f"unknown dtype string {dtype!r} "
                              f"(only 'int4' is a string dtype)")
-        if packed4 and ivf_clusters:
-            raise ValueError(
-                "int4 shards cannot carry a balanced-IVF layout yet "
-                "(the grouped-GEMM slabs have no nibble-unpack path); "
-                "use dtype=int8 with IVF, or int4 flat")
         shards: List[DeviceShard] = []
         ids: Dict[str, Optional[list]] = {}
         for src in world.sources:
@@ -382,9 +377,11 @@ class ShardSet:
                 if ivf_cache_dirs and src.name in ivf_cache_dirs:
                     tag = ("auto" if ivf_clusters < 0
                            else str(ivf_clusters))
+                    dname = ("int4" if packed4
+                             else jnp.dtype(dtype).name)
                     cache = os.path.join(
                         ivf_cache_dirs[src.name],
-                        f"ivf_{tag}_{jnp.dtype(dtype).name}"
+                        f"ivf_{tag}_{dname}"
                         f"_s{ivf_seed}.npz")
                     fp = ivf_fingerprint(emb)
                 if cache and os.path.exists(cache):

@@ -69,11 +69,22 @@ from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, _validate, \
 _GROUP_ROWS = 64
 
 
-def _grouped_kernel(tab_ref, qd_ref, docs_ref, bias_ref, *rest, scaled):
+def _grouped_kernel(tab_ref, qd_ref, docs_ref, bias_ref, *rest, scaled,
+                    packed4):
     scale_ref = rest[0] if scaled else None
     out_ref = rest[-1]
     docs = docs_ref[0]
-    if docs.dtype == jnp.int8:
+    if packed4:
+        # int4 slab: [d/2, S] bytes, two codes each (byte row j = dim j
+        # low nibble, dim j + d/2 high — index.shard._pack_int4, same
+        # layout the flat kernel unpacks). Two arithmetic shifts +
+        # sublane concat on the VPU restore natural dim order; dequant
+        # rides the per-slot scale epilogue like int8.
+        x = docs.astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(x, 28), 28)  # sign-extended
+        hi = jnp.right_shift(x, 4)
+        docs = jnp.concatenate([lo, hi], axis=0).astype(qd_ref.dtype)
+    elif docs.dtype == jnp.int8:
         docs = docs.astype(qd_ref.dtype)
     from ragroute_tpu.utils.precision import scoring_precision
 
@@ -87,7 +98,7 @@ def _grouped_kernel(tab_ref, qd_ref, docs_ref, bias_ref, *rest, scaled):
     out_ref[:] = gains + bias_ref[0]
 
 
-def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
+def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster, packed4=False):
     """Dense gains for cluster-aligned pair blocks.
 
     ``qd_pad [Ep, d]`` holds the sorted (query, probe) pairs padded so
@@ -98,7 +109,7 @@ def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
     ~30x its useful FLOPs at the bench point (see BENCHMARKS.md).
     """
     ep, d = qd_pad.shape
-    c, _, s = docs.shape
+    c, ds, s = docs.shape                  # ds = d//2 when int4-packed
     g = ep // _GROUP_ROWS
     scaled = scale is not None
 
@@ -106,7 +117,7 @@ def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
     # last-two-dims tiling rule (sublane dim equals the array dim)
     in_specs = [
         pl.BlockSpec((_GROUP_ROWS, d), lambda i, tab: (i, 0)),
-        pl.BlockSpec((1, d, s), lambda i, tab: (tab[i], 0, 0)),
+        pl.BlockSpec((1, ds, s), lambda i, tab: (tab[i], 0, 0)),
         pl.BlockSpec((1, 1, s), lambda i, tab: (tab[i], 0, 0)),
     ]
     args = [qd_pad, docs, bias[:, None, :]]
@@ -114,8 +125,9 @@ def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
         in_specs.append(
             pl.BlockSpec((1, 1, s), lambda i, tab: (tab[i], 0, 0)))
         args.append(scale[:, None, :])
+    dbytes = 1 if docs.dtype == jnp.int8 else docs.dtype.itemsize
     return pl.pallas_call(
-        functools.partial(_grouped_kernel, scaled=scaled),
+        functools.partial(_grouped_kernel, scaled=scaled, packed4=packed4),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(g,),
@@ -125,7 +137,8 @@ def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster):
         out_shape=jax.ShapeDtypeStruct((ep, s), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * s * d,
-            bytes_accessed=ep * d * 2 + g * s * (d * 2 + 4) + ep * s * 4,
+            bytes_accessed=ep * d * 2 + g * s * (ds * dbytes + 4)
+            + ep * s * 4,
             transcendentals=0),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(blk_cluster, *args)
@@ -159,7 +172,7 @@ def ivf_topk(
         elif mode == "dot":
             dot_restore = queries.astype(jnp.float32) @ center
     bsz = queries.shape[0]
-    c, d, s = ivf.docs.shape
+    c, _, s = ivf.docs.shape      # middle axis is d//2 when int4-packed
     k1 = min(k, s)
     p = int(min(max(nprobe, -(-k // k1)), c))
 
@@ -215,7 +228,8 @@ def ivf_topk(
     qdtype = jnp.bfloat16 if docs.dtype == jnp.int8 else docs.dtype
     pair_q_pad = jnp.zeros((ep,), jnp.int32).at[pad_pos].set(pair_q)
     qd_pad = q.astype(qdtype)[pair_q_pad]                  # [Ep, d]
-    gains = _grouped_gains(qd_pad, docs, ivf.bias, ivf.scale, blk_cluster)
+    gains = _grouped_gains(qd_pad, docs, ivf.bias, ivf.scale, blk_cluster,
+                           packed4=ivf.packed4)
 
     # 4. collect: gather each query's probe rows into one [B, P*S] gain
     # matrix and run the streaming Pallas top-k over it — one fused pass

@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--subclusters", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=["bfloat16", "float32", "int8"])
+                    choices=["bfloat16", "float32", "int8", "int4"])
     ap.add_argument("--recall", action="store_true",
                     help="also report IVF recall@k vs the exact path")
     args = ap.parse_args()
@@ -48,7 +48,7 @@ def main():
     from ragroute_tpu.ops.pallas_topk import pallas_topk
 
     dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
-          "int8": jnp.int8}[args.dtype]
+          "int8": jnp.int8, "int4": "int4"}[args.dtype]
     syn = make_synthetic_world(
         "medrag", docs_per_source_map={"pubmed": args.docs},
         docs_per_source=2048, num_queries=max(args.batches), seed=0,
@@ -56,7 +56,8 @@ def main():
     emb = syn.embeddings["pubmed"]
     # the flat comparison always runs bf16 for int8 (the flat int8 path
     # needs per-doc scales, which ShardSet owns; this script is per-op)
-    flat = jnp.asarray(emb, jnp.bfloat16 if args.dtype == "int8" else dt)
+    flat = jnp.asarray(
+        emb, jnp.bfloat16 if args.dtype in ("int8", "int4") else dt)
     t0 = time.time()
     ivf = build_ivf(emb, "dot", dtype=dt)
     print(f"ivf build {time.time()-t0:.0f}s: C={ivf.n_clusters} "

@@ -109,6 +109,79 @@ def test_int8_ivf():
     assert _recall(np.asarray(i_ivf), np.asarray(i_ref)) >= 0.9
 
 
+def test_int4_ivf_full_probe_matches_flat_int4_scan():
+    """int4 IVF uses the flat shard's quantizer on the slot rows, so a
+    doc's codes are identical to its flat-shard codes — the full-probe
+    IVF result must reproduce the flat packed-int4 scan."""
+    from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
+    from ragroute_tpu.ops.topk import shard_topk
+
+    emb = _clustered(2000, 32, 8, seed=8)
+    q = _clustered(32, 32, 8, seed=9)
+    # mean-center like the production build path (ShardSet centers
+    # lossy-dtype dot shards; q.(d-mu) ordering == q.d per query) — on
+    # uncentered clustered data the common component eats most of the
+    # 4-bit budget and the quantizer itself, not the IVF, loses recall
+    emb = emb - emb.mean(axis=0)
+    ivf = build_ivf(emb, "dot", dtype="int4", n_clusters=16, seed=8)
+    assert ivf.packed4 and ivf.docs.dtype == jnp.int8
+    assert ivf.docs.shape == (16, 16, ivf.capacity)     # d//2 byte rows
+    assert ivf.scale is not None and ivf.scale.shape == (16, ivf.capacity)
+
+    codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+    s_flat, i_flat = shard_topk(
+        jnp.asarray(q), jnp.asarray(_pack_int4(codes)), K, mode="dot",
+        valid_docs=emb.shape[0], scale=jnp.asarray(s_row), packed4=True)
+    s_ivf, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode="dot", nprobe=16)
+    assert _recall(np.asarray(i_ivf), np.asarray(i_flat)) >= 0.99
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_ivf), axis=1),
+        np.sort(np.asarray(s_flat), axis=1), rtol=1e-2, atol=1e-2)
+    # IVF adds no recall loss beyond the 4-bit quantization itself: its
+    # f32-oracle recall matches the flat int4 scan's (this tiny d=32
+    # blob corpus sits far below the 4-bit information limit, so the
+    # absolute number is low for BOTH paths — the parity is the gate)
+    _, i_ref = exact_topk(jnp.asarray(q), jnp.asarray(emb), K)
+    r_flat = _recall(np.asarray(i_flat), np.asarray(i_ref))
+    r_ivf = _recall(np.asarray(i_ivf), np.asarray(i_ref))
+    assert r_ivf >= r_flat - 0.02, (r_ivf, r_flat)
+
+
+def test_int4_ivf_engine_end_to_end():
+    """ShardSet.build(dtype='int4', ivf_clusters=...) + impl='ivf' at
+    full probe matches the exact engine over the SAME int4 shards (same
+    codes, so only merge/accumulation order may differ)."""
+    import jax
+
+    from ragroute_tpu.engine.engine import FederatedSearchEngine
+    from ragroute_tpu.index import ShardSet, make_synthetic_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    syn = make_synthetic_world(
+        "medrag", docs_per_source=1024, num_queries=16, seed=13)
+    shard_set = ShardSet.build(
+        syn.world, syn.embeddings, dtype="int4", ivf_clusters=16)
+    params = init_router_params(
+        jax.random.key(0), syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+
+    exact = FederatedSearchEngine(shard_set, params, bank, impl="exact")
+    ivf_full = FederatedSearchEngine(
+        shard_set, params, bank, impl="ivf", nprobe=16)
+    embs = {e: syn.query_embs[e] for e in syn.world.encoders}
+    o_ref = exact.search(embs, strategy="all")
+    o_ivf = ivf_full.search(embs, strategy="all")
+    hits = total = 0
+    for b in range(16):
+        ref = {(int(s), int(l)) for s, l in zip(
+            o_ref.merged_shard[b], o_ref.merged_local[b]) if s >= 0}
+        got = {(int(s), int(l)) for s, l in zip(
+            o_ivf.merged_shard[b], o_ivf.merged_local[b]) if s >= 0}
+        hits += len(ref & got)
+        total += len(ref)
+    assert hits / total >= 0.98, f"int4 ivf full-probe recall {hits/total}"
+
+
 def test_engine_ivf_impl_end_to_end():
     import jax
 
@@ -209,12 +282,14 @@ def test_ivf_layout_cache_roundtrip(tmp_path):
     from ragroute_tpu.index.synthetic import save_world
 
     emb = _clustered(1200, 24, 6, seed=13)
-    for dtype in (jnp.float32, jnp.bfloat16, jnp.int8):
+    for dtype in (jnp.float32, jnp.bfloat16, jnp.int8, "int4"):
         ivf = build_ivf(emb, "dot", dtype=dtype, n_clusters=16, seed=13)
-        p = str(tmp_path / f"ivf_{jnp.dtype(dtype).name}.npz")
+        name = dtype if isinstance(dtype, str) else jnp.dtype(dtype).name
+        p = str(tmp_path / f"ivf_{name}.npz")
         save_ivf(ivf, p)
         back = load_ivf(p)
         assert back.docs.dtype == ivf.docs.dtype
+        assert back.packed4 == ivf.packed4
         np.testing.assert_array_equal(
             np.asarray(back.perm), np.asarray(ivf.perm))
         np.testing.assert_array_equal(

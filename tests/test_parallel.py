@@ -325,6 +325,30 @@ def test_sharded_ivf_int8_scale_applied(rng):
             set(np.asarray(i_1)[row].tolist())
 
 
+def test_sharded_ivf_int4_matches_single_chip(rng):
+    """packed-int4 slabs: the mesh path's whole-slab XLA nibble unpack
+    must reproduce the single-chip kernel's per-block unpack exactly."""
+    from ragroute_tpu.index.ivf import build_ivf
+    from ragroute_tpu.ops.ivf_topk import ivf_topk
+    from ragroute_tpu.parallel import sharded_ivf_topk
+
+    mesh = make_mesh(dp=2, idx=4)
+    b, n, d, k = 4, 2000, 32, 8
+    docs = (rng.standard_normal((n, d)) *
+            rng.uniform(0.1, 10.0, (n, 1))).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    ivf = build_ivf(docs, "dot", dtype="int4", n_clusters=16, seed=6)
+    assert ivf.packed4 and ivf.scale is not None
+    s_1, i_1 = ivf_topk(jnp.asarray(q), ivf, k, mode="dot", nprobe=16)
+    s_sh, i_sh = sharded_ivf_topk(mesh, jnp.asarray(q), ivf, k,
+                                  mode="dot", nprobe=16)
+    np.testing.assert_allclose(
+        np.asarray(s_sh), np.asarray(s_1), rtol=1e-5, atol=1e-5)
+    for row in range(b):
+        assert set(np.asarray(i_sh)[row].tolist()) == \
+            set(np.asarray(i_1)[row].tolist())
+
+
 def test_sharded_ivf_build_matches_single_device(rng):
     """build_ivf(mesh=...) shards k-means + preference ranking over the
     mesh (psum'd Lloyd updates). On well-separated data (where psum
