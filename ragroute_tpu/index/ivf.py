@@ -288,6 +288,8 @@ def build_ivf(
     kmeans_rank: int = 8,
     seed: int = 0,
     mesh=None,
+    packed_rows: Optional[np.ndarray] = None,
+    row_scales: Optional[np.ndarray] = None,
 ) -> IVFData:
     """Build a balanced-IVF layout for one shard.
 
@@ -308,15 +310,29 @@ def build_ivf(
         mesh device (psum'd Lloyd updates), so a corpus too big for one
         chip builds where it will be served. The balanced-assign pass
         stays a (vectorized) host pass over [n, r] preferences.
+      packed_rows / row_scales: optional precomputed int4 quantization of
+        ``emb`` (``[n, d//2]`` packed bytes + ``[n]`` f32 scales, from
+        ``index.shard._quantize_sym(levels=7, mse_opt=True)`` +
+        ``_pack_int4``). When given with ``dtype="int4"`` the slab reuses
+        these codes instead of re-running the MSE-optimal quantizer over
+        the slot matrix — ``ShardSet.build`` passes its flat-shard codes
+        here, halving the dominant host-side build cost.
     """
-    packed4 = isinstance(dtype, str) and dtype == "int4"
-    if isinstance(dtype, str) and not packed4:
-        raise ValueError(f"unknown dtype string {dtype!r} "
-                         f"(only 'int4' is a string dtype)")
+    from ragroute_tpu.index.shard import parse_storage_dtype
+
+    packed4 = parse_storage_dtype(dtype)
     emb = np.asarray(emb, np.float32)
     n, d = emb.shape
     if packed4 and d % 2:
         raise ValueError(f"int4 packing needs an even embed dim, got {d}")
+    use_pre = packed4 and packed_rows is not None
+    if use_pre:
+        packed_rows = np.asarray(packed_rows, np.int8)
+        row_scales = np.asarray(row_scales, np.float32)
+        if packed_rows.shape != (n, d // 2) or row_scales.shape != (n,):
+            raise ValueError(
+                f"packed_rows {packed_rows.shape} / row_scales "
+                f"{row_scales.shape} do not match emb [{n}, {d}]")
     c = n_clusters or default_n_clusters(n)
     c = int(max(1, min(c, n)))
     cap = max(-(-n // c), int(-(-n // c) * capacity_slack))
@@ -344,7 +360,15 @@ def build_ivf(
     # cluster-major dense layout, docs transposed to ragged_dot's rhs form
     order = np.argsort(assign, kind="stable")
     cl_sorted = assign[order]
-    docs = np.zeros((c, d, cap), np.float32)
+    # precomputed int4 codes fill the slab in the packed domain directly
+    # (no [C, d, S] f32 slab, no re-quantization); empty slots keep code
+    # 0 / scale 1e-12 — bit-identical to quantizing the zero pad rows
+    if use_pre:
+        docs = np.zeros((c, d // 2, cap), np.int8)
+        s_slab = np.full((c, cap), 1e-12, np.float32)
+    else:
+        docs = np.zeros((c, d, cap), np.float32)
+        s_slab = None
     bias = np.full((c, cap), -np.inf, np.float32)
     perm = np.zeros((c, cap), np.int32)
     first = np.searchsorted(cl_sorted, np.arange(c), "left")
@@ -352,7 +376,11 @@ def build_ivf(
     for ci in range(c):
         rows = order[first[ci]:last[ci]]
         m = rows.size
-        docs[ci, :, :m] = emb[rows].T
+        if use_pre:
+            docs[ci, :, :m] = packed_rows[rows].T
+            s_slab[ci, :m] = row_scales[rows]
+        else:
+            docs[ci, :, :m] = emb[rows].T
         perm[ci, :m] = rows
         if mode == "l2":
             bias[ci, :m] = -np.sum(emb[rows] * emb[rows], axis=1)
@@ -360,7 +388,10 @@ def build_ivf(
             bias[ci, :m] = 0.0
 
     scale = None
-    if packed4:
+    if use_pre:
+        scale = jnp.asarray(s_slab)
+        dtype = jnp.int8
+    elif packed4:
         # same per-doc quantizer as the flat int4 shard (MSE-optimal
         # clipped scales + norm correction, index.shard._quantize_sym) on
         # the slot rows, so a doc's codes are IDENTICAL to its flat-shard

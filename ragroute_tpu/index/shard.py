@@ -55,6 +55,19 @@ def _atomic_json_dump(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def parse_storage_dtype(dtype) -> bool:
+    """True when ``dtype`` is the packed-int4 marker string ``"int4"``
+    (which has no jnp dtype — storage is int8 bytes holding two codes);
+    rejects any other string. jnp dtypes pass through as not-packed.
+    Shared by :meth:`ShardSet.build` and :func:`index.ivf.build_ivf` so
+    the two entry points cannot drift."""
+    packed4 = isinstance(dtype, str) and dtype == "int4"
+    if isinstance(dtype, str) and not packed4:
+        raise ValueError(f"unknown dtype string {dtype!r} "
+                         f"(only 'int4' is a string dtype)")
+    return packed4
+
+
 def _quantize_sym(emb: np.ndarray, levels: int,
                   mse_opt: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray]:
@@ -318,10 +331,7 @@ class ShardSet:
                 "(adds/deletes would leave the projected slab stale); "
                 "build with lowrank=None and rebuild offline when the "
                 "corpus settles")
-        packed4 = isinstance(dtype, str) and dtype == "int4"
-        if isinstance(dtype, str) and not packed4:
-            raise ValueError(f"unknown dtype string {dtype!r} "
-                             f"(only 'int4' is a string dtype)")
+        packed4 = parse_storage_dtype(dtype)
         shards: List[DeviceShard] = []
         ids: Dict[str, Optional[list]] = {}
         for src in world.sources:
@@ -360,6 +370,16 @@ class ShardSet:
                 mu = emb.mean(axis=0, dtype=np.float64).astype(np.float32)
                 emb = emb - mu
                 center = mu if host else jnp.asarray(mu)
+            packed_rows = row_scales = None
+            if packed4 and ivf_clusters:
+                # quantize ONCE: build_ivf's slot rows are these same
+                # centered vectors rearranged, so its 6-pass MSE-optimal
+                # quantizer would reproduce these codes exactly — hand
+                # them over instead of paying the dominant host-side
+                # build cost twice (and the [C*S, d] f32 slot copy)
+                codes, row_scales = _quantize_sym(emb, 7, mse_opt=True)
+                packed_rows = _pack_int4(codes)
+                del codes
             ivf = None
             if ivf_clusters:
                 from ragroute_tpu.index.ivf import (
@@ -391,7 +411,8 @@ class ShardSet:
                         emb, src.score_mode, dtype=dtype,
                         n_clusters=(None if ivf_clusters < 0
                                     else ivf_clusters),
-                        seed=ivf_seed)
+                        seed=ivf_seed,
+                        packed_rows=packed_rows, row_scales=row_scales)
                     if cache:
                         save_ivf(ivf, cache, fingerprint=fp)
             n = emb.shape[0]
@@ -449,9 +470,20 @@ class ShardSet:
                 # symmetric per-doc 4-bit quantization (levels ±7), two
                 # codes packed per byte: 2x capacity over int8, dequant
                 # via the same fused per-doc scale epilogue
-                codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+                if packed_rows is not None:
+                    # already quantized above (shared with build_ivf);
+                    # pad rows carry code 0 / scale 1e-12 — bit-identical
+                    # to quantizing the zero pad rows (mse_opt floor)
+                    pad = n_pad - n
+                    s_row = (np.pad(row_scales, (0, pad),
+                                    constant_values=np.float32(1e-12))
+                             if pad else row_scales)
+                    emb = (np.pad(packed_rows, ((0, pad), (0, 0)))
+                           if pad else packed_rows)
+                else:
+                    codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+                    emb = _pack_int4(codes)
                 scale = s_row if host else jnp.asarray(s_row)
-                emb = _pack_int4(codes)
             elif dtype == jnp.int8:
                 # symmetric per-doc quantization: d_q = round(d / s),
                 # s = max|d| / 127; dequant fused into the scoring kernel

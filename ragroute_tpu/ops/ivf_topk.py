@@ -125,7 +125,7 @@ def _grouped_gains(qd_pad, docs, bias, scale, blk_cluster, packed4=False):
         in_specs.append(
             pl.BlockSpec((1, 1, s), lambda i, tab: (tab[i], 0, 0)))
         args.append(scale[:, None, :])
-    dbytes = 1 if docs.dtype == jnp.int8 else docs.dtype.itemsize
+    dbytes = docs.dtype.itemsize
     return pl.pallas_call(
         functools.partial(_grouped_kernel, scaled=scaled, packed4=packed4),
         grid_spec=pltpu.PrefetchScalarGridSpec(

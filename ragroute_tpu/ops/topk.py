@@ -63,17 +63,25 @@ def _prepare_queries(queries: jnp.ndarray, mode: str) -> jnp.ndarray:
     return q
 
 
-def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """Unpack int4 shard bytes ``[n, d//2]`` into int8 codes ``[n, d]``.
+def unpack_int4(packed: jnp.ndarray, axis: int = -1,
+                out_dtype=jnp.int8) -> jnp.ndarray:
+    """Unpack int4 bytes (dim axis halved) into codes in natural order.
 
     Inverse of ``index.shard._pack_int4``: byte j holds dim ``j`` in its
     low nibble and dim ``j + d//2`` in its high nibble, so two arithmetic
-    shifts + one concat recover the natural dim order (no interleave).
+    shifts + one concat along ``axis`` recover the natural dim order (no
+    interleave). Each half is cast to ``out_dtype`` BEFORE the concat so
+    the widest transient is one int32 half-array, not a full-width int32
+    copy (matters when unpacking whole slabs under jit — e.g. the
+    mesh-sharded IVF path). The canonical in-kernel (Pallas) copies of
+    this trick live in ops/pallas_topk.py and ops/ivf_topk.py, where a
+    helper cannot reach into the kernel body.
     """
     x = packed.astype(jnp.int32)
     lo = jnp.right_shift(jnp.left_shift(x, 28), 28)   # sign-extend low
     hi = jnp.right_shift(x, 4)                        # byte sign = hi sign
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+    return jnp.concatenate(
+        [lo.astype(out_dtype), hi.astype(out_dtype)], axis=axis)
 
 
 def doc_bias(docs: jnp.ndarray, mode: str) -> Optional[jnp.ndarray]:

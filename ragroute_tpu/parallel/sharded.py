@@ -35,7 +35,7 @@ from ragroute_tpu.engine.engine import (_route_fn, build_payload_tables,
 from ragroute_tpu.index.ivf import IVFData
 from ragroute_tpu.index.shard import ShardSet
 from ragroute_tpu.ops.topk import NEG_INF, _prepare_queries, shard_topk, \
-    gain_to_natural
+    gain_to_natural, unpack_int4
 from ragroute_tpu.router.features import RouterBank
 from ragroute_tpu.router.mlp import CorpusRouterParams
 
@@ -233,18 +233,21 @@ def sharded_ivf_topk(
         pair_q = (order // p).astype(jnp.int32)
         docs_cast = docs_l
         if ivf.packed4:
-            # int4 slabs [Cl, d/2, S]: unpack the local slabs whole
-            # before ragged_dot (byte row j = dim j low nibble,
-            # dim j + d/2 high — index.shard._pack_int4). The single-chip
-            # path unpacks per probed block inside the Pallas kernel;
-            # here the whole-slab XLA unpack rides the same known perf
-            # gap as ragged_dot itself (see the note below) and keeps
-            # the CPU-mesh CI exact.
-            x = docs_cast.astype(jnp.int32)
-            lo = jnp.right_shift(jnp.left_shift(x, 28), 28)
-            hi = jnp.right_shift(x, 4)
-            docs_cast = jnp.concatenate([lo, hi], axis=1)
-        if docs_cast.dtype in (jnp.int8, jnp.int32):
+            # int4 slabs [Cl, d/2, S]: unpack the local slabs whole to
+            # bf16 before ragged_dot (layout: index.shard._pack_int4).
+            # The single-chip path unpacks per probed block inside the
+            # Pallas kernel; here the whole-slab XLA unpack rides the
+            # same known perf gap as ragged_dot itself (see the note
+            # below) and keeps the CPU-mesh CI exact. MEMORY: this
+            # materializes a bf16 copy of the local slab each step
+            # (2 B/dim on top of the 0.5 B/dim packed bytes — per-half
+            # casts inside unpack_int4 bound the transient to one int32
+            # half-slab), so int4's 4x capacity headroom does NOT apply
+            # to the mesh-IVF combination; size meshes for ~2.5 B/dim
+            # or use the flat mesh path, whose kernel unpacks per tile.
+            docs_cast = unpack_int4(docs_cast, axis=1,
+                                    out_dtype=jnp.bfloat16)
+        if docs_cast.dtype == jnp.int8:
             docs_cast = docs_cast.astype(jnp.bfloat16)
         qd = qq.astype(docs_cast.dtype)[pair_q]
         # KNOWN PERF GAP, deliberately open: the single-chip path

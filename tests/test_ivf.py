@@ -147,6 +147,68 @@ def test_int4_ivf_full_probe_matches_flat_int4_scan():
     assert r_ivf >= r_flat - 0.02, (r_ivf, r_flat)
 
 
+def test_int4_ivf_l2_and_cos_full_probe_match_flat_scan():
+    """int4 IVF parity beyond dot: the l2 gain pairs the dequant scale
+    with a bias computed from the UNQUANTIZED rows (norm-corrected
+    scales make the dequantized dot exact in expectation, the stored
+    -|d|^2 bias exactly), and cos runs the quantizer on normalized rows
+    — both must reproduce the flat packed-int4 scan at full probe."""
+    import pytest
+
+    from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
+    from ragroute_tpu.ops.topk import shard_topk
+
+    for mode in ("l2", "cos"):
+        emb = _clustered(2000, 32, 8, seed=8)
+        q = _clustered(32, 32, 8, seed=9)
+        if mode == "cos":
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        else:
+            # production centers lossy l2 shards; |q-d|^2 is unchanged
+            # when both shift, so center queries with the same mean
+            mu = emb.mean(axis=0)
+            emb = emb - mu
+            q = q - mu
+        ivf = build_ivf(emb, mode, dtype="int4", n_clusters=16, seed=8)
+        assert ivf.packed4
+
+        codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+        bias = (jnp.asarray(-np.sum(emb * emb, axis=1))
+                if mode == "l2" else None)
+        s_flat, i_flat = shard_topk(
+            jnp.asarray(q), jnp.asarray(_pack_int4(codes)), K, mode=mode,
+            valid_docs=emb.shape[0], scale=jnp.asarray(s_row),
+            bias=bias, packed4=True)
+        s_ivf, i_ivf = ivf_topk(jnp.asarray(q), ivf, K, mode=mode,
+                                nprobe=16)
+        assert _recall(np.asarray(i_ivf), np.asarray(i_flat)) >= 0.99, mode
+        np.testing.assert_allclose(
+            np.sort(np.asarray(s_ivf), axis=1),
+            np.sort(np.asarray(s_flat), axis=1), rtol=1e-2, atol=1e-2,
+            err_msg=mode)
+
+
+def test_build_ivf_precomputed_codes_bit_identical():
+    """ShardSet.build hands its flat int4 codes to build_ivf (quantize
+    once); the resulting layout must be bit-identical to build_ivf's own
+    quantization of the slot rows."""
+    from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
+
+    emb = _clustered(1500, 32, 8, seed=11)
+    emb = emb - emb.mean(axis=0)
+    a = build_ivf(emb, "dot", dtype="int4", n_clusters=16, seed=3)
+    codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+    b = build_ivf(emb, "dot", dtype="int4", n_clusters=16, seed=3,
+                  packed_rows=_pack_int4(codes), row_scales=s_row)
+    assert b.packed4 and b.capacity == a.capacity
+    np.testing.assert_array_equal(np.asarray(a.docs), np.asarray(b.docs))
+    np.testing.assert_array_equal(np.asarray(a.perm), np.asarray(b.perm))
+    np.testing.assert_array_equal(np.asarray(a.scale),
+                                  np.asarray(b.scale))
+    np.testing.assert_array_equal(np.asarray(a.bias), np.asarray(b.bias))
+
+
 def test_int4_ivf_engine_end_to_end():
     """ShardSet.build(dtype='int4', ivf_clusters=...) + impl='ivf' at
     full probe matches the exact engine over the SAME int4 shards (same
