@@ -25,7 +25,12 @@ Env knobs:
                            minutes of single-core host time); 0 disables
     RAGROUTE_BENCH_DTYPE   bfloat16 | float32 | int8 | int4  (default bfloat16)
     RAGROUTE_BENCH_STRATEGY ragroute | all | random | none (default ragroute)
-    RAGROUTE_BENCH_IMPL    auto | ivf | hybrid | lowrank  (default auto/exact)
+    RAGROUTE_BENCH_IMPL    auto | ivf | hybrid | lowrank | stream |
+                           hostrefine  (default auto/exact; stream/
+                           hostrefine run the host-RAM capacity tiers —
+                           see main_streamed below)
+    RAGROUTE_BENCH_HBM_GB  device HBM budget for the capacity tiers
+                           (default config.STREAM_HBM_BUDGET_GB)
     RAGROUTE_BENCH_NPROBE  clusters probed per query in ivf mode (default C/8)
     RAGROUTE_BENCH_RANK    coarse rank in lowrank mode (default -1 = auto
                            by spectral energy)
@@ -48,8 +53,268 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def main_streamed(impl: str):
+    """Capacity-tier benchmark: serve a corpus BIGGER than one chip's HBM.
+
+    Builds a block-generated synthetic MedRAG-shaped world of
+    RAGROUTE_BENCH_DOCS documents (default here 24M — beyond the
+    reference-scale pubmed corpus), keeps RAGROUTE_BENCH_HBM_GB bytes
+    on-device, the rest in host RAM, and measures engine-level q/s.
+
+    stream tier extra metrics (stderr): pure-transfer time, pure-compute
+    time (pre-staged slabs), and the DMA-hidden fraction
+    ``(t_put + t_compute - t_wall) / min(t_put, t_compute)``.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_ragroute"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ragroute_tpu.config import STREAM_HBM_BUDGET_GB, get_world
+    from ragroute_tpu.engine.streamed import StreamedSearchEngine
+    from ragroute_tpu.index.streamed import RowSource, StreamedShardSet
+    from ragroute_tpu.index.synthetic import make_streamed_world
+    from ragroute_tpu.router import RouterBank, init_router_params
+
+    world_name = os.environ.get("RAGROUTE_BENCH_WORLD", "medrag")
+    total_docs = int(os.environ.get("RAGROUTE_BENCH_DOCS", 24 << 20))
+    batch = int(os.environ.get("RAGROUTE_BENCH_BATCH", 2048))
+    reps = int(os.environ.get("RAGROUTE_BENCH_REPS", 4))
+    dtype_name = os.environ.get("RAGROUTE_BENCH_DTYPE", "int8")
+    strategy = os.environ.get("RAGROUTE_BENCH_STRATEGY", "ragroute")
+    hbm_gb = float(os.environ.get("RAGROUTE_BENCH_HBM_GB",
+                                  STREAM_HBM_BUDGET_GB))
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+             "int8": jnp.int8, "int4": "int4"}[dtype_name]
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    world_cfg = get_world(world_name)
+    if world_name == "medrag":
+        weights = {"pubmed": 0.70, "statpearls": 0.10,
+                   "textbooks": 0.08, "wikipedia": 0.12}
+        sizes = {n: max(2048, int(total_docs * w))
+                 for n, w in weights.items()}
+    else:
+        sizes = {s.name: max(2048, total_docs // world_cfg.num_sources)
+                 for s in world_cfg.sources}
+    log(f"streamed {impl} bench: {sizes} dtype={dtype_name} "
+        f"hbm_budget={hbm_gb} GB")
+
+    t0 = time.time()
+    syn = make_streamed_world(world_name, docs_per_source_map=sizes,
+                              num_queries=batch, seed=0)
+
+    # host-tier build cache: the block encoder re-generates + quantizes
+    # the whole corpus (minutes of host time at 24M rows); cache the
+    # quantized host/device bytes per (impl, dtype, sizes) so re-runs
+    # skip straight to upload
+    cache_dir = os.path.join(
+        os.environ.get("RAGROUTE_BENCH_WORLD_CACHE_DIR",
+                       os.path.expanduser("~/.cache/ragroute_bench_world")),
+        f"streamed-{impl}-{dtype_name}-" + "-".join(
+            f"{n}_{sizes[n]}" for n in sorted(sizes)))
+    use_cache = os.environ.get("RAGROUTE_BENCH_WORLD_CACHE", "1") == "1"
+    sset = None
+    if use_cache and os.path.isdir(cache_dir):
+        try:
+            sset = _load_streamed_cache(cache_dir, syn.world, impl)
+            log(f"host-tier cache hit ({cache_dir}) "
+                f"in {time.time() - t0:.1f}s")
+        except Exception as e:
+            log(f"host-tier cache miss ({e!r}); rebuilding")
+    if sset is None:
+        sset = StreamedShardSet.build(
+            syn.world, syn.row_sources, dtype=dtype, tier=impl,
+            hbm_budget_bytes=int(hbm_gb * 1e9))
+        log(f"built host tiers in {time.time() - t0:.1f}s")
+        if use_cache:
+            _save_streamed_cache(cache_dir, sset)
+            log(f"host tiers cached to {cache_dir}")
+    log(f"device-resident {sset.index_bytes / 1e9:.2f} GB, host "
+        f"{sset.host_bytes / 1e9:.2f} GB, {sset.total_docs} docs")
+
+    params = init_router_params(jax.random.key(0),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    eng = StreamedSearchEngine(sset, params, bank)
+    # device query table: ship per-batch queries as int32 rows — a dense
+    # [B, d] f32 upload would cost ~6 MB/batch through the ~25 MB/s
+    # tunnel and distort the engine measurement
+    eng.set_query_table({e: np.asarray(v, np.float32)
+                         for e, v in syn.query_embs.items()})
+
+    rng = np.random.default_rng(7)
+    rows_r = [rng.permutation(batch).astype(np.int32)
+              for _ in range(reps)]
+
+    log("warmup (compiles every step shape)...")
+    t0 = time.time()
+    out = eng.search({"__rows__": rows_r[0]}, strategy=strategy,
+                     fetch_candidates=False)
+    log(f"warm in {time.time() - t0:.1f}s; timing {reps} batches of "
+        f"{batch}...")
+    t0 = time.time()
+    for r in range(reps):
+        out = eng.search({"__rows__": rows_r[r]}, strategy=strategy,
+                         fetch_candidates=False)
+    elapsed = time.time() - t0
+    qps = reps * batch / elapsed
+    log(f"{elapsed / reps * 1e3:.1f} ms/batch, {qps:.0f} q/s "
+        f"({impl}, {sset.total_docs} docs, routing={strategy})")
+
+    if impl == "stream":
+        _stream_overlap_report(eng, rows_r[0], strategy)
+
+    if os.environ.get("RAGROUTE_BENCH_RECALL") == "1":
+        # merged-recall vs the exact scan of the SAME host bytes: run the
+        # stream tier as oracle when benching hostrefine (stream == flat
+        # engine bit-parity is test-gated); for stream itself exactness
+        # is the test gate, so just report valid counts
+        log(f"merged_valid head: "
+            f"{np.asarray(out.merged_valid)[:8].tolist()}")
+
+    print(json.dumps({
+        "metric": f"{impl}_queries_per_sec",
+        "value": round(qps, 1),
+        "unit": "q/s",
+        "vs_baseline": round(qps / 10000.0, 3),
+    }))
+
+
+def _save_streamed_cache(cache_dir, sset):
+    import numpy as np
+
+    os.makedirs(cache_dir, exist_ok=True)
+    for s in sset.sources:
+        d = {}
+        for name in ("res_docs", "res_bias", "res_scale", "coarse_docs",
+                     "coarse_scale", "coarse_bias", "basis", "mu_lr"):
+            v = getattr(s, name)
+            if v is not None:
+                d[name] = np.asarray(v)
+        if s.center is not None:
+            d["center"] = s.center
+        if s.host is not None:
+            d["h_codes"] = s.host.codes
+            d["h_bias"] = s.host.bias
+            if s.host.scale is not None:
+                d["h_scale"] = s.host.scale
+        d["meta"] = np.asarray([s.n_docs, s.n_res, s.host_row0,
+                                s.slab_rows, s.n_slabs, s.rank])
+        np.savez(os.path.join(cache_dir, f"{s.name}.npz"), **d)
+
+
+def _load_streamed_cache(cache_dir, world, impl):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ragroute_tpu.index.streamed import (HostRows, StreamedShardSet,
+                                             StreamSource)
+
+    sources = []
+    packed4 = False
+    for src in world.sources:
+        z = np.load(os.path.join(cache_dir, f"{src.name}.npz"))
+        n, n_res, h0, slab_rows, n_slabs, rank = z["meta"].tolist()
+        st = StreamSource(name=src.name, score_mode=src.score_mode,
+                          encoder=src.encoder, embed_dim=src.embed_dim,
+                          n_docs=int(n),
+                          center=z["center"] if "center" in z else None)
+        for name in ("res_docs", "res_bias", "res_scale", "coarse_docs",
+                     "coarse_scale", "coarse_bias", "basis", "mu_lr"):
+            if name in z:
+                setattr(st, name, jnp.asarray(z[name]))
+        st.n_res, st.host_row0 = int(n_res), int(h0)
+        st.slab_rows, st.n_slabs, st.rank = (int(slab_rows),
+                                             int(n_slabs), int(rank))
+        if "h_codes" in z:
+            st.host = HostRows(
+                codes=z["h_codes"], bias=z["h_bias"],
+                scale=z["h_scale"] if "h_scale" in z else None,
+                packed4=bool(z["h_codes"].shape[1] != src.embed_dim
+                             and z["h_codes"].dtype == np.int8
+                             and src.embed_dim // 2
+                             == z["h_codes"].shape[1]))
+            packed4 = packed4 or st.host.packed4
+        sources.append(st)
+    return StreamedShardSet(world=world, sources=sources,
+                            doc_ids={s.name: None for s in sources},
+                            tier=impl, packed4=packed4)
+
+
+def _stream_overlap_report(eng, rows, strategy):
+    """Measure the stream tier's transfer/compute overlap components."""
+    import jax
+    import numpy as np
+
+    sset = eng.shard_set
+    plan = [(i, j) for i, s in enumerate(sset.sources)
+            if s.host is not None for j in range(s.n_slabs)]
+    if not plan:
+        log("no host slabs; overlap report skipped")
+        return
+    total_bytes = sum(
+        sset.sources[i].slab(j)[0].nbytes for i, j in plan)
+    # pure transfer: put every slab, sync at the end
+    t0 = time.time()
+    last = None
+    for i, j in plan:
+        codes, bias, scale, off = sset.sources[i].slab(j)
+        last = jax.device_put(codes)
+    np.asarray(last[:1, :1])
+    t_put = time.time() - t0
+    # pure compute: slab steps over ONE pre-staged device slab
+    from ragroute_tpu.engine.streamed import _slab_merge
+
+    i0, j0 = plan[0]
+    s0 = sset.sources[i0]
+    codes, bias, scale, off = s0.slab(j0)
+    dev = (jax.device_put(codes), jax.device_put(bias),
+           None if scale is None else jax.device_put(scale),
+           np.int32(off))
+    embs = eng._device_embs({"__rows__": rows})
+    _, _, per_q = eng._resident_step(eng._res_arrays(), embs)
+    k = eng.world.k
+    import jax.numpy as jnp
+
+    run_k = jnp.full((rows.shape[0], k), -jnp.inf, jnp.float32)
+    run_i = jnp.zeros((rows.shape[0], k), jnp.int32)
+    # warm
+    run_k, run_i = _slab_merge(run_k, run_i, per_q[i0], *dev, k=k,
+                               mode=s0.score_mode,
+                               packed4=sset.packed4)
+    np.asarray(run_i[:1])
+    t0 = time.time()
+    for _ in range(len(plan)):
+        run_k, run_i = _slab_merge(run_k, run_i, per_q[i0], *dev, k=k,
+                                   mode=s0.score_mode,
+                                   packed4=sset.packed4)
+    np.asarray(run_i[:1])
+    t_compute = time.time() - t0
+    # combined wall: the real prefetched loop (one search's slab section)
+    t0 = time.time()
+    eng.search({"__rows__": rows}, strategy=strategy,
+               fetch_candidates=False)
+    t_wall = time.time() - t0
+    hidden = (t_put + t_compute - t_wall) / max(min(t_put, t_compute),
+                                                1e-9)
+    log(f"stream overlap: {len(plan)} slabs, {total_bytes / 1e9:.2f} GB "
+        f"overflow; transfer {t_put:.2f}s "
+        f"({total_bytes / 1e9 / t_put:.3f} GB/s), compute "
+        f"{t_compute:.2f}s, wall {t_wall:.2f}s, DMA-hidden fraction "
+        f"{max(0.0, min(1.0, hidden)):.2f}")
+
+
 def main():
     import jax
+
+    impl_env = os.environ.get("RAGROUTE_BENCH_IMPL", "auto")
+    if impl_env in ("stream", "hostrefine"):
+        return main_streamed(impl_env)
 
     # persistent compile cache: Mosaic compiles on this backend take
     # minutes; repeat bench runs hit the cache instead

@@ -116,7 +116,8 @@ def parse_args(argv=None):
                              "in-register)")
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact",
-                                 "ivf", "hybrid", "lowrank"],
+                                 "ivf", "hybrid", "lowrank", "stream",
+                                 "hostrefine"],
                         help="Top-k implementation; 'ivf' serves the "
                              "cluster-probed approximate mode (builds "
                              "balanced-IVF layouts at startup); 'hybrid' "
@@ -125,7 +126,18 @@ def parse_args(argv=None):
                              "'lowrank' serves the two-stage coarse-scan+"
                              "exact-refine mode (rank-r projected scan, "
                              "then full-precision rescore of the top "
-                             "candidates)")
+                             "candidates); 'stream'/'hostrefine' serve "
+                             "corpora BIGGER than one chip's HBM from "
+                             "host RAM — 'stream' scans uploaded slabs "
+                             "(double-buffered; exact), 'hostrefine' "
+                             "keeps a rank-r coarse projection of every "
+                             "row on-device and exact-rescores the top "
+                             "candidates from the host rows")
+    parser.add_argument("--hbm-budget-gb", type=float, default=None,
+                        help="Device HBM budget for --impl stream/"
+                             "hostrefine (default config."
+                             "STREAM_HBM_BUDGET_GB; rows beyond it live "
+                             "in host RAM)")
     parser.add_argument("--nprobe", type=int, default=None,
                         help="Clusters probed per query with --impl ivf "
                              "(default C/8 per shard)")

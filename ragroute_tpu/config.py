@@ -119,6 +119,19 @@ LOWRANK_MAX_RANK_FRACTION = 0.5
 # past ~100k rows; keeps the host-side X^T X pass bounded at any scale).
 LOWRANK_MOMENT_SAMPLE_ROWS = 131072
 
+# Host-RAM capacity tiers (index/streamed.py, engine/streamed.py): serve
+# corpora bigger than one chip's HBM. STREAM_HBM_BUDGET_GB bounds the
+# device-resident bytes (the round-3 measured single-chip ceiling was
+# 6.48 GB of index); the overflow lives in host RAM. impl="stream" scans
+# it in double-buffered uploaded slabs (STREAM_SLAB_MB each,
+# STREAM_PREFETCH in flight); impl="hostrefine" keeps a rank-r int8
+# coarse projection of EVERY row on device and exact-rescores the top
+# HOSTREFINE_REFINE_MULT*k candidates from the host rows.
+STREAM_HBM_BUDGET_GB = float(os.environ.get("RAGROUTE_HBM_BUDGET_GB", "6.0"))
+STREAM_SLAB_MB = int(os.environ.get("RAGROUTE_STREAM_SLAB_MB", "256"))
+STREAM_PREFETCH = 2
+HOSTREFINE_REFINE_MULT = 5
+
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with
 # each source's own zoo encoder). Used by the corpus-ingest path

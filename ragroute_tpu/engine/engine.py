@@ -336,7 +336,82 @@ def _score_fn(
     return gate_and_merge(world, k, mask, per_scores, per_ids)
 
 
-class FederatedSearchEngine:
+class QueryTableMixin:
+    """Device-resident query-table fast path, shared by every engine
+    front (single-chip, mesh-sharded, streamed): known qids cross the
+    host->device boundary as int32 row indices instead of [B, d] f32."""
+
+    world: WorldConfig  # provided by the concrete engine
+
+    def set_query_table(self, tables: Dict[str, np.ndarray]) -> None:
+        """Upload a row-indexed query-embedding table ONCE.
+
+        ``tables`` maps encoder name -> ``[Q, d]`` f32. Serving layers
+        may then pass ``{"__rows__": int32 [B]}`` to :meth:`search`
+        instead of dense ``[B, d]`` embeddings: the per-batch host cost
+        drops from a blocking [B, d] f32 ``device_put`` (~20 ms per
+        512-batch through the tunnel) to a [B] int32 upload + an async
+        on-device gather.
+        """
+        import jax.numpy as jnp
+
+        for enc in self.world.encoders:
+            if enc not in tables:
+                raise KeyError(f"query table missing encoder {enc!r}")
+        self._qtable_host = {
+            enc: np.ascontiguousarray(tables[enc], dtype=np.float32)
+            for enc in self.world.encoders}
+        self._qtable = {
+            enc: jnp.asarray(t) for enc, t in self._qtable_host.items()}
+        # ONE jitted dispatch for the whole gather (see engine docstring)
+        self._qtable_gather = jax.jit(
+            lambda tables, idx: {
+                enc: jnp.take(t, idx, axis=0, mode="clip")
+                for enc, t in tables.items()})
+
+    def materialize_rows(self, row: int) -> Dict[str, np.ndarray]:
+        """Host-side dense view of one query-table row (mixed-batch
+        fallback: a batch with any non-table query runs the dense path)."""
+        return {enc: t[row] for enc, t in self._qtable_host.items()}
+
+    def warm_query_table(self, batch: int) -> None:
+        """Compile the query-table gather for one batch bucket (warmup);
+        a no-op when no table is set."""
+        if getattr(self, "_qtable", None) is not None:
+            self._qtable_gather(self._qtable, np.zeros(batch, np.int32))
+
+    def _device_embs(self, query_embs: Dict[str, np.ndarray]):
+        import jax.numpy as jnp
+
+        rows = query_embs.get("__rows__")
+        if rows is not None:
+            if getattr(self, "_qtable", None) is None:
+                raise ValueError(
+                    "row-indexed search needs set_query_table() first")
+            return self._qtable_gather(
+                self._qtable, np.ascontiguousarray(rows, dtype=np.int32))
+        out = {}
+        for enc in self.world.encoders:
+            if enc not in query_embs:
+                raise KeyError(f"missing query embeddings for encoder {enc!r}")
+            out[enc] = jnp.asarray(query_embs[enc], dtype=jnp.float32)
+        return out
+
+    def _host_embs(self, query_embs: Dict[str, np.ndarray]
+                   ) -> Dict[str, np.ndarray]:
+        """Host-side f32 per-encoder embeddings for the same batch (the
+        hostrefine tier rescoring needs raw queries on the host)."""
+        rows = query_embs.get("__rows__")
+        if rows is not None:
+            idx = np.clip(np.asarray(rows, np.int64), 0,
+                          max(next(iter(self._qtable_host.values()))
+                              .shape[0] - 1, 0))
+            return {enc: t[idx] for enc, t in self._qtable_host.items()}
+        return {enc: np.asarray(query_embs[enc], np.float32)
+                for enc in self.world.encoders}
+
+
+class FederatedSearchEngine(QueryTableMixin):
     """Holds device state (shards, router) and compiled search steps.
 
     Args:
@@ -484,63 +559,6 @@ class FederatedSearchEngine:
             return self._key
         self._key, sub = jax.random.split(self._key)
         return sub
-
-    # -- device-resident query table (serving fast path) ----------------
-
-    def set_query_table(self, tables: Dict[str, np.ndarray]) -> None:
-        """Upload a row-indexed query-embedding table ONCE.
-
-        ``tables`` maps encoder name -> ``[Q, d]`` f32. Serving layers
-        may then pass ``{"__rows__": int32 [B]}`` to :meth:`search`
-        instead of dense ``[B, d]`` embeddings: the per-batch host cost
-        drops from a blocking [B, d] f32 ``device_put`` (~20 ms per
-        512-batch through the tunnel) to a [B] int32 upload + an async
-        on-device gather. Pass ``None`` values via ``clear_query_table``.
-        """
-        for enc in self.world.encoders:
-            if enc not in tables:
-                raise KeyError(f"query table missing encoder {enc!r}")
-        self._qtable_host = {
-            enc: np.ascontiguousarray(tables[enc], dtype=np.float32)
-            for enc in self.world.encoders}
-        self._qtable = {
-            enc: jnp.asarray(t) for enc, t in self._qtable_host.items()}
-        # ONE jitted dispatch for the whole gather: per-encoder eager
-        # jnp.take cost ~12 ms of host dispatch per batch through the
-        # tunnel (cProfile: 1.5 s / 122 batches under the 512-client
-        # load); the jit also subsumes the [B] int32 upload
-        self._qtable_gather = jax.jit(
-            lambda tables, idx: {
-                enc: jnp.take(t, idx, axis=0, mode="clip")
-                for enc, t in tables.items()})
-
-    def materialize_rows(self, row: int) -> Dict[str, np.ndarray]:
-        """Host-side dense view of one query-table row (mixed-batch
-        fallback: a batch with any non-table query runs the dense path)."""
-        return {enc: t[row] for enc, t in self._qtable_host.items()}
-
-    def warm_query_table(self, batch: int) -> None:
-        """Compile the query-table gather for one batch bucket (warmup);
-        a no-op when no table is set. Much cheaper than warming via a
-        full search: only the gather kernel compiles, no routing/scoring
-        step or output fetch."""
-        if getattr(self, "_qtable", None) is not None:
-            self._qtable_gather(self._qtable, np.zeros(batch, np.int32))
-
-    def _device_embs(self, query_embs: Dict[str, np.ndarray]):
-        rows = query_embs.get("__rows__")
-        if rows is not None:
-            if getattr(self, "_qtable", None) is None:
-                raise ValueError(
-                    "row-indexed search needs set_query_table() first")
-            return self._qtable_gather(
-                self._qtable, np.ascontiguousarray(rows, dtype=np.int32))
-        out = {}
-        for enc in self.world.encoders:
-            if enc not in query_embs:
-                raise KeyError(f"missing query embeddings for encoder {enc!r}")
-            out[enc] = jnp.asarray(query_embs[enc], dtype=jnp.float32)
-        return out
 
     def _router_inputs(self):
         if self.params is None or self.bank is None:

@@ -1,0 +1,572 @@
+"""Search engines over the host-RAM capacity tiers (index/streamed.py).
+
+Two engines behind the same interface as
+:class:`~ragroute_tpu.engine.engine.FederatedSearchEngine` (``search()``
++ the ShardSet metadata surface), so the whole serving stack — batcher,
+aiohttp server, native C++ front-end — runs unchanged on corpora bigger
+than one chip's HBM:
+
+* ``tier="stream"`` — route (device) -> resident-prefix exact scan
+  (device, one dispatch) -> per-shard host-slab loop: upload slab j+P
+  (``jax.device_put``, async) while the fused kernel scans slab j and
+  folds it into a running per-shard top-k (donated buffers, no allocs)
+  -> one finalize dispatch (mask gate + cross-shard merge + msg sizing).
+  Shards with no routed query in the batch skip their slabs entirely
+  (host-side mask check — the streaming tier's version of the routing
+  saving). See index/streamed.py for the measured bandwidth envelope.
+
+* ``tier="hostrefine"`` — ONE fused device dispatch runs routing, the
+  exact scan of fully-resident sources, and the exhaustive rank-r coarse
+  scan of every host source, then (score-merged worlds) a mask-gated
+  GLOBAL coarse merge so only ``[B, k']`` (id, shard) candidates plus
+  ``[B, N]`` stats sizes cross the wire; the host exact-rescored the
+  candidates from its RAM rows (the same stored-form math the kernel
+  uses) and merges. Per-source candidate mode (feb4rag's qrels rerank,
+  or ``fetch_candidates=True``) refines per source instead.
+
+Reference parity note: this replaces the reference's host-RAM FAISS
+capacity story (``ragroute/data_source.py:69-80``) — same single-node
+capacity bound (host RAM), with the scan FLOPs on the MXU instead of CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ragroute_tpu.config import (HOSTREFINE_REFINE_MULT, STREAM_PREFETCH,
+                                 WorldConfig)
+from ragroute_tpu.engine.engine import (QueryTableMixin, SearchOutput,
+                                        _route_fn, build_payload_tables,
+                                        gate_and_merge, payload_base)
+from ragroute_tpu.index.streamed import StreamedShardSet
+from ragroute_tpu.ops.topk import NEG_INF, shard_topk
+
+logger = logging.getLogger("streamed_engine")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mode", "packed4"),
+    donate_argnums=(0, 1),
+)
+def _slab_merge(run_key, run_id, q, docs, bias, scale, offset, *,
+                k: int, mode: str, packed4: bool):
+    """Fold one uploaded slab into a running per-shard top-k.
+
+    ``run_key``/``run_id`` are donated (in-place HBM update, no realloc
+    per slab). Keys are monotone "higher is better" per query (natural
+    score for dot/cos, negated l2) — constant per-query offsets (|q|^2,
+    centering restores) cancel inside one shard, so the merge is exact.
+    Tie-break: the concat keeps earlier slabs (lower global ids) first
+    and ``top_k`` takes the lowest position among ties — FAISS parity.
+    """
+    s, idx = shard_topk(q, docs, k, mode=mode, bias=bias, scale=scale,
+                        packed4=packed4)
+    key = -s if mode == "l2" else s
+    key = jnp.where(jnp.isnan(key), NEG_INF, key)
+    gid = idx + offset
+    kk = jnp.concatenate([run_key, key], axis=1)
+    ii = jnp.concatenate([run_id, gid], axis=1)
+    top, pos = jax.lax.top_k(kk, k)
+    return top, jnp.take_along_axis(ii, pos, axis=1)
+
+
+def _host_gate_and_merge(world: WorldConfig, k: int, mask: np.ndarray,
+                         per_scores: List[np.ndarray],
+                         per_ids: List[np.ndarray]):
+    """Host-numpy mirror of :func:`engine.gate_and_merge` (same gating,
+    same lowest-position tie-break via stable argsort)."""
+    bsz = per_scores[0].shape[0]
+    shard_scores = np.stack(per_scores, axis=1)          # [B, N, k]
+    shard_ids = np.stack(per_ids, axis=1)
+    l2 = world.sources[0].score_mode == "l2"
+    key = -shard_scores if l2 else shard_scores
+    key = np.where(np.isnan(key), -np.inf, key)
+    gated = np.where(mask[:, :, None], key, -np.inf).reshape(bsz, -1)
+    pos = np.argsort(-gated, axis=1, kind="stable")[:, :k]
+    top_key = np.take_along_axis(gated, pos, axis=1)
+    merged_shard = (pos // k).astype(np.int32)
+    merged_local = np.take_along_axis(
+        shard_ids.reshape(bsz, -1), pos, axis=1)
+    valid = top_key > -np.inf
+    merged_score = np.where(valid, -top_key if l2 else top_key, np.nan)
+    merged_shard = np.where(valid, merged_shard, -1)
+    merged_valid = valid.sum(axis=1).astype(np.int32)
+    return (shard_scores, shard_ids, merged_score.astype(np.float32),
+            merged_shard, merged_local.astype(np.int32), merged_valid)
+
+
+class StreamedSearchEngine(QueryTableMixin):
+    """Serve a :class:`StreamedShardSet` (either tier)."""
+
+    def __init__(
+        self,
+        shard_set: StreamedShardSet,
+        router_params,
+        bank,
+        *,
+        threshold: Optional[float] = None,
+        seed: int = 0,
+        k_refine: Optional[int] = None,
+        prefetch: int = STREAM_PREFETCH,
+    ):
+        self.world: WorldConfig = shard_set.world
+        self.shard_set = shard_set
+        self.params = router_params
+        self.bank = bank
+        self.tier = shard_set.tier
+        self.threshold = threshold
+        self.prefetch = max(1, int(prefetch))
+        self.k_refine = int(k_refine or
+                            HOSTREFINE_REFINE_MULT * self.world.k)
+        self._key = jax.random.key(seed)
+        self._step_lock = threading.Lock()
+        self._ptables = None
+        # centers uploaded ONCE (a per-search jnp.asarray would re-upload
+        # [d] f32 per shard per batch through the tunnel)
+        self._centers = tuple(
+            None if s.center is None else jnp.asarray(s.center)
+            for s in shard_set.sources)
+        world, thr = self.world, threshold
+        k = world.k
+
+        @functools.partial(jax.jit, static_argnames=("strategy",))
+        def route_step(params, bank, query_embs, rng, *, strategy: str):
+            return _route_fn(world, strategy, params, bank, query_embs,
+                             rng, thr)
+
+        self._route_step = route_step
+        self._build_device_steps()
+
+    # -- compiled step construction -------------------------------------
+
+    def _res_arrays(self):
+        return tuple(
+            (s.res_docs, s.res_bias, s.res_scale, self._centers[i])
+            for i, s in enumerate(self.shard_set.sources))
+
+    def _coarse_arrays(self):
+        return tuple(
+            (s.coarse_docs, s.coarse_scale, s.coarse_bias, s.basis,
+             None if s.mu_lr is None else s.mu_lr)
+            for s in self.shard_set.sources)
+
+    def _build_device_steps(self) -> None:
+        world = self.world
+        k = world.k
+        kp = self.k_refine
+        sources = self.shard_set.sources
+        # per-source static facts
+        res_packed = tuple(self.shard_set.packed4 for _ in sources)
+        has_res = tuple(s.res_docs is not None for s in sources)
+        has_coarse = tuple(s.coarse_docs is not None for s in sources)
+        n_res = tuple(s.n_res for s in sources)
+        modes = tuple(s.score_mode for s in sources)
+        l2_world = world.sources[0].score_mode == "l2"
+
+        def resident_lists(res_arrays, embs, bsz):
+            """Exact per-source key-form top-k over resident rows (+ the
+            per-shard l2-centered queries, reused by the slab loop)."""
+            per_key, per_id, per_q = [], [], []
+            for i, src in enumerate(world.sources):
+                docs, bias, scale, center = res_arrays[i]
+                q = embs[src.encoder]
+                if center is not None and modes[i] == "l2":
+                    q = q - center[None, :]
+                per_q.append(q)
+                if not has_res[i]:
+                    per_key.append(jnp.full((bsz, k), NEG_INF, jnp.float32))
+                    per_id.append(jnp.zeros((bsz, k), jnp.int32))
+                    continue
+                s, idx = shard_topk(
+                    q, docs, k, mode=modes[i], bias=bias, scale=scale,
+                    packed4=res_packed[i])
+                key = -s if modes[i] == "l2" else s
+                per_key.append(jnp.where(jnp.isnan(key), NEG_INF, key))
+                per_id.append(idx)
+            return per_key, per_id, per_q
+
+        def finalize(mask, per_key, per_id, embs, res_arrays, ptables):
+            """Convert per-shard key lists to natural form (with the dot
+            centering restore, which matters only ACROSS shards) and run
+            the shared gate+merge."""
+            per_nat = []
+            for i, src in enumerate(world.sources):
+                key = per_key[i]
+                center = res_arrays[i][3]
+                if modes[i] == "dot" and center is not None:
+                    key = key + (embs[src.encoder] @ center)[:, None]
+                per_nat.append(-key if modes[i] == "l2" else key)
+            scored = gate_and_merge(world, k, mask, per_nat, per_id)
+            msg = (payload_base(ptables, scored[1])
+                   if ptables is not None else None)
+            return scored + (msg,)
+
+        @jax.jit
+        def resident_step(res_arrays, embs):
+            bsz = embs[world.sources[0].encoder].shape[0]
+            pk, pi, pq = resident_lists(res_arrays, embs, bsz)
+            return tuple(pk), tuple(pi), tuple(pq)
+
+        @jax.jit
+        def finalize_step(mask, per_key, per_id, embs, res_arrays,
+                          ptables):
+            return finalize(mask, list(per_key), list(per_id), embs,
+                            res_arrays, ptables)
+
+        def coarse_queries(embs, coarse_arrays, res_arrays):
+            """Per-source projected queries + per-query cross-shard
+            constant (the centering/coarse-mean restores that make
+            coarse keys comparable ACROSS shards)."""
+            qt, const = [], []
+            for i, src in enumerate(world.sources):
+                cdocs, cscale, cbias, basis, mu_lr = coarse_arrays[i]
+                center = res_arrays[i][3]
+                q = embs[src.encoder]
+                if not has_coarse[i]:
+                    qt.append(None)
+                    const.append(None)
+                    continue
+                if modes[i] == "cos":
+                    qn = q / jnp.maximum(
+                        jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+                    qt.append(qn @ basis)
+                    const.append(qn @ mu_lr)
+                elif modes[i] == "l2":
+                    qc = q - center[None, :] if center is not None else q
+                    qt.append(2.0 * (qc @ basis))
+                    # natural-comparable key needs -|q_c|^2 too
+                    const.append(2.0 * (qc @ mu_lr)
+                                 - jnp.sum(qc * qc, axis=1))
+                else:
+                    qt.append(q @ basis)
+                    c = q @ mu_lr
+                    if center is not None:
+                        c = c + q @ center
+                    const.append(c)
+            return qt, const
+
+        @functools.partial(jax.jit,
+                           static_argnames=("strategy", "per_source"))
+        def hostrefine_step(params, bank, res_arrays, coarse_arrays,
+                            embs, rng, ptables, *, strategy: str,
+                            per_source: bool):
+            """The hostrefine tier's single fused dispatch."""
+            probs, mask = _route_fn(world, strategy, params, bank, embs,
+                                    rng, self.threshold)
+            bsz = embs[world.sources[0].encoder].shape[0]
+            pk, pi, _ = resident_lists(res_arrays, embs, bsz)
+            qt, const = coarse_queries(embs, coarse_arrays, res_arrays)
+            cand_src = []            # per host source [B, kp] ids
+            stats_ids = []           # per source [B, k] ids (msg sizing)
+            keys = []                # per host source [B, kp] global keys
+            for i, src in enumerate(world.sources):
+                if not has_coarse[i]:
+                    stats_ids.append(pi[i])
+                    cand_src.append(None)
+                    keys.append(None)
+                    continue
+                cdocs, cscale, cbias, basis, mu_lr = coarse_arrays[i]
+                cs, ci = shard_topk(qt[i], cdocs, kp, mode="dot",
+                                    bias=cbias, scale=cscale)
+                stats_ids.append(ci[:, :k])
+                cand_src.append(ci)
+                keys.append(cs + const[i][:, None])
+            msg = None
+            if ptables is not None:
+                msg = payload_base(ptables, jnp.stack(stats_ids, axis=1))
+            if per_source:
+                cands = tuple(c for c in cand_src if c is not None)
+                return probs, mask, tuple(pk), tuple(pi), cands, msg, None
+            # score-merged worlds: mask-gated GLOBAL coarse cut so only
+            # [B, kp] (id, shard) pairs cross the wire
+            gk, gi, gs = [], [], []
+            for i in range(len(world.sources)):
+                if keys[i] is None:
+                    continue
+                kkey = jnp.where(jnp.isnan(keys[i]), NEG_INF, keys[i])
+                gk.append(jnp.where(mask[:, i:i + 1], kkey, NEG_INF))
+                gi.append(cand_src[i])
+                gs.append(jnp.full(cand_src[i].shape, i, jnp.int32))
+            gkc = jnp.concatenate(gk, axis=1)
+            top, pos = jax.lax.top_k(gkc, kp)
+            cand_id = jnp.take_along_axis(
+                jnp.concatenate(gi, axis=1), pos, axis=1)
+            cand_shard = jnp.take_along_axis(
+                jnp.concatenate(gs, axis=1), pos, axis=1)
+            cand_shard = jnp.where(top > NEG_INF, cand_shard, -1)
+            return (probs, mask, tuple(pk), tuple(pi), None, msg,
+                    (cand_id, cand_shard))
+
+        self._resident_step = resident_step
+        self._finalize_step = finalize_step
+        self._hostrefine_step = hostrefine_step
+        self._n_res = n_res
+        self._has_res = has_res
+        self._has_coarse = has_coarse
+        self._modes = modes
+        self._l2_world = l2_world
+
+    # -- ShardSet-compatible serving hooks ------------------------------
+
+    def set_payload_tables(self, per_source, names) -> None:
+        self._ptables = (None if per_source is None else
+                         build_payload_tables(per_source, names,
+                                              self.world.k))
+
+    def _next_key(self, strategy: str) -> jax.Array:
+        if strategy != "random":
+            return self._key
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _router_inputs(self, strategy: str):
+        if strategy == "ragroute":
+            if self.params is None or self.bank is None:
+                raise ValueError(
+                    "routing strategy 'ragroute' needs router params + bank")
+            return self.params, self.bank
+        if self.params is not None and self.bank is not None:
+            return self.params, self.bank
+        from ragroute_tpu.router.features import RouterBank
+        from ragroute_tpu.router.mlp import init_router_params
+
+        if not hasattr(self, "_zero_params"):
+            self._zero_params = init_router_params(
+                jax.random.key(0), self.world.router_input_dim)
+            self._zero_bank = RouterBank.create(
+                self.world,
+                {s.name: np.zeros(s.embed_dim, np.float32)
+                 for s in self.world.sources})
+        return self._zero_params, self._zero_bank
+
+    # -- search ---------------------------------------------------------
+
+    def search(
+        self,
+        query_embs: Dict[str, np.ndarray],
+        *,
+        strategy: str = "ragroute",
+        staged: bool = True,
+        fetch_candidates: bool = True,
+    ) -> SearchOutput:
+        with self._step_lock:
+            if self.tier == "hostrefine":
+                return self._search_hostrefine(
+                    query_embs, strategy=strategy,
+                    fetch_candidates=fetch_candidates)
+            return self._search_stream(
+                query_embs, strategy=strategy,
+                fetch_candidates=fetch_candidates)
+
+    # -- stream tier ----------------------------------------------------
+
+    def _search_stream(self, query_embs, *, strategy: str,
+                       fetch_candidates: bool) -> SearchOutput:
+        embs = self._device_embs(query_embs)
+        rng = self._next_key(strategy)
+        params, bank = self._router_inputs(strategy)
+        res_arrays = self._res_arrays()
+
+        t0 = time.perf_counter()
+        probs, mask = self._route_step(params, bank, embs, rng,
+                                       strategy=strategy)
+        mask_h = np.asarray(jax.device_get(mask))
+        sel_t = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        per_key, per_id, per_q = self._resident_step(res_arrays, embs)
+        per_key, per_id = list(per_key), list(per_id)
+
+        # host-slab loop with device_put prefetch: slabs of shard i are
+        # skipped entirely when no query in the batch routed to i (the
+        # reference's "don't query unselected sources" saving — here it
+        # saves the dominant cost, the host->device stream)
+        plan: List[Tuple[int, int]] = []
+        for i, s in enumerate(self.shard_set.sources):
+            if s.host is not None and mask_h[:, i].any():
+                plan.extend((i, j) for j in range(s.n_slabs))
+        puts: List = [None] * len(plan)
+
+        def put(idx):
+            i, j = plan[idx]
+            codes, bias, scale, off = self.shard_set.sources[i].slab(j)
+            return (jax.device_put(codes), jax.device_put(bias),
+                    None if scale is None else jax.device_put(scale),
+                    np.int32(off))
+
+        for idx in range(min(self.prefetch, len(plan))):
+            puts[idx] = put(idx)
+        for idx, (i, j) in enumerate(plan):
+            codes, bias, scale, off = puts[idx]
+            puts[idx] = None
+            src = self.shard_set.sources[i]
+            per_key[i], per_id[i] = _slab_merge(
+                per_key[i], per_id[i], per_q[i], codes, bias, scale, off,
+                k=self.world.k, mode=src.score_mode,
+                packed4=src.host.packed4)
+            nxt = idx + self.prefetch
+            if nxt < len(plan):
+                puts[nxt] = put(nxt)
+
+        scored = self._finalize_step(
+            mask, tuple(per_key), tuple(per_id), embs, res_arrays,
+            self._ptables)
+        return self._fetch_output(probs, mask, scored,
+                                  fetch_candidates=fetch_candidates,
+                                  sel_t=sel_t, t0=t0)
+
+    def _fetch_output(self, probs, mask, scored, *, fetch_candidates,
+                      sel_t, t0) -> SearchOutput:
+        msg_dev = scored[6]
+        msg_base = None
+        if fetch_candidates:
+            (probs, mask, shard_scores, shard_ids, merged_score,
+             merged_shard, merged_local, merged_valid) = jax.device_get(
+                (probs, mask) + tuple(scored[:6]))
+        elif msg_dev is not None:
+            shard_scores = None
+            shard_ids = None
+            (probs, mask, merged_score, merged_shard, merged_local,
+             merged_valid, msg_base) = jax.device_get(
+                (probs, mask) + tuple(scored[2:7]))
+        else:
+            shard_scores = None
+            (probs, mask, shard_ids, merged_score, merged_shard,
+             merged_local, merged_valid) = jax.device_get(
+                (probs, mask, scored[1]) + tuple(scored[2:6]))
+        return SearchOutput(
+            probs=probs, mask=np.asarray(mask),
+            shard_scores=shard_scores, shard_ids=shard_ids,
+            merged_score=merged_score, merged_shard=merged_shard,
+            merged_local=merged_local, merged_valid=merged_valid,
+            msg_base=msg_base, selection_time=sel_t,
+            doc_select_time=time.perf_counter() - t0)
+
+    # -- hostrefine tier -------------------------------------------------
+
+    def _search_hostrefine(self, query_embs, *, strategy: str,
+                           fetch_candidates: bool) -> SearchOutput:
+        world = self.world
+        k = world.k
+        embs = self._device_embs(query_embs)
+        q_host = self._host_embs(query_embs)
+        rng = self._next_key(strategy)
+        params, bank = self._router_inputs(strategy)
+        res_arrays = self._res_arrays()
+        coarse_arrays = self._coarse_arrays()
+        per_source = fetch_candidates  # feb4rag / forced candidate mode
+
+        t0 = time.perf_counter()
+        out = self._hostrefine_step(
+            params, bank, res_arrays, coarse_arrays, embs, rng,
+            self._ptables, strategy=strategy, per_source=per_source)
+        probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d = out
+        fetch = (probs_d, mask_d, pk_d, pi_d)
+        if per_source:
+            fetch = fetch + (cands_d,)
+        else:
+            fetch = fetch + (glob_d,)
+        if msg_d is not None:
+            fetch = fetch + (msg_d,)
+        got = jax.device_get(fetch)
+        probs, mask, pk, pi = got[0], np.asarray(got[1]), got[2], got[3]
+        extra = got[4]
+        msg_base = got[5] if msg_d is not None else None
+        sel_t = 0.0
+        t_refine = time.perf_counter()
+
+        # natural-form per-source lists from the device keys (resident
+        # exact sources; host sources hold -inf placeholders)
+        per_scores: List[np.ndarray] = []
+        per_ids: List[np.ndarray] = []
+        for i, src in enumerate(world.sources):
+            key = np.asarray(pk[i], np.float32)
+            if self._modes[i] == "dot" and \
+                    self.shard_set.sources[i].center is not None \
+                    and self._has_res[i]:
+                key = key + (q_host[src.encoder] @
+                             self.shard_set.sources[i].center)[:, None]
+            nat = -key if self._modes[i] == "l2" else key
+            nat = np.where(np.isinf(nat), np.nan, nat)
+            per_scores.append(nat)
+            per_ids.append(np.asarray(pi[i], np.int32))
+
+        if per_source:
+            ci = 0
+            for i, src in enumerate(world.sources):
+                if not self._has_coarse[i]:
+                    continue
+                cand = np.asarray(extra[ci], np.int32)
+                ci += 1
+                if not mask[:, i].any():
+                    continue
+                s, ids = self.shard_set.refine(
+                    i, q_host[src.encoder], cand, k)
+                per_scores[i], per_ids[i] = s, np.where(ids < 0, 0, ids)
+        else:
+            cand_id, cand_shard = (np.asarray(extra[0], np.int32),
+                                   np.asarray(extra[1], np.int32))
+            self._refine_global(per_scores, per_ids, q_host, cand_id,
+                                cand_shard, k)
+
+        (shard_scores, shard_ids, merged_score, merged_shard,
+         merged_local, merged_valid) = _host_gate_and_merge(
+            world, k, mask, per_scores, per_ids)
+        if not fetch_candidates:
+            shard_scores = None
+            if msg_base is not None:
+                shard_ids = None
+        return SearchOutput(
+            probs=np.asarray(probs), mask=mask,
+            shard_scores=shard_scores, shard_ids=shard_ids,
+            merged_score=merged_score, merged_shard=merged_shard,
+            merged_local=merged_local, merged_valid=merged_valid,
+            msg_base=msg_base, selection_time=sel_t,
+            doc_select_time=time.perf_counter() - t0)
+
+    def _refine_global(self, per_scores, per_ids, q_host, cand_id,
+                       cand_shard, k: int) -> None:
+        """Exact-rescore the global candidate list and fold the winners
+        back into per-source [B, k] lists (entries a source contributes
+        to the global cut; sources with fewer than k global survivors
+        keep NaN tails — correct, since the global merge is what the
+        score-merged response consumes)."""
+        world = self.world
+        bsz, kp = cand_id.shape
+        ref_scores = np.full((bsz, kp), np.nan, np.float32)
+        for i, src in enumerate(world.sources):
+            if not self._has_coarse[i]:
+                continue
+            sel = cand_shard == i                      # [B, kp] bool
+            if not sel.any():
+                continue
+            # pack selected candidates densely per query for the
+            # vectorized refine (pad with id 0, masked after)
+            counts = sel.sum(axis=1)
+            width = int(counts.max())
+            dense = np.zeros((bsz, width), np.int32)
+            # positions of selected entries per row
+            rows, cols = np.nonzero(sel)
+            slot = np.concatenate([np.arange(c) for c in counts]) \
+                if counts.sum() else np.zeros(0, np.int64)
+            dense[rows, slot] = cand_id[rows, cols]
+            s, ids = self.shard_set.refine(
+                i, q_host[src.encoder], dense, min(k, width))
+            # map refined per-source winners back into the per-source
+            # list consumed by the host merge
+            per_scores[i] = np.full((bsz, k), np.nan, np.float32)
+            per_ids[i] = np.zeros((bsz, k), np.int32)
+            kk = min(k, width)
+            per_scores[i][:, :kk] = s[:, :kk]
+            per_ids[i][:, :kk] = np.where(ids[:, :kk] < 0, 0,
+                                          ids[:, :kk])
+        return None

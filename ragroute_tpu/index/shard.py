@@ -138,6 +138,39 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def encode_rows(emb: np.ndarray, score_mode: str, *, dtype, packed4: bool,
+                center: Optional[np.ndarray] = None, norm_cos: bool = True
+                ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    """Preprocess raw f32 rows into stored form: the exact build-time
+    treatment (cos normalization, mean-centering, l2 gain bias, dtype
+    quantization). Returns ``(stored, bias, scale)``.
+
+    Shared by :meth:`ShardSet.add_docs` (live inserts) and the streamed
+    HBM-overflow build (:mod:`ragroute_tpu.index.streamed`) so serve-time
+    and host-tier rows can never drift from build-time rows."""
+    emb = np.asarray(emb, dtype=np.float32)
+    if score_mode == "cos" and norm_cos:
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    if center is not None:
+        emb = emb - np.asarray(center, np.float32)
+    if score_mode == "l2":
+        bias = -np.einsum("nd,nd->n", emb, emb,
+                          dtype=np.float32, optimize=True)
+    else:
+        bias = np.zeros(emb.shape[0], np.float32)
+    scale = None
+    if packed4:
+        codes, scale = _quantize_sym(emb, 7, mse_opt=True)
+        stored = _pack_int4(codes)
+    elif dtype == jnp.int8:
+        codes, scale = _quantize_sym(emb, 127)
+        stored = codes
+    else:
+        stored = emb.astype(jnp.dtype(dtype).type, copy=False)
+    return stored, bias.astype(np.float32), scale
+
+
 import functools as _functools
 
 
@@ -626,25 +659,16 @@ class ShardSet:
                 f"or delete first")
         raw = emb.copy()  # pre-preprocessing rows, retained for snapshot()
 
-        # identical preprocessing to build()
-        if src.score_mode == "cos" and self._norm_cos:
-            emb = emb / np.maximum(
-                np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        if shard.center is not None:
-            emb = emb - np.asarray(shard.center)
-        if src.score_mode == "l2":
-            brows = -np.einsum("nd,nd->n", emb, emb,
-                               dtype=np.float32, optimize=True)
-        else:
-            brows = np.zeros(m, np.float32)
-        srows = None
-        if shard.packed4:
-            codes, srows = _quantize_sym(emb, 7, mse_opt=True)
-            emb = _pack_int4(codes)
-        elif shard.docs.dtype == jnp.int8:
-            codes, srows = _quantize_sym(emb, 127)
-            emb = codes
-        rows = emb.astype(shard.docs.dtype.type, copy=False)
+        # identical preprocessing to build() (shared helper)
+        stored, brows, srows = encode_rows(
+            emb, src.score_mode,
+            dtype=(jnp.int8 if shard.docs.dtype == jnp.int8
+                   else shard.docs.dtype),
+            packed4=shard.packed4,
+            center=(None if shard.center is None
+                    else np.asarray(shard.center)),
+            norm_cos=self._norm_cos)
+        rows = stored.astype(shard.docs.dtype.type, copy=False)
 
         slots = [free.pop() for _ in range(m)]
         shard = self._scatter(shard, slots, rows,

@@ -60,7 +60,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
                          ivf_clusters=None, lowrank=None,
                          embedder: str = "auto",
                          mutable: bool = False, reserve_docs: int = 0,
-                         device=None):
+                         device=None, streamed_tier: str = None,
+                         hbm_budget_bytes: int = None):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
@@ -82,10 +83,19 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
     dtype = dtype or jnp.bfloat16
     wroot = os.path.join(root, world.name)
 
-    shard_set = ShardSet.load(root, world, dtype=dtype,
-                              ivf_clusters=ivf_clusters, lowrank=lowrank,
-                              mutable=mutable, reserve_docs=reserve_docs,
-                              device=device)
+    if streamed_tier:
+        # host-RAM capacity tiers (--impl stream / hostrefine): rows
+        # stream from the embeddings.npy mmaps through the block encoder
+        from ragroute_tpu.index.streamed import StreamedShardSet
+
+        shard_set = StreamedShardSet.load(
+            root, world, dtype=dtype, tier=streamed_tier,
+            hbm_budget_bytes=hbm_budget_bytes)
+    else:
+        shard_set = ShardSet.load(root, world, dtype=dtype,
+                                  ivf_clusters=ivf_clusters,
+                                  lowrank=lowrank, mutable=mutable,
+                                  reserve_docs=reserve_docs, device=device)
 
     cent_path = os.path.join(wroot, "centroids.json")
     if os.path.exists(cent_path):
@@ -225,7 +235,18 @@ class ServingSystem:
         self.embedder = getattr(args, "embedder", "auto") or "auto"
         self.mutable = getattr(args, "mutable", False)
         self.reserve_docs = getattr(args, "reserve_docs", 0) or 0
+        self.hbm_budget_gb = getattr(args, "hbm_budget_gb", None)
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
+        if self.impl in ("stream", "hostrefine"):
+            if self.mesh_spec:
+                raise ValueError(
+                    f"--impl {self.impl} is the SINGLE-chip capacity tier "
+                    "(host RAM extends one chip); --mesh is the multi-chip "
+                    "capacity answer — use one or the other")
+            if self.mutable:
+                raise ValueError(
+                    f"--impl {self.impl} serves an immutable host-tier "
+                    "corpus; drop --mutable (rebuild to update)")
         if self.mutable and self.mesh_spec:
             raise ValueError(
                 "--mutable is a single-chip capability (the mesh engine "
@@ -290,6 +311,9 @@ class ServingSystem:
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "int8": jnp.int8, "int4": "int4"}[self.dtype_name]
 
+        streamed = self.impl in ("stream", "hostrefine")
+        hbm_budget = (int(self.hbm_budget_gb * 1e9)
+                      if self.hbm_budget_gb else None)
         if self.simulate:
             # Simulation parity (reference --simulate): tiny synthetic world
             # in-memory, hash embeddings, full pipeline live with stage
@@ -297,15 +321,24 @@ class ServingSystem:
             syn = make_synthetic_world(
                 self.dataset, docs_per_source=SHARD_PAD_MULTIPLE,
                 num_queries=4)
-            shard_set = ShardSet.build(
-                syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=dtype,
-                ivf_clusters=(self.ivf_clusters
-                              if self.impl in ("ivf", "hybrid")
-                              else None),
-                lowrank=(self.lowrank_rank if self.impl == "lowrank"
-                         else None),
-                mutable=self.mutable, reserve_docs=self.reserve_docs,
-                device=("host" if self.mesh_spec else None))
+            if streamed:
+                from ragroute_tpu.index.streamed import StreamedShardSet
+
+                shard_set = StreamedShardSet.build(
+                    syn.world, syn.embeddings, doc_ids=syn.doc_ids,
+                    dtype=dtype, tier=self.impl,
+                    hbm_budget_bytes=hbm_budget)
+            else:
+                shard_set = ShardSet.build(
+                    syn.world, syn.embeddings, doc_ids=syn.doc_ids,
+                    dtype=dtype,
+                    ivf_clusters=(self.ivf_clusters
+                                  if self.impl in ("ivf", "hybrid")
+                                  else None),
+                    lowrank=(self.lowrank_rank if self.impl == "lowrank"
+                             else None),
+                    mutable=self.mutable, reserve_docs=self.reserve_docs,
+                    device=("host" if self.mesh_spec else None))
             import jax
 
             params = init_router_params(
@@ -330,7 +363,9 @@ class ServingSystem:
                 # device_puts the sharded copies itself, so a corpus
                 # bigger than one chip's HBM never lands whole on the
                 # default device
-                device=("host" if self.mesh_spec else None))
+                device=("host" if self.mesh_spec else None),
+                streamed_tier=(self.impl if streamed else None),
+                hbm_budget_bytes=hbm_budget)
 
         if self.mesh_spec:
             # BASELINE config #5: the federation served over a device
@@ -375,6 +410,12 @@ class ServingSystem:
 
                 engine = LockstepEngine(
                     engine, self.buckets, leader=self.process_id == 0)
+        elif streamed:
+            from ragroute_tpu.engine.streamed import StreamedSearchEngine
+
+            engine = StreamedSearchEngine(
+                shard_set, params, bank, threshold=threshold,
+                k_refine=self.k_refine)
         else:
             engine = FederatedSearchEngine(
                 shard_set, params, bank, impl=self.impl,

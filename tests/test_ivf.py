@@ -153,8 +153,6 @@ def test_int4_ivf_l2_and_cos_full_probe_match_flat_scan():
     scales make the dequantized dot exact in expectation, the stored
     -|d|^2 bias exactly), and cos runs the quantizer on normalized rows
     — both must reproduce the flat packed-int4 scan at full probe."""
-    import pytest
-
     from ragroute_tpu.index.shard import _pack_int4, _quantize_sym
     from ragroute_tpu.ops.topk import shard_topk
 
