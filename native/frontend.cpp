@@ -81,8 +81,11 @@ struct Conn {
 
 struct Response {
   uint64_t req_id;
-  std::string bytes;  // full HTTP bytes, ready to write
+  std::string bytes;  // HTTP bytes, ready to write
   bool close_after;
+  // streaming: 0 = complete response; 1 = stream begin (headers,
+  // chunked transfer); 2 = stream chunk; 3 = stream end (terminator)
+  int kind = 0;
 };
 
 const char* status_text(int code) {
@@ -111,12 +114,20 @@ struct Server {
   std::deque<Request*> ready;                       // parsed, not yet popped
   std::unordered_map<uint64_t, Request*> inflight;  // popped by Python
   std::deque<Response> responses;                   // fe_respond -> IO thread
+  // Python-side stream registry (under mu): id -> chunked framing?
+  // (HTTP/1.1 keep-alive streams are chunk-framed; close-delimited
+  // streams write raw bytes and end by closing the connection)
+  std::unordered_map<uint64_t, bool> stream_chunked;
 
   // IO-thread-only state
   std::unordered_map<int, Conn*> conns;
   std::unordered_map<uint64_t, std::string> done;  // req id -> bytes (await order)
   std::unordered_map<uint64_t, bool> done_close;
   std::unordered_map<uint64_t, uint64_t> req_conn;  // req id -> conn key
+  // req ids with an OPEN chunked stream: the ordered drain forwards
+  // their accumulated bytes but must not advance past them until the
+  // end-frame arrives (pipelined responses behind a stream wait)
+  std::unordered_map<uint64_t, bool> open_streams;
   uint64_t next_id = 1;
   uint32_t next_gen = 1;
 
@@ -146,19 +157,25 @@ void close_conn(Server* s, Conn* c) {
   for (uint64_t id : c->order) {
     s->done.erase(id);
     s->done_close.erase(id);
+    s->open_streams.erase(id);
   }
   delete c;
 }
 
 // Append as many in-order completed responses as available to wbuf.
+// A response whose stream is still open forwards whatever bytes have
+// accumulated and then stops the drain (order preserved behind it).
 void drain_ready_responses(Server* s, Conn* c) {
   while (!c->order.empty()) {
-    auto it = s->done.find(c->order.front());
+    uint64_t id = c->order.front();
+    auto it = s->done.find(id);
     if (it == s->done.end()) break;
     c->wbuf += it->second;
-    if (s->done_close[it->first]) c->close_after = true;
-    s->done_close.erase(it->first);
-    s->req_conn.erase(it->first);
+    it->second.clear();
+    if (s->open_streams.count(id)) break;  // await more chunks / end
+    if (s->done_close[id]) c->close_after = true;
+    s->done_close.erase(id);
+    s->req_conn.erase(id);
     s->done.erase(it);
     c->order.pop_front();
   }
@@ -355,11 +372,36 @@ void handle_responses(Server* s) {
       continue;
     }
     Conn* c = ci->second;
-    s->done[resp.req_id] = std::move(resp.bytes);
-    s->done_close[resp.req_id] = resp.close_after;
+    switch (resp.kind) {
+      case 0:  // complete response
+        s->done[resp.req_id] = std::move(resp.bytes);
+        s->done_close[resp.req_id] = resp.close_after;
+        s->n_responses.fetch_add(1, std::memory_order_relaxed);
+        break;
+      case 1:  // stream begin: headers; hold the drain open
+        s->done[resp.req_id] += resp.bytes;
+        s->done_close[resp.req_id] = resp.close_after;
+        s->open_streams[resp.req_id] = true;
+        break;
+      case 2:  // stream chunk
+        if (!s->open_streams.count(resp.req_id)) {
+          s->n_dropped.fetch_add(1, std::memory_order_relaxed);
+          continue;
+        }
+        s->done[resp.req_id] += resp.bytes;
+        break;
+      case 3:  // stream end: terminator, release the drain
+        if (!s->open_streams.count(resp.req_id)) {
+          s->n_dropped.fetch_add(1, std::memory_order_relaxed);
+          continue;
+        }
+        s->done[resp.req_id] += resp.bytes;
+        s->open_streams.erase(resp.req_id);
+        s->n_responses.fetch_add(1, std::memory_order_relaxed);
+        break;
+    }
     drain_ready_responses(s, c);
     flush_conn(s, c);  // may delete c
-    s->n_responses.fetch_add(1, std::memory_order_relaxed);
   }
 }
 
@@ -600,6 +642,106 @@ int fe_respond_many(void* h, int n, const uint64_t* ids,
   ssize_t ignored = write(s->event_fd, &one, 8);
   (void)ignored;
   return accepted;
+}
+
+// Begin a streaming response (SSE generation): writes the headers now,
+// keeps the connection's pipeline order held open until fe_stream_end.
+// Keep-alive connections use chunked transfer framing; close-delimited
+// ones (HTTP/1.0 or Connection: close) stream raw and end by closing.
+// Safe to call from any thread (like fe_respond).
+int fe_begin_stream(void* h, uint64_t id, int status, const char* ctype) {
+  auto* s = (Server*)h;
+  Request* r;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    auto it = s->inflight.find(id);
+    if (it == s->inflight.end()) return -1;
+    r = it->second;
+    s->inflight.erase(it);
+    s->stream_chunked[id] = !r->close_after;
+  }
+  Response resp;
+  resp.req_id = id;
+  resp.kind = 1;
+  resp.close_after = r->close_after;
+  resp.bytes = "HTTP/1.1 " + std::to_string(status) + " " +
+               status_text(status) + "\r\nContent-Type: " +
+               (ctype && *ctype ? ctype : "text/event-stream") +
+               "\r\nCache-Control: no-cache";
+  resp.bytes += r->close_after
+                    ? "\r\nConnection: close\r\n\r\n"
+                    : "\r\nTransfer-Encoding: chunked"
+                      "\r\nConnection: keep-alive\r\n\r\n";
+  delete r;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->responses.push_back(std::move(resp));
+  }
+  uint64_t one = 1;
+  ssize_t ignored = write(s->event_fd, &one, 8);
+  (void)ignored;
+  return 0;
+}
+
+int fe_stream_chunk(void* h, uint64_t id, const char* data,
+                    long long len) {
+  auto* s = (Server*)h;
+  if (len <= 0) return 0;
+  bool chunked;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    auto it = s->stream_chunked.find(id);
+    if (it == s->stream_chunked.end()) return -1;
+    chunked = it->second;
+  }
+  Response resp;
+  resp.req_id = id;
+  resp.kind = 2;
+  resp.close_after = false;
+  if (chunked) {
+    char hdr[32];
+    int hn = snprintf(hdr, sizeof(hdr), "%llx\r\n",
+                      (unsigned long long)len);
+    resp.bytes.reserve((size_t)len + (size_t)hn + 2);
+    resp.bytes.append(hdr, (size_t)hn);
+    resp.bytes.append(data, (size_t)len);
+    resp.bytes += "\r\n";
+  } else {
+    resp.bytes.assign(data, (size_t)len);
+  }
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->responses.push_back(std::move(resp));
+  }
+  uint64_t one = 1;
+  ssize_t ignored = write(s->event_fd, &one, 8);
+  (void)ignored;
+  return 0;
+}
+
+int fe_stream_end(void* h, uint64_t id) {
+  auto* s = (Server*)h;
+  bool chunked;
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    auto it = s->stream_chunked.find(id);
+    if (it == s->stream_chunked.end()) return -1;
+    chunked = it->second;
+    s->stream_chunked.erase(it);
+  }
+  Response resp;
+  resp.req_id = id;
+  resp.kind = 3;
+  resp.close_after = false;
+  if (chunked) resp.bytes = "0\r\n\r\n";
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->responses.push_back(std::move(resp));
+  }
+  uint64_t one = 1;
+  ssize_t ignored = write(s->event_fd, &one, 8);
+  (void)ignored;
+  return 0;
 }
 
 long long fe_stat(void* h, int which) {

@@ -12,11 +12,15 @@ doubles as the serving micro-batcher (replacing the asyncio
 accumulate in C++ and are handed over as one batch, so batch formation
 costs zero event-loop work.
 
-Scope: the query surface with the LLM disabled — ``GET/POST /query``
-(incl. ``stream=1`` SSE framing, which with --disable-llm is a single
-final event + [DONE]), ``POST /query/batch``, ``/healthz``, ``/stats``.
-Admin/mutable endpoints and live generation need the asyncio front-end
-(the default); ``ServingSystem`` enforces the valid combinations.
+Scope: the WHOLE serving surface (round 4). ``GET/POST /query`` (incl.
+``stream=1`` SSE — with live generation the deltas stream through
+chunked ``fe_stream_chunk`` frames as they decode), ``POST
+/query/batch``, ``/docs/add``, ``/docs/delete``, ``/admin/snapshot``,
+``/admin/profile``, ``/healthz``, ``/stats``, and ``--simulate``.
+Generation and simulate's LLM_DELAY run on a dedicated finisher asyncio
+loop in a side thread (the device serving loop never blocks on the LLM);
+finished responses enter C++ through the thread-safe
+``fe_respond``/``fe_begin_stream``/``fe_stream_*`` entry points.
 
 Response assembly is SHARED with the asyncio server (the sync
 ``FederationServer._assemble_pre`` / ``_finalize`` helpers and the raw
@@ -163,6 +167,14 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_longlong)]
         lib.fe_respond_many.restype = ctypes.c_int
+        lib.fe_begin_stream.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                        ctypes.c_int, ctypes.c_char_p]
+        lib.fe_begin_stream.restype = ctypes.c_int
+        lib.fe_stream_chunk.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
+                                        ctypes.c_char_p, ctypes.c_longlong]
+        lib.fe_stream_chunk.restype = ctypes.c_int
+        lib.fe_stream_end.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.fe_stream_end.restype = ctypes.c_int
         lib.fe_stat.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.fe_stat.restype = ctypes.c_longlong
         lib.fe_shutdown.argtypes = [ctypes.c_void_p]
@@ -262,6 +274,21 @@ class NativeFrontend:
         return int(self._lib.fe_respond_many(
             self._h, n, ids, sts, cts, bds, lns))
 
+    def begin_stream(self, rid: int, status: int = 200,
+                     ctype: bytes = b"text/event-stream") -> bool:
+        """Open a chunked streaming response (SSE generation). Safe from
+        any thread, like :meth:`respond`."""
+        return self._lib.fe_begin_stream(self._h, rid, status, ctype) == 0
+
+    def stream_chunk(self, rid: int, data) -> bool:
+        if isinstance(data, str):
+            data = data.encode()
+        return self._lib.fe_stream_chunk(self._h, rid, data,
+                                         len(data)) == 0
+
+    def stream_end(self, rid: int) -> bool:
+        return self._lib.fe_stream_end(self._h, rid) == 0
+
     def stats(self) -> dict:
         names = ("accepted", "requests", "bad_requests", "responses",
                  "dropped_responses")
@@ -312,14 +339,19 @@ class _Work:
 
 
 class _Group:
-    """One POST /query/batch request awaiting its member results."""
+    """One POST /query/batch request awaiting its member results.
 
-    __slots__ = ("rid", "results", "remaining")
+    Members may complete on the serving thread (validation errors,
+    retrieval-only) AND on the finisher thread (generation), so the
+    counter rides a lock."""
+
+    __slots__ = ("rid", "results", "remaining", "lock")
 
     def __init__(self, rid, n):
         self.rid = rid
         self.results: List = [None] * n
         self.remaining = n
+        self.lock = threading.Lock()
 
 
 class NativeFederationServer:
@@ -334,14 +366,6 @@ class NativeFederationServer:
 
     def __init__(self, server: FederationServer, *,
                  window_ms: float = BATCH_WINDOW_MS):
-        if not server.disable_llm:
-            raise ValueError(
-                "--frontend native serves the retrieval surface with the "
-                "LLM disabled; generation needs the asyncio front-end")
-        if getattr(server.engine.shard_set, "mutable", False):
-            raise ValueError(
-                "--frontend native does not serve the /docs/* mutable "
-                "endpoints; use the asyncio front-end with --mutable")
         if server.embed_batcher is not None:
             # zoo providers still work: embed_many() is called synchronously
             # per pop batch, which batches the encoder forward the same way
@@ -387,12 +411,29 @@ class NativeFederationServer:
         self.pipeline = os.environ.get(
             "RAGROUTE_NATIVE_PIPELINE", "0") == "1"
         self._pending = None  # (chunk, PendingSearch)
+        # post-retrieval finisher: generation (incl. SSE streaming) and
+        # simulate's LLM_DELAY are async stages that must not block the
+        # serving loop. They run on a dedicated asyncio loop in a side
+        # thread; completed responses go straight to the (thread-safe)
+        # fe_respond/fe_begin_stream/fe_stream_* entry points, bypassing
+        # the serving thread's _out buffer.
+        self._fin_loop: Optional[object] = None
+        self._fin_thread: Optional[threading.Thread] = None
+        self._needs_finisher = (not server.disable_llm) or server.simulate
 
     # -- lifecycle ---------------------------------------------------------
 
     def start(self, *, thread: bool = False) -> None:
         if self.server.warmup:
             self.server._warmup()
+        if self._needs_finisher:
+            import asyncio
+
+            self._fin_loop = asyncio.new_event_loop()
+            self._fin_thread = threading.Thread(
+                target=self._fin_loop.run_forever,
+                name="native-llm-finisher", daemon=True)
+            self._fin_thread.start()
         # pop up to the largest bucket per batch: anything smaller pads
         # the device step with dead rows under closed-loop load
         self.fe = NativeFrontend(self.server.host, self.server.port,
@@ -423,6 +464,13 @@ class NativeFederationServer:
             if self.fe is not None:
                 self.fe.close()
                 self.fe = None
+        if self._fin_loop is not None:
+            self._fin_loop.call_soon_threadsafe(self._fin_loop.stop)
+            if self._fin_thread is not None:
+                self._fin_thread.join(timeout=10)
+                self._fin_thread = None
+            self._fin_loop.close()
+            self._fin_loop = None
 
     # -- loop --------------------------------------------------------------
 
@@ -585,13 +633,85 @@ class NativeFederationServer:
             snap["frontend"] = {"kind": "native", **self.fe.stats()}
             return self._respond(rid, 200, _dumps(snap))
 
+        if path in (b"/docs/add", b"/docs/delete") and method == 1:
+            # live index updates through the C++ plane: the sync cores
+            # are shared with the asyncio handlers (engine update lock
+            # serializes against in-flight search dispatches)
+            try:
+                data = json.loads(body) if body else {}
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                return self._respond(rid, 400, "Invalid JSON body",
+                                       ctype=b"text/plain; charset=utf-8")
+            fn = (self.server.docs_add_sync if path == b"/docs/add"
+                  else self.server.docs_delete_sync)
+            status, res = fn(data)
+            if status != 200:
+                return self._respond(rid, status, res,
+                                       ctype=b"text/plain; charset=utf-8")
+            return self._respond(rid, 200, _dumps(res))
+
+        if path == b"/admin/snapshot" and method == 1:
+            status, res = self.server.snapshot_sync()
+            if status != 200:
+                return self._respond(rid, status, res,
+                                       ctype=b"text/plain; charset=utf-8")
+            return self._respond(rid, 200, _dumps(res))
+
+        if path == b"/admin/profile" and method == 1:
+            return self._profile(rid, body)
+
         self._respond(
             rid, 501,
-            f"The native front-end serves the query surface only "
-            f"({path.decode('utf-8', 'replace')} is not implemented); "
-            f"start without --frontend native for admin/mutable/LLM "
-            f"endpoints",
+            f"{path.decode('utf-8', 'replace')} is not implemented",
             ctype=b"text/plain; charset=utf-8")
+
+    def _profile(self, rid: int, body: bytes) -> None:
+        """``POST /admin/profile`` on the native plane: the capture
+        window runs on a helper thread (the serving loop must keep
+        draining batches during it) and responds via the thread-safe
+        fe_respond."""
+        try:
+            data = json.loads(body) if body else {}
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return self._respond(rid, 400, "Invalid JSON body",
+                                   ctype=b"text/plain; charset=utf-8")
+        try:
+            seconds = float(data.get("seconds", 2.0))
+        except (TypeError, ValueError):
+            return self._respond(rid, 400, "'seconds' must be a number",
+                                   ctype=b"text/plain; charset=utf-8")
+        if not (0.0 < seconds <= 60.0):
+            return self._respond(rid, 400, "'seconds' must be in (0, 60]",
+                                   ctype=b"text/plain; charset=utf-8")
+        if self.server._profiling:
+            return self._respond(rid, 409,
+                                   "A profile capture is already running",
+                                   ctype=b"text/plain; charset=utf-8")
+        logdir = data.get("dir") or os.path.join(
+            "/tmp", f"ragroute_profile_{int(time.time())}")
+        self.server._profiling = True
+        fe = self.fe
+
+        def capture():
+            import jax
+
+            try:
+                jax.profiler.start_trace(logdir)
+                try:
+                    time.sleep(seconds)
+                finally:
+                    jax.profiler.stop_trace()
+            except RuntimeError as e:
+                fe.respond(rid, 500, f"Profiler failed: {e}",
+                           ctype=b"text/plain; charset=utf-8")
+                return
+            finally:
+                self.server._profiling = False
+            fe.respond(rid, 200, _dumps({"trace_dir": logdir,
+                                         "seconds": seconds}))
+
+        threading.Thread(target=capture, name="native-profile",
+                         daemon=True).start()
 
     # -- query execution -----------------------------------------------------
 
@@ -749,6 +869,22 @@ class NativeFederationServer:
                     res, query_id, w.qid,
                     msg_sizes=(None if msg_sizes_all is None
                                else msg_sizes_all[i]))
+            except Exception as e:
+                logger.exception("assembly failed")
+                self._fail(w, e)
+                continue
+            if self._fin_loop is not None:
+                # generation / simulate: the async tail runs on the
+                # finisher loop and responds via the thread-safe fe calls
+                import asyncio
+
+                asyncio.run_coroutine_threadsafe(
+                    self._finish_async(
+                        w, res, query_id, selected, ds_stats, top_docs,
+                        raw_docs, batch_wait, t_assemble),
+                    self._fin_loop)
+                continue
+            try:
                 result = srv._finalize(
                     {"query_id": query_id, "query": w.query, "answer": ""},
                     res, selected=selected, ds_stats=ds_stats,
@@ -761,6 +897,127 @@ class NativeFederationServer:
                 self._fail(w, e)
                 continue
             self._deliver(w, result)
+
+    async def _finish_async(self, w: _Work, res, query_id, selected,
+                            ds_stats, top_docs, raw_docs, batch_wait,
+                            t_assemble) -> None:
+        """Post-retrieval tail on the finisher loop: the LLM stage
+        (message build, generation with optional SSE deltas through the
+        C++ plane, reference timeout discipline) or simulate's LLM_DELAY,
+        then finalize + respond. Mirrors FederationServer._process's
+        post-batcher half (server.py)."""
+        import asyncio
+
+        from ragroute_tpu.config import LLM_DELAY, QUERY_TIMEOUT_S
+        from ragroute_tpu.engine.prompts import (
+            generate_llm_message, generate_llm_message_wikipedia)
+
+        srv = self.server
+        fe = self.fe  # snapshot: serve_forever nulls self.fe at shutdown
+        if fe is None:
+            return
+        streaming = False  # fe stream opened (headers already out)
+        response = {"query_id": query_id, "query": w.query, "answer": ""}
+        docs_tokens = 0
+        generate_time = 0.0
+        llm_wall = 0.0
+        try:
+            async def tail():
+                nonlocal docs_tokens, generate_time, llm_wall, streaming
+                if srv.disable_llm:
+                    response["answer"] = ""
+                    if srv.simulate:
+                        t0 = time.time()
+                        await asyncio.sleep(LLM_DELAY)
+                        llm_wall = time.time() - t0
+                    return
+                t0 = time.time()
+                if self.world.name == "wikipedia":
+                    messages, ntok = generate_llm_message_wikipedia(
+                        w.query, top_docs, w.choices, srv.model)
+                else:
+                    messages, ntok = generate_llm_message(
+                        self.world.name, w.query, top_docs, w.choices,
+                        srv.model)
+                docs_tokens = ntok
+                if w.stream and w.group is None:
+                    streaming = True
+                    fe.begin_stream(w.rid)
+                    llm_res = None
+                    async for item in srv.llm.chat_stream(srv.model,
+                                                          messages):
+                        if isinstance(item, str):
+                            fe.stream_chunk(
+                                w.rid, "data: "
+                                + _dumps({"delta": item}) + "\n\n")
+                        else:
+                            llm_res = item
+                else:
+                    llm_res = await srv.llm.chat(srv.model, messages)
+                generate_time = (llm_res.generate_time
+                                 if llm_res.generate_time >= 0 else -1)
+                response["answer"] = llm_res.answer
+                llm_wall = time.time() - t0
+
+            await asyncio.wait_for(tail(), timeout=QUERY_TIMEOUT_S)
+            result = srv._finalize(
+                response, res, selected=selected, ds_stats=ds_stats,
+                top_docs=top_docs, raw_docs=raw_docs,
+                generate_time=generate_time, docs_tokens=docs_tokens,
+                start=w.start, embedding_time=w.embed_time,
+                batch_wait=batch_wait, t_assemble=t_assemble,
+                llm_wall=llm_wall)
+        except asyncio.TimeoutError:
+            return self._fail_direct(w, "Search timed out", streaming,
+                                     status=504)
+        except Exception as e:
+            logger.exception("generation tail failed")
+            return self._fail_direct(w, str(e), streaming)
+        self._deliver_direct(w, result, streaming)
+
+    def _fail_direct(self, w: _Work, msg: str, streaming: bool,
+                     status: int = 500) -> None:
+        """Failure delivery from the finisher thread (fe calls only)."""
+        fe = self.fe
+        if fe is None:
+            return
+        if streaming:
+            # headers already out as 200/event-stream: in-band error
+            # event then [DONE] (same as the asyncio SSE handler)
+            fe.stream_chunk(
+                w.rid, "data: " + _dumps({"error": msg}) + "\n\n")
+            fe.stream_chunk(w.rid, "data: [DONE]\n\n")
+            fe.stream_end(w.rid)
+            return
+        if w.group is not None:
+            return self._group_done(w.group, w.gidx, {"error": msg},
+                                    direct=True)
+        fe.respond(w.rid, status,
+                        (msg if status == 504
+                         else f"Internal error: {msg}"),
+                        ctype=b"text/plain; charset=utf-8")
+
+    def _deliver_direct(self, w: _Work, result: dict,
+                        streaming: bool) -> None:
+        """Success delivery from the finisher thread."""
+        fe = self.fe
+        if fe is None:
+            return
+        if w.group is not None:
+            return self._group_done(w.group, w.gidx, result, direct=True)
+        if streaming:
+            # final authoritative event (complete /query body) + [DONE]
+            body = self._encode_single(result)
+            fe.stream_chunk(w.rid, "data: " + body + "\n\n")
+            fe.stream_chunk(w.rid, "data: [DONE]\n\n")
+            fe.stream_end(w.rid)
+            return
+        body = self._encode_single(result)
+        if w.stream:
+            sse = "data: " + body + "\n\ndata: [DONE]\n\n"
+            fe.respond(w.rid, 200, sse, ctype=b"text/event-stream")
+        else:
+            fe.respond(w.rid, 200, body)
 
     # -- response delivery ---------------------------------------------------
 
@@ -792,11 +1049,13 @@ class NativeFederationServer:
         else:
             self._respond(w.rid, 200, body)
 
-    def _group_done(self, group: _Group, idx: int, result) -> None:
-        group.results[idx] = result
-        group.remaining -= 1
-        if group.remaining > 0:
-            return
+    def _group_done(self, group: _Group, idx: int, result,
+                    direct: bool = False) -> None:
+        with group.lock:
+            group.results[idx] = result
+            group.remaining -= 1
+            if group.remaining > 0:
+                return
         results = group.results
         frags, owners = [], []
         for r in results:
@@ -810,4 +1069,8 @@ class NativeFederationServer:
             spliced = self.server._splice_raw(body, frags, owners)
             body = (spliced if spliced is not None
                     else _dumps({"results": results}))
-        self._respond(group.rid, 200, body)
+        if direct:  # finisher thread: the serving-thread _out buffer is
+            #         off-limits; fe_respond is the thread-safe path
+            self.fe.respond(group.rid, 200, body)
+        else:
+            self._respond(group.rid, 200, body)

@@ -555,46 +555,33 @@ class FederationServer:
         if self._get_raw is not None:
             self._get_raw.cache_clear()
 
-    async def handle_docs_add(self, request):
-        """``POST /docs/add``: insert documents into a live shard.
-
-        Body: ``{"source": name, "docs": [{"embedding": [...], "id": ...,
-        "payload": {...}}, ...]}``. Requires the server to run on a
-        mutable ShardSet (``--mutable``); the embeddings get the shard's
-        build-time treatment and are visible to the next device batch.
-        """
+    def docs_add_sync(self, data) -> tuple:
+        """Sync core of ``POST /docs/add`` (shared with the native
+        front-end loop): validates, scatters, sets payloads atomically.
+        Returns ``(status, body)`` where body is a dict (200) or an
+        error string."""
         if not getattr(self.engine.shard_set, "mutable", False):
-            return web.Response(
-                text="Index is immutable; start with --mutable to enable "
-                     "live updates", status=400)
-        try:
-            data = await request.json()
-        except (json.JSONDecodeError, UnicodeDecodeError):
-            return web.Response(text="Invalid JSON body", status=400)
+            return 400, ("Index is immutable; start with --mutable to "
+                         "enable live updates")
+        if not isinstance(data, dict):
+            return 400, "Invalid JSON body"
         source = data.get("source")
         docs = data.get("docs")
         si = self._update_source_index(source) if source else None
         if si is None:
-            return web.Response(
-                text=f"Unknown source {source!r}", status=400)
+            return 400, f"Unknown source {source!r}"
         if not isinstance(docs, list) or not docs:
-            return web.Response(
-                text="Provide a non-empty 'docs' list", status=400)
+            return 400, "Provide a non-empty 'docs' list"
         if any("embedding" not in d for d in docs):
-            return web.Response(
-                text="Every doc needs an 'embedding'", status=400)
+            return 400, "Every doc needs an 'embedding'"
         try:
             embs = np.asarray([d["embedding"] for d in docs],
                               dtype=np.float32)
         except ValueError:
-            return web.Response(
-                text="Malformed embeddings (ragged or non-numeric)",
-                status=400)
+            return 400, "Malformed embeddings (ragged or non-numeric)"
         ids = ([d.get("id") for d in docs]
                if any("id" in d for d in docs) else None)
-        loop = asyncio.get_running_loop()
-
-        def _add_with_payloads():
+        try:
             # Slots + payloads must become visible atomically under the
             # update lock: a concurrent /admin/snapshot between the device
             # scatter and the payload writes would persist "null" lines
@@ -605,44 +592,50 @@ class FederationServer:
                 for sl, d in zip(slots, docs):
                     if "payload" in d:
                         self.doc_store.set(source, sl, d["payload"])
-            return slots
-
-        try:
-            slots = await loop.run_in_executor(None, _add_with_payloads)
         except (ValueError, KeyError) as e:
-            return web.Response(text=str(e), status=400)
+            return 400, str(e)
         self._invalidate_doc_caches(si)
-        return web.json_response({
+        return 200, {
             "added": len(slots),
             "slots": slots,
             "live_docs": self.engine.shard_set.live_docs(source),
             "free_slots": self.engine.shard_set.free_slots(source),
-        }, dumps=_dumps)
+        }
 
-    async def handle_docs_delete(self, request):
-        """``POST /docs/delete``: remove documents from a live shard.
+    async def handle_docs_add(self, request):
+        """``POST /docs/add``: insert documents into a live shard.
 
-        Body: ``{"source": name, "ids": [...]}`` or
-        ``{"source": name, "slots": [...]}``.
+        Body: ``{"source": name, "docs": [{"embedding": [...], "id": ...,
+        "payload": {...}}, ...]}``. Requires the server to run on a
+        mutable ShardSet (``--mutable``); the embeddings get the shard's
+        build-time treatment and are visible to the next device batch.
         """
-        if not getattr(self.engine.shard_set, "mutable", False):
-            return web.Response(
-                text="Index is immutable; start with --mutable to enable "
-                     "live updates", status=400)
         try:
             data = await request.json()
         except (json.JSONDecodeError, UnicodeDecodeError):
             return web.Response(text="Invalid JSON body", status=400)
+        loop = asyncio.get_running_loop()
+        status, body = await loop.run_in_executor(
+            None, self.docs_add_sync, data)
+        if status != 200:
+            return web.Response(text=body, status=status)
+        return web.json_response(body, dumps=_dumps)
+
+    def docs_delete_sync(self, data) -> tuple:
+        """Sync core of ``POST /docs/delete`` (shared with the native
+        front-end loop)."""
+        if not getattr(self.engine.shard_set, "mutable", False):
+            return 400, ("Index is immutable; start with --mutable to "
+                         "enable live updates")
+        if not isinstance(data, dict):
+            return 400, "Invalid JSON body"
         source = data.get("source")
         si = self._update_source_index(source) if source else None
         if si is None:
-            return web.Response(
-                text=f"Unknown source {source!r}", status=400)
+            return 400, f"Unknown source {source!r}"
         ids = data.get("ids")
         slots = data.get("slots")
-        loop = asyncio.get_running_loop()
-
-        def _delete_with_payloads():
+        try:
             # Payload masking rides the same lock scope as the slot frees:
             # delete-then-set races with a concurrent /docs/add recycling
             # the slot would otherwise null the NEW doc's payload.
@@ -651,18 +644,31 @@ class FederationServer:
                     source, doc_ids=ids, slots=slots)
                 for sl in removed:
                     self.doc_store.delete(source, sl)
-            return removed
-
-        try:
-            removed = await loop.run_in_executor(None, _delete_with_payloads)
         except (ValueError, KeyError) as e:
-            return web.Response(text=str(e), status=400)
+            return 400, str(e)
         self._invalidate_doc_caches(si)
-        return web.json_response({
+        return 200, {
             "deleted": len(removed),
             "live_docs": self.engine.shard_set.live_docs(source),
             "free_slots": self.engine.shard_set.free_slots(source),
-        }, dumps=_dumps)
+        }
+
+    async def handle_docs_delete(self, request):
+        """``POST /docs/delete``: remove documents from a live shard.
+
+        Body: ``{"source": name, "ids": [...]}`` or
+        ``{"source": name, "slots": [...]}``.
+        """
+        try:
+            data = await request.json()
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return web.Response(text="Invalid JSON body", status=400)
+        loop = asyncio.get_running_loop()
+        status, body = await loop.run_in_executor(
+            None, self.docs_delete_sync, data)
+        if status != 200:
+            return web.Response(text=body, status=status)
+        return web.json_response(body, dumps=_dumps)
 
     def _raw_payload(self, source: str, slot: int) -> Optional[str]:
         """Serialized payload of one doc slot, preferring the store's raw
@@ -695,6 +701,27 @@ class FederationServer:
                                os.path.join(pay_dir, f"{name}.jsonl"))
         return report
 
+    def snapshot_sync(self) -> tuple:
+        """Sync core of ``POST /admin/snapshot`` (shared with the native
+        front-end loop). Returns ``(status, body)``."""
+        if not getattr(self.engine.shard_set, "mutable", False):
+            return 400, ("Index is immutable; start with --mutable to "
+                         "enable live updates")
+        if not self.data_root:
+            return 400, ("Server was started without a data root; pass "
+                         "data_root= (main.py wires --data-root / "
+                         "$RAGROUTE_DATA automatically)")
+        try:
+            report = self._do_snapshot()
+        except (OSError, ValueError) as e:
+            return 500, f"Snapshot failed: {e}"
+        return 200, {
+            "data_root": self.data_root,
+            "world": self.world.name,
+            "sources": {n: {"live_docs": i["live_docs"]}
+                        for n, i in report.items()},
+        }
+
     async def handle_snapshot(self, request):
         """``POST /admin/snapshot``: persist the live index durably.
 
@@ -705,26 +732,11 @@ class FederationServer:
         ``/docs/add`` + ``/docs/delete`` opened. The reference has no
         equivalent (its FAISS indexes are read-only at serve time).
         """
-        if not getattr(self.engine.shard_set, "mutable", False):
-            return web.Response(
-                text="Index is immutable; start with --mutable to enable "
-                     "live updates", status=400)
-        if not self.data_root:
-            return web.Response(
-                text="Server was started without a data root; pass "
-                     "data_root= (main.py wires --data-root / "
-                     "$RAGROUTE_DATA automatically)", status=400)
         loop = asyncio.get_running_loop()
-        try:
-            report = await loop.run_in_executor(None, self._do_snapshot)
-        except (OSError, ValueError) as e:
-            return web.Response(text=f"Snapshot failed: {e}", status=500)
-        return web.json_response({
-            "data_root": self.data_root,
-            "world": self.world.name,
-            "sources": {n: {"live_docs": i["live_docs"]}
-                        for n, i in report.items()},
-        }, dumps=_dumps)
+        status, body = await loop.run_in_executor(None, self.snapshot_sync)
+        if status != 200:
+            return web.Response(text=body, status=status)
+        return web.json_response(body, dumps=_dumps)
 
     # -- core pipeline -------------------------------------------------------
 

@@ -257,25 +257,13 @@ class ServingSystem:
         self.num_processes = getattr(args, "num_processes", 1) or 1
         self.process_id = getattr(args, "process_id", 0) or 0
         self.reuse_port = getattr(args, "reuse_port", False)
-        # --frontend native: C++ epoll IO plane (engine/native_frontend.py).
-        # Valid only for the retrieval surface: the sync serving loop can't
-        # await LLM backends, the /docs/* endpoints are asyncio-only, and
-        # simulate's per-query LLM_DELAY sleep needs the event loop.
+        # --frontend native: C++ epoll IO plane (engine/native_frontend.py)
+        # serving the WHOLE surface — query (incl. SSE generation through
+        # fe_begin_stream/fe_stream_chunk), /docs/* live updates,
+        # /admin/snapshot, /admin/profile, simulate. Generation and
+        # simulate's stage delay run on a dedicated finisher event loop
+        # so the device serving loop never blocks on the LLM.
         self.frontend = getattr(args, "frontend", None) or "aiohttp"
-        if self.frontend == "native":
-            if not self.disable_llm:
-                raise ValueError(
-                    "--frontend native serves the retrieval surface with "
-                    "the LLM disabled; add --disable-llm or use the "
-                    "default front-end for generation")
-            if self.mutable:
-                raise ValueError(
-                    "--frontend native does not serve the /docs/* mutable "
-                    "endpoints — drop --mutable or --frontend native")
-            if self.simulate:
-                raise ValueError(
-                    "--frontend native does not support --simulate "
-                    "(per-query stage delays need the event loop)")
         self.server: Optional[FederationServer] = None
         self.native = None  # NativeFederationServer with --frontend native
         self._watchdog: Optional[asyncio.Task] = None

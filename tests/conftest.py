@@ -11,6 +11,11 @@ import os
 # every test through the remote-TPU tunnel.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# No network egress in CI: without these, the FIRST tokenizer load per
+# process burns ~30 s in huggingface_hub connect retries before falling
+# back (measured; the prompts layer then uses its whitespace fallback).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -370,10 +370,13 @@ def test_pipelined_requests_in_order():
         ns.stop()
 
 
-def test_requires_disable_llm():
+def test_accepts_llm_enabled_server():
+    """Round 4: the native plane serves the WHOLE surface — an
+    LLM-enabled server constructs (generation rides the finisher loop;
+    e2e coverage in test_native_whole_surface.py)."""
     syn, server = make_server(disable_llm=False)
-    with pytest.raises(ValueError, match="LLM disabled"):
-        NativeFederationServer(server)
+    ns = NativeFederationServer(server)
+    assert ns._needs_finisher
 
 
 def test_parser_robustness_fuzz():
