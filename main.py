@@ -163,9 +163,10 @@ def parse_args(argv=None):
                              "— sockets, HTTP parsing, keep-alive, and "
                              "micro-batch formation run outside Python, "
                              "lifting the ~1.5k q/s one-core aiohttp "
-                             "ceiling. Retrieval surface only (requires "
-                             "--disable-llm; admin/mutable/streaming-LLM "
-                             "endpoints need the default front-end)")
+                             "ceiling. Serves the whole surface: query "
+                             "(incl. SSE generation via chunked streams), "
+                             "/docs/* live updates, /admin/snapshot, "
+                             "/admin/profile, simulate")
     parser.add_argument("--workers", type=int, default=1,
                         help="SO_REUSEPORT worker processes sharing the "
                              "HTTP port (multi-core front-end; each "

@@ -119,6 +119,16 @@ LOWRANK_MAX_RANK_FRACTION = 0.5
 # past ~100k rows; keeps the host-side X^T X pass bounded at any scale).
 LOWRANK_MOMENT_SAMPLE_ROWS = 131072
 
+# int4 packed shards: per-GROUP quantization scales (one f32 scale per
+# INT4_GROUP_DIMS dims per doc) instead of one per doc. With only 15
+# levels a single per-doc scale wastes resolution wherever magnitude
+# varies along the vector; per-group scales lifted the feb4rag 4096-d
+# cos floor 0.892 -> >=0.95 (tests/test_recall_gate.py) at a ~3%
+# capacity cost (d/128 f32 scales per doc). The kernel dequantizes
+# groups during the in-register nibble unpack, before the MXU matmul.
+# Dims not divisible by the group size fall back to per-doc scales.
+INT4_GROUP_DIMS = 128
+
 # Host-RAM capacity tiers (index/streamed.py, engine/streamed.py): serve
 # corpora bigger than one chip's HBM. STREAM_HBM_BUDGET_GB bounds the
 # device-resident bytes (the round-3 measured single-chip ceiling was

@@ -68,10 +68,15 @@ class LowRankData:
     ``docs_lr`` is padded to the SAME row count as the shard's full slab,
     so the shard's gain bias (which carries both the l2 ``-|d|^2`` term
     and the -inf padding/liveness sentinel) applies to the coarse scan
-    unchanged."""
+    unchanged. ``mu`` is the mean subtracted before projection: coarse
+    gains are true gains minus the per-(query, shard) constant
+    ``q_gain . mu`` — harmless within a shard, restored explicitly when
+    coarse scores are RETURNED (the packed4 coarse-authoritative mode,
+    ops/lowrank_topk.py) so cross-shard merges stay comparable."""
 
     basis: jnp.ndarray          # [d, r] f32 orthonormal columns
     docs_lr: jnp.ndarray        # [n_pad, r] bf16 projected stored docs
+    mu: jnp.ndarray             # [d] f32 projection centering mean
     rank: int = struct.field(pytree_node=False)
     energy: float = struct.field(pytree_node=False)  # captured variance frac
 
@@ -150,6 +155,7 @@ def build_lowrank(
     return LowRankData(
         basis=jnp.asarray(basis),
         docs_lr=jnp.asarray(docs_lr),
+        mu=jnp.asarray(mu),
         rank=r,
         energy=cap,
     )
@@ -166,6 +172,7 @@ def save_lowrank(lr: LowRankData, path: str, *,
         path,
         basis=np.asarray(lr.basis),
         docs_lr=np.asarray(lr.docs_lr).view(np.uint16),
+        mu=np.asarray(lr.mu),
         energy=np.float64(lr.energy),
         fingerprint=np.asarray(fingerprint or ""),
     )
@@ -187,10 +194,15 @@ def load_lowrank(path: str,
                     "(stored fingerprint %r vs %r); rebuilding",
                     path, stored[:12], expect_fingerprint[:12])
                 return None
+        if "mu" not in z:   # pre-round-4 cache format: rebuild
+            logger.warning("lowrank cache %s predates the mu field; "
+                           "rebuilding", path)
+            return None
         basis = z["basis"]
         return LowRankData(
             basis=jnp.asarray(basis),
             docs_lr=jnp.asarray(z["docs_lr"].view(ml_dtypes.bfloat16)),
+            mu=jnp.asarray(z["mu"]),
             rank=int(basis.shape[1]),
             energy=float(z["energy"]),
         )

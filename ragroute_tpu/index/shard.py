@@ -120,6 +120,28 @@ def _quantize_sym(emb: np.ndarray, levels: int,
     return best_codes, (best_s * fix).astype(np.float32)
 
 
+def _quantize_sym_grouped(emb: np.ndarray, levels: int, group_dims: int
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-(doc, group) symmetric quantization: each ``group_dims``-wide
+    slice of every row gets its own MSE-optimal clipped scale (the exact
+    :func:`_quantize_sym` ``mse_opt`` recipe, run on the groups-as-rows
+    reshape). Returns ``(codes [n, d] int8, scales [n, G] f32)``.
+
+    Why: with only 15 int4 levels, ONE scale per 4096-d row wastes most
+    of the resolution wherever magnitude varies along the vector — the
+    measured feb4rag cos floor was 0.892 recall@10. Group scales quantize
+    each 128-dim slice on its own range (recall gate >= 0.95,
+    tests/test_recall_gate.py) for G extra f32 per doc (~3% at d=4096).
+    """
+    n, d = emb.shape
+    if d % group_dims:
+        raise ValueError(f"dim {d} not divisible by group {group_dims}")
+    g = d // group_dims
+    codes, scales = _quantize_sym(
+        emb.reshape(n * g, group_dims), levels, mse_opt=True)
+    return codes.reshape(n, d), scales.reshape(n, g)
+
+
 def _pack_int4(codes: np.ndarray) -> np.ndarray:
     """Pack int4 codes ``[n, d]`` (values in [-7, 7]) into int8 bytes
     ``[n, d//2]``: byte j carries dim ``j`` in its low nibble and dim
@@ -161,7 +183,12 @@ def encode_rows(emb: np.ndarray, score_mode: str, *, dtype, packed4: bool,
         bias = np.zeros(emb.shape[0], np.float32)
     scale = None
     if packed4:
-        codes, scale = _quantize_sym(emb, 7, mse_opt=True)
+        from ragroute_tpu.config import INT4_GROUP_DIMS
+
+        if emb.shape[1] % INT4_GROUP_DIMS == 0:
+            codes, scale = _quantize_sym_grouped(emb, 7, INT4_GROUP_DIMS)
+        else:
+            codes, scale = _quantize_sym(emb, 7, mse_opt=True)
         stored = _pack_int4(codes)
     elif dtype == jnp.int8:
         codes, scale = _quantize_sym(emb, 127)
@@ -217,7 +244,8 @@ def _pad_chunk(slots, rows, brows, srows):
         rows = np.concatenate([rows, np.repeat(rows[-1:], pad, axis=0)])
         brows = np.concatenate([brows, np.repeat(brows[-1:], pad)])
         if srows is not None:
-            srows = np.concatenate([srows, np.repeat(srows[-1:], pad)])
+            srows = np.concatenate(
+                [srows, np.repeat(srows[-1:], pad, axis=0)])
     return jnp.asarray(sl), rows, brows, srows
 
 
@@ -514,7 +542,18 @@ class ShardSet:
                     emb = (np.pad(packed_rows, ((0, pad), (0, 0)))
                            if pad else packed_rows)
                 else:
-                    codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
+                    # per-GROUP scales (INT4_GROUP_DIMS) where the dim
+                    # divides; shards built WITH an IVF layout keep
+                    # per-doc scales (the grouped-GEMM IVF kernel and
+                    # the flat scan must score identical bytes — see
+                    # test_int4_ivf_full_probe_matches_flat_int4_scan)
+                    from ragroute_tpu.config import INT4_GROUP_DIMS
+
+                    if src.embed_dim % INT4_GROUP_DIMS == 0:
+                        codes, s_row = _quantize_sym_grouped(
+                            emb, 7, INT4_GROUP_DIMS)
+                    else:
+                        codes, s_row = _quantize_sym(emb, 7, mse_opt=True)
                     emb = _pack_int4(codes)
                 scale = s_row if host else jnp.asarray(s_row)
             elif dtype == jnp.int8:

@@ -122,7 +122,11 @@ class HostRows:
             raw = _unpack_int4_np(raw)
         out = np.asarray(raw, dtype=np.float32)
         if self.scale is not None:
-            out *= self.scale[ids][:, None]
+            if self.scale.ndim == 2:   # per-group int4 scales [n, G]
+                dg = out.shape[1] // self.scale.shape[1]
+                out *= np.repeat(self.scale[ids], dg, axis=1)
+            else:
+                out *= self.scale[ids][:, None]
         return out
 
 
@@ -334,14 +338,26 @@ class StreamedShardSet:
             d_store = d // 2 if packed4 else d
             np_dtype = (np.int8 if packed4
                         else np.dtype(jnp.dtype(dtype).name))
+            # scale shape: [n] for int8 / per-doc int4; [n, G] for the
+            # per-group int4 scheme (shard.encode_rows picks it when the
+            # dim divides INT4_GROUP_DIMS)
+            from ragroute_tpu.config import INT4_GROUP_DIMS
+
+            if packed4 and d % INT4_GROUP_DIMS == 0:
+                s_shape = (d // INT4_GROUP_DIMS,)
+            elif packed4 or dtype == jnp.int8:
+                s_shape = ()
+            else:
+                s_shape = None
 
             # pass 2: encode blocks into (resident | host) destinations
             if n_res:
                 n_res_pad = _round_up(n_res, SHARD_PAD_MULTIPLE)
                 res_codes = np.zeros((n_res_pad, d_store), np_dtype)
                 res_bias = np.full(n_res_pad, -np.inf, np.float32)
-                res_scale = (np.full(n_res_pad, 1e-12, np.float32)
-                             if (packed4 or dtype == jnp.int8) else None)
+                res_scale = (np.full((n_res_pad,) + s_shape, 1e-12,
+                                     np.float32)
+                             if s_shape is not None else None)
             n_host = n - n_res
             if n_host:
                 if tier == "hostrefine":
@@ -357,8 +373,9 @@ class StreamedShardSet:
                     n_host_pad = _round_up(n_host, slab_rows)
                 h_codes = np.zeros((n_host_pad, d_store), np_dtype)
                 h_bias = np.full(n_host_pad, -np.inf, np.float32)
-                h_scale = (np.full(n_host_pad, 1e-12, np.float32)
-                           if (packed4 or dtype == jnp.int8) else None)
+                h_scale = (np.full((n_host_pad,) + s_shape, 1e-12,
+                                   np.float32)
+                           if s_shape is not None else None)
             for a in range(0, n, _BUILD_BLOCK):
                 b = min(a + _BUILD_BLOCK, n)
                 stored, bias, scale = encode_rows(

@@ -81,6 +81,27 @@ def lowrank_topk(
         qp, lr.docs_lr, kr, mode="dot", valid_docs=valid_docs, bias=bias,
         impl=coarse_impl)
 
+    if packed4:
+        # COARSE-AUTHORITATIVE mode for int4 stores: the lr slab is
+        # projected from the PRE-quantization f32 rows, so on a corpus
+        # the energy rule accepted (>= LOWRANK_ENERGY captured) its
+        # scores are strictly closer to the f32 truth than a rescore
+        # from 4-bit codes — the measured gate cell (feb4rag 4096-d cos,
+        # sparse routing) goes 0.90 (int4 rescoring, any scale scheme)
+        # -> >= 0.95 ordering by the coarse slab. Returned scores
+        # restore the per-(query, shard) centering constant q_gain . mu
+        # so cross-shard score merges stay comparable; they are
+        # truncation-approximate, NOT the stored-int4 scores (int4's
+        # own scores are a 4-bit approximation anyway — the f32 truth
+        # is the recall referee, tests/test_recall_gate.py).
+        restore = q32 @ lr.mu                          # [B]
+        top_g, top_i = cg[:, :k] + restore[:, None], cidx[:, :k]
+        top_g = jnp.where(cg[:, :k] > NEG_INF, top_g, NEG_INF)
+        s = gain_to_natural(top_g, queries, mode)
+        if dot_restore is not None:
+            s = s + dot_restore[:, None]
+        return s, top_i
+
     # refine: gather the candidates' stored rows and rescore exactly
     bsz = queries.shape[0]
     flat = cidx.reshape(-1)
@@ -90,6 +111,13 @@ def lowrank_topk(
     rows = rows.reshape(bsz, kr, -1).astype(jnp.float32)
     from ragroute_tpu.utils.precision import scoring_precision
 
+    if scale is not None and scale.ndim == 2:
+        # per-group int4 scales [n, G]: dequantize the gathered rows
+        # up front (a per-candidate gather is tiny — k' rows per query)
+        gsz = rows.shape[-1] // scale.shape[1]
+        rows = rows * jnp.repeat(scale[flat].reshape(bsz, kr, -1),
+                                 gsz, axis=-1)
+        scale = None
     g = jnp.einsum("bd,bkd->bk", q32, rows,
                    precision=scoring_precision(jnp.float32),
                    preferred_element_type=jnp.float32)

@@ -353,13 +353,13 @@ def _merge_gains_tile(
 
 def _topk_kernel(
     q_ref, docs_ref, *rest,
-    k: int, td: int, n_doc_tiles: int, scaled: bool, biased: bool,
+    k: int, td: int, n_doc_tiles: int, scaled: str, biased: bool,
     packed4: bool = False,
 ):
     bias_ref = scale_ref = None
     if biased:
         bias_ref, rest = rest[0], rest[1:]
-    if scaled:
+    if scaled != "none":
         scale_ref, rest = rest[0], rest[1:]
     out_g_ref, out_i_ref, run_g, run_i, gains_buf, done = rest
     j = pl.program_id(1)
@@ -376,12 +376,25 @@ def _topk_kernel(
         # high nibble = dim j + d/2 — index.shard._pack_int4). Unpack on
         # the VPU (two arithmetic shifts + concat; natural dim order, no
         # interleave), then the MXU runs the bf16 cast like int8. Halves
-        # HBM traffic/capacity again vs int8; dequant rides the same
-        # per-doc scale epilogue.
+        # HBM traffic/capacity again vs int8; dequant rides the per-doc
+        # scale epilogue, or (scaled="group") a per-(doc, group) multiply
+        # fused into the unpack before the matmul.
         x = docs.astype(jnp.int32)
         lo = jnp.right_shift(jnp.left_shift(x, 28), 28)  # sign-extended
         hi = jnp.right_shift(x, 4)
         docs = jnp.concatenate([lo, hi], axis=1).astype(q.dtype)
+        if scaled == "group":
+            # per-group dequant BEFORE the MXU: each INT4_GROUP_DIMS
+            # slice multiplies by its own [TD, 1] scale column (codes
+            # are exact in bf16; the scale cast's ~0.4% rounding is far
+            # under the int4 step). One wide FMA pass over [TD, d] —
+            # small next to the unpack's shifts+concat+cast.
+            sc = scale_ref[:].astype(docs.dtype)        # [TD, G]
+            g = sc.shape[1]
+            dg = docs.shape[1] // g
+            docs = jnp.concatenate(
+                [docs[:, i * dg:(i + 1) * dg] * sc[:, i:i + 1]
+                 for i in range(g)], axis=1)
     elif docs.dtype == jnp.int8:
         # int8 index: halve HBM traffic/capacity; dequantize via the fused
         # per-doc scale epilogue below (MXU runs the bf16 cast of the tile)
@@ -398,7 +411,7 @@ def _topk_kernel(
         precision=precision,
         preferred_element_type=jnp.float32,
     )
-    if scaled:
+    if scaled == "doc":
         gains = gains * scale_ref[:]
     if biased:
         # The wrapper folds padded/invalid-doc masking into the bias
@@ -558,7 +571,8 @@ def pallas_topk(
         if b is not None:
             b = jnp.pad(b, (0, n_pad - n))
         if scale is not None:
-            scale = jnp.pad(scale, (0, n_pad - n))
+            scale = jnp.pad(
+                scale, ((0, n_pad - n),) + ((0, 0),) * (scale.ndim - 1))
     if valid < n_pad:
         # Fold padded/invalid-doc masking into the bias: a NEG_INF tail
         # means those docs can never win, and the kernel's hot loop needs
@@ -567,15 +581,23 @@ def pallas_topk(
             b = jnp.zeros((n_pad,), dtype=jnp.float32)
         b = jnp.where(jnp.arange(n_pad) < valid, b, NEG_INF)
     bias2d = None if b is None else b.reshape(1, n_pad)
-    scale2d = None if scale is None else \
-        scale.astype(jnp.float32).reshape(1, n_pad)
+    grouped = scale is not None and scale.ndim == 2
+    if grouped and not packed4:
+        raise ValueError("per-group scales are an int4 (packed4) format")
+    if grouped:
+        scale2d = scale.astype(jnp.float32)            # [n_pad, G]
+    else:
+        scale2d = None if scale is None else \
+            scale.astype(jnp.float32).reshape(1, n_pad)
 
     n_i = b_pad // tq
     n_j = n_pad // td
 
     kernel = functools.partial(
         _topk_kernel, k=k, td=td, n_doc_tiles=n_j,
-        scaled=scale2d is not None, biased=bias2d is not None,
+        scaled=("group" if grouped else
+                "doc" if scale2d is not None else "none"),
+        biased=bias2d is not None,
         packed4=packed4,
     )
 
@@ -596,9 +618,14 @@ def pallas_topk(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((td, d_store), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec((1, td), lambda i, j: (0, j),
-                          memory_space=pltpu.VMEM)
-             for arr in (bias2d, scale2d) if arr is not None],
+        ] + ([pl.BlockSpec((1, td), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)]
+             if bias2d is not None else [])
+          + ([pl.BlockSpec((td, scale2d.shape[1]), lambda i, j: (j, 0),
+                           memory_space=pltpu.VMEM)] if grouped else
+             [pl.BlockSpec((1, td), lambda i, j: (0, j),
+                           memory_space=pltpu.VMEM)]
+             if scale2d is not None else []),
         out_specs=[
             pl.BlockSpec((tq, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),

@@ -282,6 +282,15 @@ def shard_topk(
             impl = "chunked"
     if packed4 and impl != "pallas":
         docs = unpack_int4(docs)    # int8 codes; scale dequant as for int8
+        if scale is not None and scale.ndim == 2:
+            # per-group int4 scales: dequantize up front (the exact and
+            # chunked paths only fuse PER-DOC scales into their gains)
+            g = scale.shape[1]
+            dg = docs.shape[1] // g
+            docs = (docs.astype(jnp.float32).reshape(-1, g, dg)
+                    * scale[:, :, None].astype(jnp.float32)
+                    ).reshape(docs.shape[0], -1)
+            scale = None
     if impl == "exact":
         s, i = exact_topk(queries, docs, k, mode=mode,
                           valid_docs=valid_docs, bias=bias, scale=scale)

@@ -157,11 +157,13 @@ def sharded_shard_topk(
         in_specs.append(P("dp"))
         args.append(routed)
     if scale is not None:
-        in_specs.append(P("idx"))
+        # per-doc scales are [n]; the int4 per-group scheme is [n, G]
+        in_specs.append(P("idx") if scale.ndim == 1 else P("idx", None))
         args.append(scale)
     if lr is not None:
-        # basis replicated (tiny), projected slab row-sharded like docs
-        in_specs.append(lr.replace(basis=P(), docs_lr=P("idx", None)))
+        # basis + mu replicated (tiny), projected slab row-sharded
+        in_specs.append(lr.replace(basis=P(), mu=P(),
+                                   docs_lr=P("idx", None)))
         args.append(lr)
     scores, gids = jax.shard_map(
         local_fn,
@@ -415,18 +417,20 @@ class ShardedSearch:
                 bias = _pad_bias(bias, pad)
                 if scale is not None:
                     xp = np if isinstance(scale, np.ndarray) else jnp
-                    scale = xp.pad(scale, (0, pad))
+                    scale = xp.pad(scale, ((0, pad),) + ((0, 0),)
+                                   * (scale.ndim - 1))
                 if lr is not None:
                     lr = lr.replace(docs_lr=_pad_docs(lr.docs_lr, pad))
             self.arrays.append((
                 jax.device_put(docs, docs_sh),
                 jax.device_put(bias, bias_sh),
-                None if scale is None else jax.device_put(scale, bias_sh),
+                None if scale is None else jax.device_put(
+                    scale, bias_sh if scale.ndim == 1 else docs_sh),
                 None if center is None else jax.device_put(center, repl),
             ))
             if lr is not None:
                 lr = jax.device_put(lr, lr.replace(
-                    basis=repl, docs_lr=docs_sh))
+                    basis=repl, mu=repl, docs_lr=docs_sh))
             self.lr_arrays.append(lr)
             ivf = s.ivf if impl in ("ivf", "hybrid") else None
             if ivf is not None:

@@ -241,6 +241,37 @@ def test_int4_packed_topk_all_impls_agree(rng, mode):
     np.testing.assert_array_equal(np.asarray(want_i), true_i)
 
 
+@pytest.mark.parametrize("mode", ["dot", "l2"])
+def test_int4_grouped_scales_all_impls_agree(rng, mode):
+    """Per-GROUP int4 scales ([n, G], config.INT4_GROUP_DIMS groups):
+    every impl — incl. the Pallas kernel's fused group dequant during
+    the nibble unpack — must index-match the f32 oracle over the
+    group-dequantized docs. Power-of-two scales keep products exact in
+    the kernel's bf16 path, so the comparison is bit-strict."""
+    from ragroute_tpu.index.shard import _pack_int4
+    from ragroute_tpu.ops.topk import unpack_int4
+
+    b, n, d, k, gdims = 8, 4096, 256, 16, 128
+    g = d // gdims
+    q = rng.integers(-8, 9, size=(b, d)).astype(np.float32)
+    codes = rng.integers(-7, 8, size=(n, d)).astype(np.int8)
+    s_grp = np.exp2(rng.integers(-3, 4, size=(n, g))).astype(np.float32)
+    packed = _pack_int4(codes)
+    deq = codes.astype(np.float32) * np.repeat(s_grp, gdims, axis=1)
+    bias = (jnp.asarray(-np.einsum("nd,nd->n", deq, deq))
+            if mode == "l2" else None)
+
+    true_s, true_i = numpy_oracle(q, deq, k, mode)
+    for impl in IMPLS:
+        got_s, got_i = shard_topk(
+            jnp.asarray(q), jnp.asarray(packed), k, mode=mode,
+            scale=jnp.asarray(s_grp), bias=bias, impl=impl, chunk=512,
+            packed4=True)
+        np.testing.assert_array_equal(
+            np.asarray(got_i), true_i, err_msg=f"{impl} {mode}")
+        np.testing.assert_allclose(np.asarray(got_s), true_s, rtol=1e-5)
+
+
 @pytest.mark.parametrize("impl", IMPLS)
 @pytest.mark.parametrize("mode", ["dot", "l2"])
 def test_topk_float_ties_across_tiles(rng, impl, mode):
