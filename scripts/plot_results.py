@@ -96,6 +96,8 @@ def main(argv=None):
                     per_source[r["data_source"]].append(float(r["duration"]))
                     sizes[r["data_source"]].append(float(r["msg_size"]))
             names = sorted(per_source)
+            if not names:   # routing=none: no sources queried
+                continue
             fig, ax = plt.subplots(figsize=(8, 4))
             ax.boxplot([per_source[n] for n in names], tick_labels=names)
             ax.set_ylabel("retrieval duration (s)")
