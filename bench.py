@@ -164,6 +164,9 @@ def main_streamed(impl: str):
     qps = reps * batch / elapsed
     log(f"{elapsed / reps * 1e3:.1f} ms/batch, {qps:.0f} q/s "
         f"({impl}, {sset.total_docs} docs, routing={strategy})")
+    phases = getattr(eng, "last_phases", None)
+    if phases:
+        log(f"last-batch phases: {phases}")
 
     if impl == "stream":
         _stream_overlap_report(eng, rows_r[0], strategy)

@@ -140,7 +140,7 @@ INT4_GROUP_DIMS = 128
 STREAM_HBM_BUDGET_GB = float(os.environ.get("RAGROUTE_HBM_BUDGET_GB", "6.0"))
 STREAM_SLAB_MB = int(os.environ.get("RAGROUTE_STREAM_SLAB_MB", "256"))
 STREAM_PREFETCH = 2
-HOSTREFINE_REFINE_MULT = 5
+HOSTREFINE_REFINE_MULT = 4
 
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with

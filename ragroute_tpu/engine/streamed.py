@@ -280,12 +280,18 @@ class StreamedSearchEngine(QueryTableMixin):
                 stats_ids.append(ci[:, :k])
                 cand_src.append(ci)
                 keys.append(cs + const[i][:, None])
-            msg = None
+            msg = stats = None
             if ptables is not None:
                 msg = payload_base(ptables, jnp.stack(stats_ids, axis=1))
+            else:
+                # no payload tables: the host estimator needs per-source
+                # top-k ids (coarse-ordered for host sources — the
+                # message-size observability metric, not the ranking)
+                stats = jnp.stack(stats_ids, axis=1)
             if per_source:
                 cands = tuple(c for c in cand_src if c is not None)
-                return probs, mask, tuple(pk), tuple(pi), cands, msg, None
+                return (probs, mask, tuple(pk), tuple(pi), cands, msg,
+                        None, stats)
             # score-merged worlds: mask-gated GLOBAL coarse cut so only
             # [B, kp] (id, shard) pairs cross the wire
             gk, gi, gs = [], [], []
@@ -304,7 +310,7 @@ class StreamedSearchEngine(QueryTableMixin):
                 jnp.concatenate(gs, axis=1), pos, axis=1)
             cand_shard = jnp.where(top > NEG_INF, cand_shard, -1)
             return (probs, mask, tuple(pk), tuple(pi), None, msg,
-                    (cand_id, cand_shard))
+                    (cand_id, cand_shard), stats)
 
         self._resident_step = resident_step
         self._finalize_step = finalize_step
@@ -469,7 +475,7 @@ class StreamedSearchEngine(QueryTableMixin):
         out = self._hostrefine_step(
             params, bank, res_arrays, coarse_arrays, embs, rng,
             self._ptables, strategy=strategy, per_source=per_source)
-        probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d = out
+        probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d, stats_d = out
         fetch = (probs_d, mask_d, pk_d, pi_d)
         if per_source:
             fetch = fetch + (cands_d,)
@@ -477,10 +483,15 @@ class StreamedSearchEngine(QueryTableMixin):
             fetch = fetch + (glob_d,)
         if msg_d is not None:
             fetch = fetch + (msg_d,)
+        elif stats_d is not None:
+            fetch = fetch + (stats_d,)
         got = jax.device_get(fetch)
+        t_fetch = time.perf_counter()
         probs, mask, pk, pi = got[0], np.asarray(got[1]), got[2], got[3]
         extra = got[4]
         msg_base = got[5] if msg_d is not None else None
+        stats_ids = (np.asarray(got[5], np.int32)
+                     if msg_d is None and stats_d is not None else None)
         sel_t = 0.0
         t_refine = time.perf_counter()
 
@@ -512,19 +523,28 @@ class StreamedSearchEngine(QueryTableMixin):
                 s, ids = self.shard_set.refine(
                     i, q_host[src.encoder], cand, k)
                 per_scores[i], per_ids[i] = s, np.where(ids < 0, 0, ids)
+            (shard_scores, shard_ids, merged_score, merged_shard,
+             merged_local, merged_valid) = _host_gate_and_merge(
+                world, k, mask, per_scores, per_ids)
         else:
             cand_id, cand_shard = (np.asarray(extra[0], np.int32),
                                    np.asarray(extra[1], np.int32))
-            self._refine_global(per_scores, per_ids, q_host, cand_id,
-                                cand_shard, k)
-
-        (shard_scores, shard_ids, merged_score, merged_shard,
-         merged_local, merged_valid) = _host_gate_and_merge(
-            world, k, mask, per_scores, per_ids)
+            (merged_score, merged_shard, merged_local,
+             merged_valid) = self._merge_global(
+                q_host, mask, per_scores, per_ids, cand_id, cand_shard, k)
+            shard_scores = shard_ids = None
+        # phase telemetry for /stats + the capacity bench: device step +
+        # candidate fetch vs host-side refine/merge
+        self.last_phases = {
+            "device_and_fetch_s": round(t_fetch - t0, 4),
+            "refine_merge_s": round(time.perf_counter() - t_refine, 4),
+        }
         if not fetch_candidates:
             shard_scores = None
             if msg_base is not None:
                 shard_ids = None
+            elif shard_ids is None:
+                shard_ids = stats_ids  # host msg-size estimator input
         return SearchOutput(
             probs=np.asarray(probs), mask=mask,
             shard_scores=shard_scores, shard_ids=shard_ids,
@@ -533,40 +553,52 @@ class StreamedSearchEngine(QueryTableMixin):
             msg_base=msg_base, selection_time=sel_t,
             doc_select_time=time.perf_counter() - t0)
 
-    def _refine_global(self, per_scores, per_ids, q_host, cand_id,
-                       cand_shard, k: int) -> None:
-        """Exact-rescore the global candidate list and fold the winners
-        back into per-source [B, k] lists (entries a source contributes
-        to the global cut; sources with fewer than k global survivors
-        keep NaN tails — correct, since the global merge is what the
-        score-merged response consumes)."""
+    def _merge_global(self, q_host, mask, per_scores, per_ids, cand_id,
+                      cand_shard, k: int):
+        """Mode-A merge: exact-rescore the mask-gated GLOBAL candidate
+        list on its flat layout (no per-source re-packing — the old
+        max-width dense packing cost up to a 4x work blowup on skewed
+        candidate distributions) and merge it with the resident-exact
+        per-source lists into the final [B, k]. FAISS-parity ties:
+        (key desc, shard asc, doc id asc) via one lexsort."""
         world = self.world
         bsz, kp = cand_id.shape
-        ref_scores = np.full((bsz, kp), np.nan, np.float32)
+        l2 = self._l2_world
+        flat_b = np.repeat(np.arange(bsz, dtype=np.int64), kp)
+        flat_id = cand_id.reshape(-1)
+        flat_sh = cand_shard.reshape(-1)
+        nat_flat = np.full(bsz * kp, np.nan, np.float32)
         for i, src in enumerate(world.sources):
             if not self._has_coarse[i]:
                 continue
-            sel = cand_shard == i                      # [B, kp] bool
-            if not sel.any():
+            sel = np.flatnonzero(flat_sh == i)
+            if not sel.size:
                 continue
-            # pack selected candidates densely per query for the
-            # vectorized refine (pad with id 0, masked after)
-            counts = sel.sum(axis=1)
-            width = int(counts.max())
-            dense = np.zeros((bsz, width), np.int32)
-            # positions of selected entries per row
-            rows, cols = np.nonzero(sel)
-            slot = np.concatenate([np.arange(c) for c in counts]) \
-                if counts.sum() else np.zeros(0, np.int64)
-            dense[rows, slot] = cand_id[rows, cols]
-            s, ids = self.shard_set.refine(
-                i, q_host[src.encoder], dense, min(k, width))
-            # map refined per-source winners back into the per-source
-            # list consumed by the host merge
-            per_scores[i] = np.full((bsz, k), np.nan, np.float32)
-            per_ids[i] = np.zeros((bsz, k), np.int32)
-            kk = min(k, width)
-            per_scores[i][:, :kk] = s[:, :kk]
-            per_ids[i][:, :kk] = np.where(ids[:, :kk] < 0, 0,
-                                          ids[:, :kk])
-        return None
+            nat_flat[sel] = self.shard_set.refine_flat(
+                i, q_host[src.encoder], flat_id[sel], flat_b[sel])
+        cols = [(nat_flat.reshape(bsz, kp), cand_shard, cand_id)]
+        # resident-exact sources join as extra candidates (mask-gated)
+        for i in range(len(world.sources)):
+            if self._has_coarse[i] or not self._has_res[i]:
+                continue
+            s = np.where(mask[:, i:i + 1], per_scores[i], np.nan)
+            cols.append((s, np.full_like(per_ids[i], i), per_ids[i]))
+        nat = np.concatenate([c[0] for c in cols], axis=1)
+        shard = np.concatenate([c[1] for c in cols], axis=1)
+        ids = np.concatenate([c[2] for c in cols], axis=1)
+        key = np.where(np.isnan(nat), -np.inf, -nat if l2 else nat)
+        key = np.where(shard >= 0, key, -np.inf)
+        order = np.lexsort(
+            (ids, np.where(shard >= 0, shard, np.iinfo(np.int32).max),
+             -key), axis=1)[:, :k]
+        top_key = np.take_along_axis(key, order, axis=1)
+        valid = top_key > -np.inf
+        merged_score = np.where(
+            valid, -top_key if l2 else top_key, np.nan).astype(np.float32)
+        merged_shard = np.where(
+            valid, np.take_along_axis(shard, order, axis=1), -1)
+        merged_local = np.where(
+            valid, np.take_along_axis(ids, order, axis=1), 0)
+        return (merged_score, merged_shard.astype(np.int32),
+                merged_local.astype(np.int32),
+                valid.sum(axis=1).astype(np.int32))

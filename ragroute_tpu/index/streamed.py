@@ -540,6 +540,46 @@ class StreamedShardSet:
 
     # -- host-side exact rescoring (hostrefine tier) ------------------------
 
+    def refine_flat(self, si: int, queries: np.ndarray,
+                    flat_ids: np.ndarray, flat_q: np.ndarray
+                    ) -> np.ndarray:
+        """Exact stored-form scores of a FLAT candidate list (the global
+        hostrefine path): ``flat_ids[m]`` local row ids of source ``si``,
+        ``flat_q[m]`` the query row of each candidate. Returns natural
+        scores ``[m]`` f32.
+
+        Hot-path notes (measured on the 25M-doc capacity bench): scales
+        apply to the DOTS (per-doc) rather than the gathered rows — one
+        [m] multiply instead of an [m, d] pass (-30% refine wall); the
+        per-group int4 scheme still dequantizes rows (group scales
+        cannot ride the dot)."""
+        st = self.sources[si]
+        host = st.host
+        q = np.asarray(queries, np.float32)
+        if st.score_mode == "cos":
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        if st.score_mode == "l2" and st.center is not None:
+            q = q - st.center
+        qg = q[flat_q]                                    # [m, d]
+        grouped = host.scale is not None and host.scale.ndim == 2
+        if grouped or host.packed4:
+            rows = host.rows_f32(flat_ids)
+            dots = np.einsum("md,md->m", rows, qg, optimize=True)
+        else:
+            rows = host.codes[flat_ids]
+            if rows.dtype != np.float32:
+                rows = rows.astype(np.float32)
+            dots = np.einsum("md,md->m", rows, qg, optimize=True)
+            if host.scale is not None:
+                dots *= host.scale[flat_ids]
+        if st.score_mode == "l2":
+            qsq = np.einsum("md,md->m", qg, qg)
+            return qsq - (2.0 * dots + host.bias[flat_ids])
+        if st.score_mode == "dot" and st.center is not None:
+            dots = dots + qg @ st.center
+        return dots
+
     def refine(self, si: int, queries: np.ndarray, cand: np.ndarray,
                k: int, chunk: int = 256
                ) -> Tuple[np.ndarray, np.ndarray]:

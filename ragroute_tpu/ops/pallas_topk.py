@@ -155,23 +155,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tiles(b_pad: int, d: int, doc_bytes: int) -> Tuple[int, int]:
+def _pick_tiles(b_pad: int, d: int, doc_bytes: int,
+                k: int = 32) -> Tuple[int, int]:
     """Pick (query tile TQ, doc tile TD) sizes under the VMEM budget.
 
     Accounting per grid step:
       query tile      TQ*d*4   (+ TQ*d*doc_bytes for the bf16 cast copy)
       doc tile        2 * TD*d*doc_bytes          (double-buffered)
       gains + buffer  2 * TQ*TD*4                 (value + merge scratch)
+      top-k state     4 * TQ*k*8                  (run_g/run_i scratch +
+                      double-buffered out tiles — matters at deep k:
+                      the k'=160 hostrefine coarse scan blew the scoped
+                      16 MB limit by 1.8 MB when this was unbudgeted)
     """
     tq = min(b_pad, 512)
     while tq >= 64:
         # queries are pre-cast to the doc dtype in the wrapper, so only one
         # copy of the query tile lives in VMEM
-        q_bytes = tq * d * doc_bytes
+        q_bytes = tq * d * doc_bytes + 4 * tq * k * 8
         avail = _VMEM_BUDGET - q_bytes
         # per doc-tile column: double-buffered docs + gains value + merge
-        # buffer + one compiler temporary
-        per_td = 2 * d * doc_bytes + 3 * tq * 4
+        # buffer + one compiler temporary + the bias/scale rows
+        per_td = 2 * d * doc_bytes + 3 * tq * 4 + 12
         td = avail // per_td if avail > 0 else 0
         if td >= 256:
             td = min(4096, 1 << (int(td).bit_length() - 1))
@@ -556,7 +561,8 @@ def pallas_topk(
 
     # packed4 budgets as f32: the packed tile is tiny, but the unpack
     # materializes int32 + bf16 [TD, d] temporaries in VMEM
-    tq, td = _pick_tiles(bsz, d, 4 if packed4 else docs.dtype.itemsize)
+    tq, td = _pick_tiles(bsz, d, 4 if packed4 else docs.dtype.itemsize,
+                         k=k)
     b_pad = _round_up(bsz, tq)
     n_pad = _round_up(max(n, td), td)
 
