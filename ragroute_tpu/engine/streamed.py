@@ -476,7 +476,18 @@ class StreamedSearchEngine(QueryTableMixin):
             params, bank, res_arrays, coarse_arrays, embs, rng,
             self._ptables, strategy=strategy, per_source=per_source)
         probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d, stats_d = out
-        fetch = (probs_d, mask_d, pk_d, pi_d)
+        if per_source:
+            need = tuple(range(len(world.sources)))
+        else:
+            # score-merged mode consumes resident-exact lists only for
+            # sources WITHOUT a coarse slab; every other pk/pi is -inf
+            # placeholder padding — don't pay the (slow) host link for
+            # it (4x [B, k] f32+i32 saved at the 25M-doc bench point)
+            need = tuple(i for i in range(len(world.sources))
+                         if self._has_res[i] and not self._has_coarse[i])
+        fetch = (probs_d, mask_d,
+                 tuple(pk_d[i] for i in need),
+                 tuple(pi_d[i] for i in need))
         if per_source:
             fetch = fetch + (cands_d,)
         else:
@@ -487,7 +498,8 @@ class StreamedSearchEngine(QueryTableMixin):
             fetch = fetch + (stats_d,)
         got = jax.device_get(fetch)
         t_fetch = time.perf_counter()
-        probs, mask, pk, pi = got[0], np.asarray(got[1]), got[2], got[3]
+        probs, mask = got[0], np.asarray(got[1])
+        pk, pi = got[2], got[3]
         extra = got[4]
         msg_base = got[5] if msg_d is not None else None
         stats_ids = (np.asarray(got[5], np.int32)
@@ -497,10 +509,12 @@ class StreamedSearchEngine(QueryTableMixin):
 
         # natural-form per-source lists from the device keys (resident
         # exact sources; host sources hold -inf placeholders)
-        per_scores: List[np.ndarray] = []
-        per_ids: List[np.ndarray] = []
-        for i, src in enumerate(world.sources):
-            key = np.asarray(pk[i], np.float32)
+        per_scores: List[Optional[np.ndarray]] = \
+            [None] * len(world.sources)
+        per_ids: List[Optional[np.ndarray]] = [None] * len(world.sources)
+        for j, i in enumerate(need):
+            src = world.sources[i]
+            key = np.asarray(pk[j], np.float32)
             if self._modes[i] == "dot" and \
                     self.shard_set.sources[i].center is not None \
                     and self._has_res[i]:
@@ -508,8 +522,8 @@ class StreamedSearchEngine(QueryTableMixin):
                              self.shard_set.sources[i].center)[:, None]
             nat = -key if self._modes[i] == "l2" else key
             nat = np.where(np.isinf(nat), np.nan, nat)
-            per_scores.append(nat)
-            per_ids.append(np.asarray(pi[i], np.int32))
+            per_scores[i] = nat
+            per_ids[i] = np.asarray(pi[j], np.int32)
 
         if per_source:
             ci = 0

@@ -541,8 +541,8 @@ class StreamedShardSet:
     # -- host-side exact rescoring (hostrefine tier) ------------------------
 
     def refine_flat(self, si: int, queries: np.ndarray,
-                    flat_ids: np.ndarray, flat_q: np.ndarray
-                    ) -> np.ndarray:
+                    flat_ids: np.ndarray, flat_q: np.ndarray,
+                    chunk: int = 8192) -> np.ndarray:
         """Exact stored-form scores of a FLAT candidate list (the global
         hostrefine path): ``flat_ids[m]`` local row ids of source ``si``,
         ``flat_q[m]`` the query row of each candidate. Returns natural
@@ -552,7 +552,16 @@ class StreamedShardSet:
         apply to the DOTS (per-doc) rather than the gathered rows — one
         [m] multiply instead of an [m, d] pass (-30% refine wall); the
         per-group int4 scheme still dequantizes rows (group scales
-        cannot ride the dot)."""
+        cannot ride the dot). Work runs in fixed-size ``chunk`` blocks:
+        the unchunked path allocated ~1.5 GB of one-shot temporaries per
+        call ([m, d] query gather + int8 gather + f32 cast at m≈200k),
+        which drove glibc into an alternating mmap/reclaim regime —
+        identical consecutive batches measured 0.4 s vs 5.4 s for the
+        SAME candidate list. Blocks must stay under glibc's dynamic
+        mmap-threshold cap (32 MB) to recycle through the arena free
+        lists: measured on the m=198k statpearls workload, 65536-row
+        chunks (~200 MB f32 temps, always mmap+fault) run 490 ms/call
+        vs 185 ms at 8192 rows (~25 MB temps, steady across reps)."""
         st = self.sources[si]
         host = st.host
         q = np.asarray(queries, np.float32)
@@ -561,27 +570,34 @@ class StreamedShardSet:
                 np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         if st.score_mode == "l2" and st.center is not None:
             q = q - st.center
-        qg = q[flat_q]                                    # [m, d]
         grouped = host.scale is not None and host.scale.ndim == 2
-        if grouped or host.packed4:
-            rows = host.rows_f32(flat_ids)
-            dots = np.einsum("md,md->m", rows, qg, optimize=True)
-        else:
-            rows = host.codes[flat_ids]
-            if rows.dtype != np.float32:
-                rows = rows.astype(np.float32)
-            dots = np.einsum("md,md->m", rows, qg, optimize=True)
-            if host.scale is not None:
-                dots *= host.scale[flat_ids]
-        if st.score_mode == "l2":
-            qsq = np.einsum("md,md->m", qg, qg)
-            return qsq - (2.0 * dots + host.bias[flat_ids])
-        if st.score_mode == "dot" and st.center is not None:
-            dots = dots + qg @ st.center
-        return dots
+        m = flat_ids.size
+        out = np.empty(m, np.float32)
+        for a in range(0, m, chunk):
+            b = min(a + chunk, m)
+            ids_c = flat_ids[a:b]
+            qg = q[flat_q[a:b]]                           # [c, d]
+            if grouped or host.packed4:
+                rows = host.rows_f32(ids_c)
+                dots = np.einsum("md,md->m", rows, qg)
+            else:
+                rows = host.codes[ids_c]
+                if rows.dtype != np.float32:
+                    rows = rows.astype(np.float32)
+                dots = np.einsum("md,md->m", rows, qg)
+                if host.scale is not None:
+                    dots *= host.scale[ids_c]
+            if st.score_mode == "l2":
+                qsq = np.einsum("md,md->m", qg, qg)
+                out[a:b] = qsq - (2.0 * dots + host.bias[ids_c])
+            elif st.score_mode == "dot" and st.center is not None:
+                out[a:b] = dots + qg @ st.center
+            else:
+                out[a:b] = dots
+        return out
 
     def refine(self, si: int, queries: np.ndarray, cand: np.ndarray,
-               k: int, chunk: int = 256
+               k: int, chunk: int = 64
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Exact-rescore coarse candidates against the host rows.
 
@@ -595,6 +611,10 @@ class StreamedShardSet:
         entries scored NaN/-1. The math mirrors the device kernel's
         stored-form gains exactly: stored rows are dequantized f32, l2
         uses the stored ``-|d|^2`` bias, dot restores ``q . center``.
+        ``chunk`` keeps the [chunk*k', d] f32 row temporaries under
+        glibc's 32 MB dynamic-mmap-threshold cap so they recycle via
+        the arena instead of faulting fresh pages per chunk (same
+        measurement as :meth:`refine_flat`'s docstring).
         """
         st = self.sources[si]
         host = st.host
