@@ -35,14 +35,24 @@ import numpy as np
 
 
 def build_corpus(n, *, seed, tok, max_len):
-    """(prompt_ids, answer_ids) pairs: real MedRAG serving prompts whose
-    answers quote one retrieved document."""
+    """(messages, prompt_ids, answer_ids) triples: real MedRAG serving
+    prompts whose answers quote one retrieved document.
+
+    The prompt is rendered with the SAME `_render_prompt` the
+    production service applies inside `chat()` and is never truncated,
+    so training and serving see byte-identical context — an earlier
+    version of this harness pre-templated + tail-truncated for
+    training but let `chat()` re-wrap the string in a second template,
+    and the distribution shift cost the model its learned quote
+    behavior on held-out prompts (0/8 emitted the constant answer
+    prefix despite answer-CE 0.07)."""
     from ragroute_tpu.engine.prompts import generate_llm_message
     from ragroute_tpu.index.synthetic import make_synthetic_world
+    from ragroute_tpu.llm.service import _render_prompt
 
     syn = make_synthetic_world("medrag", docs_per_source=256,
                                num_queries=n, seed=seed)
-    pairs = []
+    triples = []
     rng = np.random.default_rng(seed)
     payloads = [p for src in syn.world.sources
                 for p in syn.doc_payloads[src.name]]
@@ -51,14 +61,18 @@ def build_corpus(n, *, seed, tok, max_len):
         messages, _ = generate_llm_message(
             "medrag", q["question"], docs, q["options"],
             "llama3.1-8B-instruct")
-        prompt = tok.apply_chat_template(messages,
-                                         add_generation_prompt=True)
+        prompt = _render_prompt(tok, messages)
         quote = docs[0]["content"]
         answer = f'The context states: "{quote}" {{"answer_choice": "A"}}'
-        p_ids = tok.encode(prompt)[-(max_len - len(answer) - 8):]
+        p_ids = tok.encode(prompt)
         a_ids = list(answer.encode("utf-8")) + [tok.eos_id]
-        pairs.append((p_ids, a_ids))
-    return pairs
+        if len(p_ids) + len(a_ids) > max_len:
+            raise SystemExit(
+                f"prompt+answer {len(p_ids) + len(a_ids)} exceeds "
+                f"--max-len {max_len}; raise it (prompts are never "
+                f"truncated so train == serve)")
+        triples.append((messages, p_ids, a_ids))
+    return triples
 
 
 def train(cfg, pairs, steps, lr, seed, log):
@@ -71,6 +85,7 @@ def train(cfg, pairs, steps, lr, seed, log):
                                         prefill_layers)
 
     inv_freq = _inv_freq(cfg)
+    pairs = [(p, a) for _, p, a in pairs]
     seq_len = max(len(p) + len(a) for p, a in pairs)
     seq_len = -(-seq_len // 64) * 64
     n = len(pairs)
@@ -128,18 +143,18 @@ def measure(params, cfg, tok, pairs, window, max_new, log):
 
     from ragroute_tpu.llm.continuous import ContinuousGenerationService
 
+    bucket = max(-(-max(len(p) for _, p, _ in pairs) // 256) * 256, 512)
     svc = ContinuousGenerationService(
         params, cfg, tok, slots=4, max_new_tokens=max_new,
-        prompt_buckets=(1024,), cache_len=1024 + max_new + 16,
+        prompt_buckets=(bucket,), cache_len=bucket + max_new + 16,
         chunk_steps=8, cache_dtype=jnp.bfloat16,
         eos_id=tok.eos_id, pad_id=tok.pad_id, spec_window=window)
 
     async def run():
         outs = []
         t0 = None
-        for p_ids, _ in pairs:  # warm compile on the first prompt
-            prompt = tok.decode(p_ids)
-            msgs = [{"role": "user", "content": prompt}]
+        for msgs, _, _ in pairs:  # warm compile on the first prompt
+            # raw messages: chat() renders the SAME template training saw
             if t0 is None:
                 await svc.chat(msgs)
                 t0 = time.perf_counter()
@@ -175,8 +190,13 @@ def main():
     ap.add_argument("--windows", type=int, nargs="+", default=[0, 4, 8])
     ap.add_argument("--save", type=str, default=None)
     ap.add_argument("--load", type=str, default=None)
-    ap.add_argument("--max-len", type=int, default=768)
+    ap.add_argument("--max-len", type=int, default=1408,
+                    help="training seq cap; prompts are NEVER truncated "
+                         "(train == serve), the build errors if exceeded")
     args = ap.parse_args()
+    # the byte tokenizer needs no hub metadata; skip the ~30 s of
+    # connect retries the prompt builder's tokenizer probe would pay
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
     def log(*a):
         print(*a, file=sys.stderr, flush=True)
