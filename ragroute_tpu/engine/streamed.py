@@ -283,10 +283,13 @@ class StreamedSearchEngine(QueryTableMixin):
             msg = stats = None
             if ptables is not None:
                 msg = payload_base(ptables, jnp.stack(stats_ids, axis=1))
-            else:
+            elif not per_source:
                 # no payload tables: the host estimator needs per-source
                 # top-k ids (coarse-ordered for host sources — the
-                # message-size observability metric, not the ranking)
+                # message-size observability metric, not the ranking).
+                # per-source candidate mode never consumes these — the
+                # refined per-source lists serve as shard_ids — so don't
+                # build + fetch a [B, N, k] tensor it would discard
                 stats = jnp.stack(stats_ids, axis=1)
             if per_source:
                 cands = tuple(c for c in cand_src if c is not None)

@@ -575,7 +575,14 @@ class StreamedShardSet:
         out = np.empty(m, np.float32)
         for a in range(0, m, chunk):
             b = min(a + chunk, m)
-            ids_c = flat_ids[a:b]
+            # candidate ids are GLOBAL row ids; host rows start at
+            # host_row0 (0 for hostrefine coarse sources today, n_res if
+            # a resident prefix ever coexists) — shift + bounds-mask like
+            # refine() so out-of-range ids score NaN instead of silently
+            # reading the wrong row
+            gids = flat_ids[a:b]
+            ok = (gids >= st.host_row0) & (gids < st.n_docs)
+            ids_c = np.where(ok, gids - st.host_row0, 0)
             qg = q[flat_q[a:b]]                           # [c, d]
             if grouped or host.packed4:
                 rows = host.rows_f32(ids_c)
@@ -589,11 +596,12 @@ class StreamedShardSet:
                     dots *= host.scale[ids_c]
             if st.score_mode == "l2":
                 qsq = np.einsum("md,md->m", qg, qg)
-                out[a:b] = qsq - (2.0 * dots + host.bias[ids_c])
+                vals = qsq - (2.0 * dots + host.bias[ids_c])
             elif st.score_mode == "dot" and st.center is not None:
-                out[a:b] = dots + qg @ st.center
+                vals = dots + qg @ st.center
             else:
-                out[a:b] = dots
+                vals = dots
+            out[a:b] = np.where(ok, vals, np.nan)
         return out
 
     def refine(self, si: int, queries: np.ndarray, cand: np.ndarray,

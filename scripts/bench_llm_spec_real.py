@@ -153,18 +153,24 @@ def measure(params, cfg, tok, pairs, window, max_new, log):
     async def run():
         outs = []
         t0 = None
+        base_tokens = base_steps = base_emitted = 0
         for msgs, _, _ in pairs:  # warm compile on the first prompt
             # raw messages: chat() renders the SAME template training saw
             if t0 is None:
                 await svc.chat(msgs)
                 t0 = time.perf_counter()
                 base_tokens = svc.generated_tokens
+                # acceptance must cover the same prompt set as tok/s —
+                # snapshot the spec counters past the warm-up prompt too
+                base_steps = getattr(svc, "spec_steps", 0)
+                base_emitted = getattr(svc, "spec_emitted", 0)
                 continue
             outs.append(await svc.chat(msgs))
         dt = time.perf_counter() - t0
         toks = svc.generated_tokens - base_tokens
-        acc = (svc.spec_emitted / svc.spec_steps
-               if getattr(svc, "spec_steps", 0) else None)
+        steps = getattr(svc, "spec_steps", 0) - base_steps
+        acc = ((svc.spec_emitted - base_emitted) / steps
+               if steps else None)
         await svc.stop()
         return outs, toks, dt, acc
 
@@ -214,7 +220,10 @@ def main():
 
     eval_pairs = build_corpus(args.eval_prompts, seed=91, tok=tok,
                               max_len=args.max_len)
-    if args.load and os.path.exists(args.load):
+    if args.load and not os.path.exists(args.load):
+        raise SystemExit(f"--load {args.load}: no such checkpoint "
+                         f"(refusing to silently retrain fresh weights)")
+    if args.load:
         import pickle
 
         with open(args.load, "rb") as f:

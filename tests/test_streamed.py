@@ -180,6 +180,63 @@ def test_streamed_mixed_residency():
     _outputs_equal(a, b)
 
 
+def test_hostrefine_mixed_residency():
+    """hostrefine with BOTH fully-resident (exact) and coarse sources in
+    one world: resident sources join the global mode-A merge through the
+    need-filtered pk/pi fetch (`engine.streamed._search_hostrefine`) and
+    their winners carry exact scores, coarse sources refine as usual.
+    Guards the resident-join branch of `_merge_global` — the large
+    capacity worlds set n_res=0 everywhere, so without this world that
+    code path never runs in CI."""
+    syn = make_synthetic_world("medrag", docs_per_source_map={
+        "pubmed": 4096, "statpearls": 512, "textbooks": 512,
+        "wikipedia": 1024}, docs_per_source=512, num_queries=16, seed=7,
+        with_payloads=False)
+    ref_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.int8)
+    params = init_router_params(jax.random.key(0),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    ref = FederatedSearchEngine(ref_set, params, bank)
+    row_b = 768 + 8
+    sset = StreamedShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.int8, tier="hostrefine",
+        hbm_budget_bytes=(512 * 3 + 1024) * row_b)
+    res = [s.coarse_docs is None for s in sset.sources]
+    assert any(res) and not all(res), \
+        "world must mix fully-resident and coarse sources"
+    eng = StreamedSearchEngine(sset, params, bank)
+    assert any(eng._has_res) and any(eng._has_coarse)
+    embs = {e: np.asarray(v) for e, v in syn.query_embs.items()}
+    for strategy in ("all", "ragroute"):
+        a = ref.search(embs, strategy=strategy, staged=False,
+                       fetch_candidates=True)
+        b = eng.search(embs, strategy=strategy, fetch_candidates=False)
+        np.testing.assert_array_equal(a.mask, b.mask)
+        hits = tot = 0
+        for q in range(a.merged_shard.shape[0]):
+            ra = {(int(s), int(l)) for s, l in
+                  zip(a.merged_shard[q], a.merged_local[q]) if s >= 0}
+            rb = {(int(s), int(l)) for s, l in
+                  zip(b.merged_shard[q], b.merged_local[q]) if s >= 0}
+            hits += len(ra & rb)
+            tot += len(ra)
+        assert hits / max(tot, 1) >= 0.95, \
+            f"{strategy}: mixed hostrefine recall {hits / tot:.4f}"
+        # exact-score gate on every returned winner (resident AND coarse)
+        for q in range(b.merged_shard.shape[0]):
+            for j in range(b.merged_shard.shape[1]):
+                si = int(b.merged_shard[q, j])
+                li = int(b.merged_local[q, j])
+                if si < 0:
+                    continue
+                ref_pos = np.nonzero(a.shard_ids[q, si] == li)[0]
+                if len(ref_pos):
+                    np.testing.assert_allclose(
+                        b.merged_score[q, j],
+                        a.shard_scores[q, si, ref_pos[0]],
+                        rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("impl", ["stream", "hostrefine"])
 def test_streamed_served_e2e(tmp_path_factory, impl):
     """The whole serving stack (server + batcher + doc store) over the
