@@ -100,6 +100,13 @@ def main():
                          "head (the RAG regime); compares continuous "
                          "serving with prefix_ids vs the same prompts "
                          "prefilled in full per slot")
+    ap.add_argument("--spec-window", type=int, default=0,
+                    help="A/B prompt-lookup speculation instead: "
+                         "continuous vs continuous+spec under the same "
+                         "staggered load (random weights => acceptance "
+                         "~1, so this measures the verify overhead in "
+                         "SERVING; for real acceptance/speedup use "
+                         "bench_llm_spec_real.py's trained checkpoint)")
     args = ap.parse_args()
 
     params, cfg = build(args)
@@ -148,6 +155,29 @@ def main():
 
     kw = dict(max_new_tokens=args.max_new, prompt_buckets=(128,),
               eos_id=tok.eos_id, pad_id=tok.pad_id)
+
+    if args.spec_window:
+        mk = lambda w: ContinuousGenerationService(  # noqa: E731
+            params, cfg, tok, slots=args.slots, cache_len=384,
+            chunk_steps=args.chunk_steps, cache_dtype=jnp.bfloat16,
+            spec_window=w, **kw)
+        plain = mk(0)
+        spec = mk(args.spec_window)
+        res_plain = asyncio.run(drive(plain, args.requests, gap,
+                                      args.slots))
+        res_spec = asyncio.run(drive(spec, args.requests, gap,
+                                     args.slots))
+        acc = (spec.spec_emitted / spec.spec_steps
+               if spec.spec_steps else None)
+        print(json.dumps({
+            "model": f"qwen3-0.6B-shape(L={cfg.num_layers})",
+            "requests": args.requests, "gap_ms": args.gap_ms,
+            "max_new": args.max_new, "chunk_steps": args.chunk_steps,
+            "spec_window": args.spec_window,
+            "continuous": res_plain, "continuous_spec": res_spec,
+            "accept_tok_per_step": acc and round(acc, 3),
+        }))
+        return
 
     lock = GenerationService(params, cfg, tok,
                              batch_buckets=(1, args.slots),

@@ -168,3 +168,45 @@ def test_spec_respects_per_request_max_new():
     # bytes decode to U+FFFD which re-encodes to 3 bytes)
     assert spec.generated_tokens <= 5
     assert spec.generated_tokens == plain.generated_tokens
+
+
+def test_spec_real_harness_smoke(monkeypatch):
+    """scripts/bench_llm_spec_real.py end-to-end at toy scale: the
+    corpus builder renders with the service's own template (train ==
+    serve — the round-4 harness guarantee), training runs, and measure()
+    reports tok/s + acceptance through the production continuous
+    service. Gates the harness against API drift in llm/ and prompts."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_llm_spec_real",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "bench_llm_spec_real.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from ragroute_tpu.llm.model import DecoderConfig
+    from ragroute_tpu.llm.service import ByteTokenizer
+
+    tok = ByteTokenizer()
+    triples = mod.build_corpus(3, seed=11, tok=tok, max_len=2048)
+    assert len(triples) == 3
+    msgs, p_ids, a_ids = triples[0]
+    assert isinstance(msgs, list) and msgs[0]["role"] == "system"
+    # prompts are rendered with the exact template chat() applies
+    from ragroute_tpu.llm.service import _render_prompt
+
+    assert p_ids == tok.encode(_render_prompt(tok, msgs))
+    assert a_ids[-1] == tok.eos_id
+
+    cfg = DecoderConfig(vocab_size=tok.vocab_size, hidden_size=32,
+                        num_layers=1, num_heads=4, num_kv_heads=4,
+                        head_dim=8, intermediate_size=64)
+    params = mod.train(cfg, triples, steps=2, lr=1e-3, seed=0,
+                       log=lambda *a: None)
+    row = mod.measure(params, cfg, tok, triples, window=2, max_new=8,
+                      log=lambda *a: None)
+    assert row["window"] == 2 and row["tok_per_s"] > 0
+    assert row["accept_tok_per_step"] is None or \
+        row["accept_tok_per_step"] >= 1.0
