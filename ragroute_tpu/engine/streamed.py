@@ -254,6 +254,17 @@ class StreamedSearchEngine(QueryTableMixin):
                     const.append(c)
             return qt, const
 
+        # NOTE (round 4, measured): the coarse scan is at the kernel's
+        # per-gain merge-traffic bound, NOT a deep-k penalty — scanning
+        # pubmed's 17.6M x 128 slab costs 0.472 s at k=32 vs 0.552 s at
+        # k=128 (B=2048), and splitting the slab into kp/32 segments
+        # scanned at k=32 changed nothing (device step 0.744 -> 0.730 s;
+        # tried and reverted this round). The cost law is the one
+        # BENCHMARKS.md's lowrank section records: epilogue traffic
+        # scales with the NUMBER of gains (B*N), 30.9 ms per 1M docs at
+        # this batch -> 25.17M docs predicts 0.78 s, measured 0.73 s.
+        # Cutting it needs FEWER gains (probing/pruning the coarse
+        # slab), not a cheaper merge.
         @functools.partial(jax.jit,
                            static_argnames=("strategy", "per_source"))
         def hostrefine_step(params, bank, res_arrays, coarse_arrays,
