@@ -159,6 +159,14 @@ void close_conn(Server* s, Conn* c) {
     s->done_close.erase(id);
     s->open_streams.erase(id);
   }
+  // also drop the Python-side stream registry entries: if the Python
+  // finisher dies mid-generation fe_stream_end never runs, and the
+  // entries would otherwise leak for the process lifetime (mu-guarded;
+  // a racing fe_stream_chunk/_end just gets -1, which it handles)
+  if (!c->order.empty()) {
+    std::lock_guard<std::mutex> lk(s->mu);
+    for (uint64_t id : c->order) s->stream_chunked.erase(id);
+  }
   delete c;
 }
 

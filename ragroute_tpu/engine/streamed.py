@@ -27,6 +27,19 @@ than one chip's HBM:
 Reference parity note: this replaces the reference's host-RAM FAISS
 capacity story (``ragroute/data_source.py:69-80``) — same single-node
 capacity bound (host RAM), with the scan FLOPs on the MXU instead of CPU.
+
+Serving-metric semantics (``/stats`` + response metadata) for the
+hostrefine tier differ from every other impl in two documented ways:
+
+* ``selection_time`` is reported as 0 — routing is fused into the single
+  device dispatch with the scans, so its cost is part of
+  ``doc_select_time`` and cannot be split out without an extra dispatch.
+* per-source ``message_size`` estimates derive from the COARSE-ordered
+  top-k ids of each host source (the candidate traffic that actually
+  crosses the wire), not the final refined winners — except per-source
+  candidate mode (feb4rag / ``fetch_candidates=True``), where the
+  refined per-source lists exist and the host estimator sizes from them
+  (the device coarse-id sizing is skipped there).
 """
 
 from __future__ import annotations
@@ -286,13 +299,23 @@ class StreamedSearchEngine(QueryTableMixin):
                     keys.append(None)
                     continue
                 cdocs, cscale, cbias, basis, mu_lr = coarse_arrays[i]
-                cs, ci = shard_topk(qt[i], cdocs, kp, mode="dot",
+                # clamp to the slab height (a just-over-k source with a
+                # large --refine-mult would fail lax.top_k at trace time,
+                # mirroring lowrank_topk's kr clamp), then pad back to kp
+                # with never-wins sentinels for the fixed-width concat
+                kp_i = min(kp, cdocs.shape[0])
+                cs, ci = shard_topk(qt[i], cdocs, kp_i, mode="dot",
                                     bias=cbias, scale=cscale)
+                if kp_i < kp:
+                    cs = jnp.pad(cs, ((0, 0), (0, kp - kp_i)),
+                                 constant_values=jnp.nan)
+                    ci = jnp.pad(ci, ((0, 0), (0, kp - kp_i)),
+                                 constant_values=-1)
                 stats_ids.append(ci[:, :k])
                 cand_src.append(ci)
                 keys.append(cs + const[i][:, None])
             msg = stats = None
-            if ptables is not None:
+            if ptables is not None and not per_source:
                 msg = payload_base(ptables, jnp.stack(stats_ids, axis=1))
             elif not per_source:
                 # no payload tables: the host estimator needs per-source
@@ -518,6 +541,8 @@ class StreamedSearchEngine(QueryTableMixin):
         msg_base = got[5] if msg_d is not None else None
         stats_ids = (np.asarray(got[5], np.int32)
                      if msg_d is None and stats_d is not None else None)
+        # routing is fused into the device dispatch above; see the module
+        # docstring for the /stats semantics of this tier
         sel_t = 0.0
         t_refine = time.perf_counter()
 

@@ -156,7 +156,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tiles(b_pad: int, d: int, doc_bytes: int,
-                k: int = 32) -> Tuple[int, int]:
+                k: int = 32, scale_row_bytes: int = 12) -> Tuple[int, int]:
     """Pick (query tile TQ, doc tile TD) sizes under the VMEM budget.
 
     Accounting per grid step:
@@ -167,6 +167,11 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int,
                       double-buffered out tiles — matters at deep k:
                       the k'=160 hostrefine coarse scan blew the scoped
                       16 MB limit by 1.8 MB when this was unbudgeted)
+      scale rows      scale_row_bytes per doc row: 12 covers the flat
+                      bias+scale case; the grouped int4 scheme carries a
+                      [TD, G] f32 block (G*4 bytes/row, ~0.5 MB at
+                      d=4096/td=4096) that must be budgeted explicitly
+                      rather than ride the 13->16 MB headroom.
     """
     tq = min(b_pad, 512)
     while tq >= 64:
@@ -176,7 +181,7 @@ def _pick_tiles(b_pad: int, d: int, doc_bytes: int,
         avail = _VMEM_BUDGET - q_bytes
         # per doc-tile column: double-buffered docs + gains value + merge
         # buffer + one compiler temporary + the bias/scale rows
-        per_td = 2 * d * doc_bytes + 3 * tq * 4 + 12
+        per_td = 2 * d * doc_bytes + 3 * tq * 4 + scale_row_bytes
         td = avail // per_td if avail > 0 else 0
         if td >= 256:
             td = min(4096, 1 << (int(td).bit_length() - 1))
@@ -561,8 +566,11 @@ def pallas_topk(
 
     # packed4 budgets as f32: the packed tile is tiny, but the unpack
     # materializes int32 + bf16 [TD, d] temporaries in VMEM
+    scale_row_bytes = 12 + (scale.shape[1] * 4
+                            if scale is not None and scale.ndim == 2
+                            else 0)
     tq, td = _pick_tiles(bsz, d, 4 if packed4 else docs.dtype.itemsize,
-                         k=k)
+                         k=k, scale_row_bytes=scale_row_bytes)
     b_pad = _round_up(bsz, tq)
     n_pad = _round_up(max(n, td), td)
 

@@ -294,6 +294,34 @@ def test_streamed_served_e2e(tmp_path_factory, impl):
         "data_sources_stats"))
 
 
+def test_hostrefine_refine_depth_exceeds_slab():
+    """k' > a source's coarse slab height must clamp per source (pad
+    with never-wins sentinels) instead of failing lax.top_k at trace
+    time — a just-over-512-doc source with a large --refine-mult.
+    Regression for the round-4 advisor finding."""
+    syn = make_synthetic_world("medrag", docs_per_source_map={
+        "pubmed": 2048, "statpearls": 512, "textbooks": 512,
+        "wikipedia": 512}, docs_per_source=512, num_queries=12, seed=9,
+        with_payloads=False)
+    ref_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.int8)
+    params = init_router_params(jax.random.key(0),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    ref = FederatedSearchEngine(ref_set, params, bank)
+    sset = StreamedShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.int8, tier="hostrefine",
+        hbm_budget_bytes=0)
+    # every coarse slab of the 512-doc sources is 512 rows < k'=600
+    eng = StreamedSearchEngine(sset, params, bank, k_refine=600)
+    embs = {e: np.asarray(v) for e, v in syn.query_embs.items()}
+    for fetch in (False, True):   # global merge AND per-source refine
+        b = eng.search(embs, strategy="all", fetch_candidates=fetch)
+        a = ref.search(embs, strategy="all", staged=False)
+        # k' >= every slab height => the coarse cut keeps everything and
+        # the exact rescore must reproduce the flat engine bit-for-bit
+        _outputs_equal(a, b)
+
+
 def test_row_source_generator_blocks():
     """Generator-backed RowSource (the capacity bench path) builds the
     same tier as the in-RAM array."""
