@@ -626,6 +626,9 @@ def main():
     else:
         emb_sharding = None
 
+        packed_flags = tuple(getattr(s, "packed4", False)
+                             for s in shard_set.shards)
+
         def one_step(params, bank, arrays, ivf_arrays, lr_arrays,
                      query_embs, rng_key):
             probs, mask = _route_fn(
@@ -633,7 +636,7 @@ def main():
             out = _score_fn(world, world.k, impl, n_docs, arrays,
                             query_embs, mask, ivf_arrays=ivf_arrays,
                             nprobe=nprobe, lr_arrays=lr_arrays,
-                            k_refine=k_refine)
+                            k_refine=k_refine, packed=packed_flags)
             return out[2], out[3]  # merged scores/shards
 
     if emb_sharding is not None:
@@ -691,18 +694,18 @@ def main():
         def route_once(params, bank, query_embs, key):
             return _route_fn(world, strategy, params, bank, query_embs, key)
 
-        @functools.partial(jax.jit, static_argnames=("use",))
+        @functools.partial(jax.jit, static_argnames=("use", "pk"))
         def score_once(arrays, ivf_arrays, lr_arrays, query_embs, mask,
-                       use):
+                       use, pk=None):
             return _score_fn(world, world.k, use, n_docs, arrays,
                              query_embs, mask, ivf_arrays=ivf_arrays,
                              nprobe=nprobe, lr_arrays=lr_arrays,
-                             k_refine=k_refine)
+                             k_refine=k_refine, packed=pk)
 
         embs0 = {e: embs_r[e][0] for e in embs_r}
         _, mask0 = route_once(params, bank, embs0, keys[0])
         o_sel = score_once(arrays, ivf_arrays, lr_arrays, embs0, mask0,
-                           impl)
+                           impl, pk=packed_flags)
         sh_a, lo_a = np.asarray(o_sel[3]), np.asarray(o_sel[4])
         if dtype == jnp.float32 and impl in ("auto", "pallas", "chunked",
                                              "exact"):
