@@ -100,12 +100,14 @@ def main_streamed(impl: str):
     else:
         sizes = {s.name: max(2048, total_docs // world_cfg.num_sources)
                  for s in world_cfg.sources}
+    subclusters = int(os.environ.get("RAGROUTE_BENCH_SUBCLUSTERS", "1"))
     log(f"streamed {impl} bench: {sizes} dtype={dtype_name} "
-        f"hbm_budget={hbm_gb} GB")
+        f"hbm_budget={hbm_gb} GB subclusters={subclusters}")
 
     t0 = time.time()
     syn = make_streamed_world(world_name, docs_per_source_map=sizes,
-                              num_queries=batch, seed=0)
+                              num_queries=batch, seed=0,
+                              subclusters=subclusters)
 
     # host-tier build cache: the block encoder re-generates + quantizes
     # the whole corpus (minutes of host time at 24M rows); cache the
@@ -119,6 +121,7 @@ def main_streamed(impl: str):
         os.environ.get("RAGROUTE_BENCH_WORLD_CACHE_DIR",
                        os.path.expanduser("~/.cache/ragroute_bench_world")),
         f"streamed-{impl}-{dtype_name}-hbm{hbm_gb:g}-slab{STREAM_SLAB_MB}-"
+        + (f"sc{subclusters}-" if subclusters > 1 else "")
         + "-".join(f"{n}_{sizes[n]}" for n in sorted(sizes)))
     use_cache = os.environ.get("RAGROUTE_BENCH_WORLD_CACHE", "1") == "1"
     sset = None
@@ -206,6 +209,10 @@ def _save_streamed_cache(cache_dir, sset):
             v = getattr(s, name)
             if v is not None:
                 d[name] = np.asarray(v)
+        if s.coarse_cl is not None:
+            for f in ("centroids", "cbias", "docs", "bias", "scale",
+                      "perm"):
+                d[f"cl_{f}"] = np.asarray(getattr(s.coarse_cl, f))
         if s.center is not None:
             d["center"] = s.center
         if s.host is not None:
@@ -235,10 +242,26 @@ def _load_streamed_cache(cache_dir, world, impl):
                           encoder=src.encoder, embed_dim=src.embed_dim,
                           n_docs=int(n),
                           center=z["center"] if "center" in z else None)
+        # a clustered cache carries BOTH layouts; upload only the one the
+        # engine will scan (RAGROUTE_HOSTREFINE_FLAT=1 forces the flat
+        # exhaustive coarse scan for A/B runs)
+        use_cl = ("cl_docs" in z
+                  and os.environ.get("RAGROUTE_HOSTREFINE_FLAT") != "1")
         for name in ("res_docs", "res_bias", "res_scale", "coarse_docs",
                      "coarse_scale", "coarse_bias", "basis", "mu_lr"):
-            if name in z:
+            if name in z and not (use_cl and name.startswith("coarse_")):
                 setattr(st, name, jnp.asarray(z[name]))
+        if use_cl:
+            from ragroute_tpu.ops.grouped_topk import ClusteredCoarse
+            st.coarse_cl = ClusteredCoarse(
+                centroids=jnp.asarray(z["cl_centroids"]),
+                cbias=jnp.asarray(z["cl_cbias"]),
+                docs=jnp.asarray(z["cl_docs"]),
+                bias=jnp.asarray(z["cl_bias"]),
+                scale=jnp.asarray(z["cl_scale"]),
+                perm=jnp.asarray(z["cl_perm"]),
+                n_clusters=int(z["cl_docs"].shape[0]),
+                capacity=int(z["cl_docs"].shape[2]))
         st.n_res, st.host_row0 = int(n_res), int(h0)
         st.slab_rows, st.n_slabs, st.rank = (int(slab_rows),
                                              int(n_slabs), int(rank))

@@ -141,6 +141,20 @@ STREAM_HBM_BUDGET_GB = float(os.environ.get("RAGROUTE_HBM_BUDGET_GB", "6.0"))
 STREAM_SLAB_MB = int(os.environ.get("RAGROUTE_STREAM_SLAB_MB", "256"))
 STREAM_PREFETCH = 2
 HOSTREFINE_REFINE_MULT = 4
+# Probed coarse scan (ops/grouped_topk.py): hostrefine sources with more
+# host rows than HOSTREFINE_CLUSTER_MIN_DOCS get their coarse slab
+# k-means-clustered at build time and probed at C // NPROBE_DIVISOR
+# clusters per query — the round-4 cost forensics showed the exhaustive
+# coarse scan pays a fixed epilogue cost PER GAIN, so throughput scales
+# with the probe fraction. KAPPA caps candidates per (query, cluster);
+# losses need > KAPPA of a query's true top-k' in ONE cluster.
+# Recall gates: tests/test_streamed.py + the full-scale oracle row in
+# BENCHMARKS.md (RAGROUTE_BENCH_RECALL=1).
+HOSTREFINE_CLUSTER_MIN_DOCS = int(
+    os.environ.get("RAGROUTE_HOSTREFINE_CLUSTER_MIN_DOCS", str(1 << 20)))
+HOSTREFINE_NPROBE_DIVISOR = int(
+    os.environ.get("RAGROUTE_HOSTREFINE_NPROBE_DIVISOR", "4"))
+HOSTREFINE_KAPPA = 64
 
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with

@@ -54,7 +54,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ragroute_tpu.config import (HOSTREFINE_REFINE_MULT, STREAM_PREFETCH,
+from ragroute_tpu.config import (HOSTREFINE_KAPPA,
+                                 HOSTREFINE_NPROBE_DIVISOR,
+                                 HOSTREFINE_REFINE_MULT, STREAM_PREFETCH,
                                  WorldConfig)
 from ragroute_tpu.engine.engine import (QueryTableMixin, SearchOutput,
                                         _route_fn, build_payload_tables,
@@ -130,6 +132,7 @@ class StreamedSearchEngine(QueryTableMixin):
         seed: int = 0,
         k_refine: Optional[int] = None,
         prefetch: int = STREAM_PREFETCH,
+        nprobe: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
@@ -140,6 +143,9 @@ class StreamedSearchEngine(QueryTableMixin):
         self.prefetch = max(1, int(prefetch))
         self.k_refine = int(k_refine or
                             HOSTREFINE_REFINE_MULT * self.world.k)
+        # clusters probed per query on clustered coarse slabs (None =
+        # C // HOSTREFINE_NPROBE_DIVISOR per source)
+        self.nprobe = nprobe
         self._key = jax.random.key(seed)
         self._step_lock = threading.Lock()
         self._ptables = None
@@ -169,7 +175,7 @@ class StreamedSearchEngine(QueryTableMixin):
     def _coarse_arrays(self):
         return tuple(
             (s.coarse_docs, s.coarse_scale, s.coarse_bias, s.basis,
-             None if s.mu_lr is None else s.mu_lr)
+             None if s.mu_lr is None else s.mu_lr, s.coarse_cl)
             for s in self.shard_set.sources)
 
     def _build_device_steps(self) -> None:
@@ -180,7 +186,14 @@ class StreamedSearchEngine(QueryTableMixin):
         # per-source static facts
         res_packed = tuple(self.shard_set.packed4 for _ in sources)
         has_res = tuple(s.res_docs is not None for s in sources)
-        has_coarse = tuple(s.coarse_docs is not None for s in sources)
+        has_coarse = tuple(s.coarse_docs is not None
+                           or s.coarse_cl is not None for s in sources)
+        nprobe_of = tuple(
+            None if s.coarse_cl is None else int(min(
+                s.coarse_cl.n_clusters,
+                max(1, self.nprobe or s.coarse_cl.n_clusters
+                    // HOSTREFINE_NPROBE_DIVISOR)))
+            for s in sources)
         n_res = tuple(s.n_res for s in sources)
         modes = tuple(s.score_mode for s in sources)
         l2_world = world.sources[0].score_mode == "l2"
@@ -241,7 +254,7 @@ class StreamedSearchEngine(QueryTableMixin):
             coarse keys comparable ACROSS shards)."""
             qt, const = [], []
             for i, src in enumerate(world.sources):
-                cdocs, cscale, cbias, basis, mu_lr = coarse_arrays[i]
+                basis, mu_lr = coarse_arrays[i][3], coarse_arrays[i][4]
                 center = res_arrays[i][3]
                 q = embs[src.encoder]
                 if not has_coarse[i]:
@@ -298,7 +311,20 @@ class StreamedSearchEngine(QueryTableMixin):
                     cand_src.append(None)
                     keys.append(None)
                     continue
-                cdocs, cscale, cbias, basis, mu_lr = coarse_arrays[i]
+                cdocs, cscale, cbias, _, _, cl = coarse_arrays[i]
+                if cl is not None:
+                    # probed scan over the clustered coarse slab
+                    from ragroute_tpu.ops.grouped_topk import \
+                        coarse_probe_topk
+
+                    cs, ci = coarse_probe_topk(
+                        qt[i], cl, kp, nprobe=nprobe_of[i],
+                        kappa=HOSTREFINE_KAPPA)
+                    # invalid candidates carry id -1 (excluded downstream)
+                    stats_ids.append(jnp.maximum(ci[:, :k], 0))
+                    cand_src.append(ci)
+                    keys.append(cs + const[i][:, None])
+                    continue
                 # clamp to the slab height (a just-over-k source with a
                 # large --refine-mult would fail lax.top_k at trace time,
                 # mirroring lowrank_topk's kr clamp), then pad back to kp

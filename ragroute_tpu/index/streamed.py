@@ -155,17 +155,26 @@ class StreamSource:
     # hostrefine coarse tier
     basis: Optional[np.ndarray] = None    # device [d, r] f32
     mu_lr: Optional[np.ndarray] = None    # device [d] f32 coarse center
-    coarse_docs = None                    # device [n_pad, r] int8
+    coarse_docs = None                    # device [n_pad, r] int8 (flat
+    #                                       scan; None when clustered)
     coarse_scale = None                   # device [n_pad] f32
     coarse_bias = None                    # device [n_pad] f32
+    coarse_cl = None                      # ops.grouped_topk.ClusteredCoarse
+    #                                       (probed scan; replaces the flat
+    #                                       slab above when built)
     rank: int = 0
 
     @property
     def device_bytes(self) -> int:
         tot = 0
-        for a in (self.res_docs, self.res_bias, self.res_scale,
-                  self.coarse_docs, self.coarse_scale, self.coarse_bias,
-                  self.basis):
+        arrs = [self.res_docs, self.res_bias, self.res_scale,
+                self.coarse_docs, self.coarse_scale, self.coarse_bias,
+                self.basis]
+        if self.coarse_cl is not None:
+            cl = self.coarse_cl
+            arrs += [cl.centroids, cl.cbias, cl.docs, cl.bias, cl.scale,
+                     cl.perm]
+        for a in arrs:
             if a is not None:
                 tot += a.size * a.dtype.itemsize
         return tot
@@ -260,6 +269,7 @@ class StreamedShardSet:
         normalize_cos: bool = True,
         doc_ids: Optional[Mapping[str, Sequence]] = None,
         device=None,
+        cluster_coarse: Optional[bool] = None,
     ) -> "StreamedShardSet":
         """Build the host tiers block-by-block (nothing ever materializes
         the full f32 corpus; peak host transient is one build block).
@@ -267,7 +277,12 @@ class StreamedShardSet:
         ``dtype``: stored dtype for BOTH the device-resident rows and the
         host rows — jnp.int8 / "int4" recommended (the tiers exist for
         capacity). ``rank``: coarse projection rank for tier
-        "hostrefine" (None/-1 = automatic by LOWRANK_ENERGY spectrum)."""
+        "hostrefine" (None/-1 = automatic by LOWRANK_ENERGY spectrum).
+        ``cluster_coarse``: k-means-cluster the hostrefine coarse slab
+        for probed scanning (ops/grouped_topk.py). None = automatic:
+        cluster sources with more than HOSTREFINE_CLUSTER_MIN_DOCS host
+        rows; True forces it at any size (tests); False keeps the flat
+        exhaustive coarse scan."""
         import jax
         import jax.numpy as jnp
 
@@ -418,8 +433,11 @@ class StreamedShardSet:
                     st.n_slabs = n_host_pad // slab_rows
 
             if tier == "hostrefine" and n_host:
+                from ragroute_tpu.config import HOSTREFINE_CLUSTER_MIN_DOCS
+                do_cluster = (cluster_coarse if cluster_coarse is not None
+                              else n_host >= HOSTREFINE_CLUSTER_MIN_DOCS)
                 cls._build_coarse(st, source, rank, normalize_cos,
-                                  center, device)
+                                  center, device, cluster=do_cluster)
 
             logger.info(
                 "%s/%s: %d docs -> resident %d rows (%.2f GB), host %d "
@@ -435,7 +453,8 @@ class StreamedShardSet:
 
     @staticmethod
     def _build_coarse(st: StreamSource, source: RowSource, rank,
-                      normalize_cos: bool, center, device) -> None:
+                      normalize_cos: bool, center, device,
+                      cluster: bool = False) -> None:
         """Rank-r int8 coarse projection of EVERY row (hostrefine tier).
 
         Basis = top eigenvectors of the stored-form covariance (sampled),
@@ -504,10 +523,22 @@ class StreamedShardSet:
             else jnp.asarray
         st.basis = put(basis)
         st.mu_lr = put(mu_lr)
-        st.coarse_docs = put(c_codes)
-        st.coarse_scale = put(c_scale)
-        st.coarse_bias = put(c_bias)
         st.rank = r
+        if cluster:
+            # probed coarse: cluster-major slab replaces the flat one
+            # (same codes/scales/biases permuted into slots — a full
+            # probe scores the exact same values). Padded rows carry
+            # -inf bias and were already excluded above (c_bias pads).
+            from ragroute_tpu.ops.grouped_topk import cluster_coarse_slab
+
+            st.coarse_cl = cluster_coarse_slab(
+                c_codes[:n], c_scale[:n], c_bias[:n], 0)
+            logger.info("%s: coarse clustered C=%d S=%d", st.name,
+                        st.coarse_cl.n_clusters, st.coarse_cl.capacity)
+        else:
+            st.coarse_docs = put(c_codes)
+            st.coarse_scale = put(c_scale)
+            st.coarse_bias = put(c_bias)
 
     @classmethod
     def load(cls, root: str, world: WorldConfig, *, dtype="int8",

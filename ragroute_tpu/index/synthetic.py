@@ -219,7 +219,14 @@ def make_streamed_world(
     num_queries: int = 2048,
     seed: int = 0,
     noise: float = 0.35,
+    subclusters: int = 1,
 ) -> StreamedSyntheticWorld:
+    """``subclusters > 1`` adds the same within-source topical structure
+    as :func:`make_synthetic_world` (shared topic offsets across sources,
+    one topic per query, source-level variance preserved) — the corpus
+    regime for cluster-probed rows (IVF, the hostrefine probed coarse
+    scan); the default single blob is their worst case and stays the
+    exhaustive-scan benchmark world."""
     from ragroute_tpu.index.streamed import RowSource
 
     world = get_world(world_name)
@@ -233,6 +240,11 @@ def make_streamed_world(
         proj[enc] = p / np.sqrt(LATENT_DIM)
     centers = rng.standard_normal((n_src, LATENT_DIM)).astype(np.float32)
     centers *= 2.0
+    topic_offsets = None
+    if subclusters > 1:
+        topic_offsets = (0.9 * noise) * np.random.default_rng(
+            [seed, 77]).standard_normal(
+            (subclusters, LATENT_DIM)).astype(np.float32)
 
     def make_get(si: int, enc: str):
         center = centers[si]
@@ -247,8 +259,14 @@ def make_streamed_world(
                 b1 = b0 + GEN_BLOCK
                 lo, hi = max(pos, b0), min(stop, b1)
                 brng = np.random.default_rng([seed, 71, si, blk])
-                z = center + noise * brng.standard_normal(
-                    (GEN_BLOCK, LATENT_DIM)).astype(np.float32)
+                if subclusters > 1:
+                    which = brng.integers(0, subclusters, GEN_BLOCK)
+                    z = (center + topic_offsets[which]
+                         + (0.436 * noise) * brng.standard_normal(
+                             (GEN_BLOCK, LATENT_DIM)).astype(np.float32))
+                else:
+                    z = center + noise * brng.standard_normal(
+                        (GEN_BLOCK, LATENT_DIM)).astype(np.float32)
                 out[lo - start:hi - start] = \
                     z[lo - b0:hi - b0] @ p
                 pos = hi
@@ -272,8 +290,10 @@ def make_streamed_world(
         n_rel = int(qrng.integers(1, min(3, n_src) + 1))
         chosen = qrng.choice(n_src, size=n_rel, replace=False)
         relevant[qi, chosen] = True
-        latents[qi] = (centers[chosen].mean(axis=0)
-                       + 0.5 * noise * qrng.standard_normal(LATENT_DIM))
+        mix = centers[chosen].mean(axis=0)
+        if subclusters > 1:
+            mix = mix + topic_offsets[qrng.integers(0, subclusters)]
+        latents[qi] = mix + 0.5 * noise * qrng.standard_normal(LATENT_DIM)
     query_embs = {
         enc: (latents @ proj[enc]).astype(np.float32)
         for enc in world.encoders

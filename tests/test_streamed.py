@@ -294,6 +294,59 @@ def test_streamed_served_e2e(tmp_path_factory, impl):
         "data_sources_stats"))
 
 
+def test_hostrefine_clustered_coarse_recall():
+    """Probed coarse scan (cluster_coarse=True): full probe must match
+    the flat-coarse hostrefine output nearly exactly (same codes
+    permuted into slots), and the default partial probe must clear the
+    tier's recall gate vs the exact engine on a TOPICAL corpus
+    (subclusters > 1 — cluster-probing's serving regime; the
+    single-blob world is its documented worst case, BENCHMARKS.md)."""
+    syn = make_synthetic_world("medrag", docs_per_source=2560,
+                               num_queries=32, seed=5,
+                               with_payloads=False, subclusters=16)
+    ref_set = ShardSet.build(syn.world, syn.embeddings, dtype=jnp.int8)
+    params = init_router_params(jax.random.key(0),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    ref = FederatedSearchEngine(ref_set, params, bank)
+    sset_cl = StreamedShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.int8, tier="hostrefine",
+        hbm_budget_bytes=0, cluster_coarse=True)
+    assert all(s.coarse_cl is not None for s in sset_cl.sources
+               if s.host is not None)
+    assert all(s.coarse_docs is None for s in sset_cl.sources
+               if s.coarse_cl is not None), "flat slab should be dropped"
+    embs = {e: np.asarray(v) for e, v in syn.query_embs.items()}
+
+    def merged_sets(out):
+        return [{(int(s), int(l)) for s, l in
+                 zip(out.merged_shard[q], out.merged_local[q]) if s >= 0}
+                for q in range(out.merged_shard.shape[0])]
+
+    a = ref.search(embs, strategy="all", staged=False)
+    ref_sets = merged_sets(a)
+
+    # full probe == flat coarse candidates -> same refined winners
+    c_max = max(s.coarse_cl.n_clusters for s in sset_cl.sources
+                if s.coarse_cl is not None)
+    eng_full = StreamedSearchEngine(sset_cl, params, bank,
+                                    nprobe=c_max)
+    b = eng_full.search(embs, strategy="all", fetch_candidates=False)
+    hits = sum(len(r & g) for r, g in zip(ref_sets, merged_sets(b)))
+    tot = sum(len(r) for r in ref_sets)
+    assert hits / tot >= 0.95, f"full-probe recall {hits / tot:.4f}"
+
+    # default partial probe: the serving configuration's gate
+    eng_p = StreamedSearchEngine(sset_cl, params, bank)
+    c = eng_p.search(embs, strategy="all", fetch_candidates=False)
+    hits = sum(len(r & g) for r, g in zip(ref_sets, merged_sets(c)))
+    assert hits / tot >= 0.9, f"partial-probe recall {hits / tot:.4f}"
+    # per-source candidate mode runs the same probed scan
+    d = eng_p.search(embs, strategy="all", fetch_candidates=True)
+    hits = sum(len(r & g) for r, g in zip(ref_sets, merged_sets(d)))
+    assert hits / tot >= 0.9
+
+
 def test_hostrefine_refine_depth_exceeds_slab():
     """k' > a source's coarse slab height must clamp per source (pad
     with never-wins sentinels) instead of failing lax.top_k at trace
