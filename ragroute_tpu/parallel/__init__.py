@@ -17,7 +17,8 @@ from ragroute_tpu.parallel.sharded import (
     sharded_ivf_topk,
     sharded_shard_topk,
 )
+from ragroute_tpu.parallel.streamed_mesh import MeshStreamedEngine
 
-__all__ = ["make_mesh", "ShardedSearch", "sharded_ivf_topk",
-           "sharded_shard_topk", "LockstepEngine", "initialize_multihost",
-           "make_multihost_mesh"]
+__all__ = ["make_mesh", "MeshStreamedEngine", "ShardedSearch",
+           "sharded_ivf_topk", "sharded_shard_topk", "LockstepEngine",
+           "initialize_multihost", "make_multihost_mesh"]

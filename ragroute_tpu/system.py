@@ -61,7 +61,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
                          embedder: str = "auto",
                          mutable: bool = False, reserve_docs: int = 0,
                          device=None, streamed_tier: str = None,
-                         hbm_budget_bytes: int = None):
+                         hbm_budget_bytes: int = None,
+                         cluster_coarse=None):
     """Load shards/centroids/router/provider/doc-store from the data root.
 
     Layout as written by :func:`ragroute_tpu.index.synthetic.save_world`
@@ -90,7 +91,8 @@ def load_world_artifacts(root: str, world: WorldConfig, *, dtype=None,
 
         shard_set = StreamedShardSet.load(
             root, world, dtype=dtype, tier=streamed_tier,
-            hbm_budget_bytes=hbm_budget_bytes)
+            hbm_budget_bytes=hbm_budget_bytes,
+            cluster_coarse=cluster_coarse)
     else:
         shard_set = ShardSet.load(root, world, dtype=dtype,
                                   ivf_clusters=ivf_clusters,
@@ -238,11 +240,18 @@ class ServingSystem:
         self.hbm_budget_gb = getattr(args, "hbm_budget_gb", None)
         self.mesh_spec = getattr(args, "mesh", None)  # e.g. "2x4"
         if self.impl in ("stream", "hostrefine"):
-            if self.mesh_spec:
+            if self.mesh_spec and self.impl == "stream":
                 raise ValueError(
-                    f"--impl {self.impl} is the SINGLE-chip capacity tier "
-                    "(host RAM extends one chip); --mesh is the multi-chip "
-                    "capacity answer — use one or the other")
+                    "--impl stream is the SINGLE-chip capacity tier (the "
+                    "per-batch slab upload targets one chip); use --impl "
+                    "hostrefine with --mesh to compose host-RAM capacity "
+                    "with a device mesh")
+            if self.mesh_spec and (getattr(args, "num_processes", 1)
+                                   or 1) > 1:
+                raise ValueError(
+                    "--impl hostrefine --mesh serves single-process "
+                    "meshes (one host, many chips); multi-host needs "
+                    "per-host refine over partitioned host rows")
             if self.mutable:
                 raise ValueError(
                     f"--impl {self.impl} serves an immutable host-tier "
@@ -315,7 +324,8 @@ class ServingSystem:
                 shard_set = StreamedShardSet.build(
                     syn.world, syn.embeddings, doc_ids=syn.doc_ids,
                     dtype=dtype, tier=self.impl,
-                    hbm_budget_bytes=hbm_budget)
+                    hbm_budget_bytes=hbm_budget,
+                    cluster_coarse=(False if self.mesh_spec else None))
             else:
                 shard_set = ShardSet.build(
                     syn.world, syn.embeddings, doc_ids=syn.doc_ids,
@@ -353,7 +363,10 @@ class ServingSystem:
                 # default device
                 device=("host" if self.mesh_spec else None),
                 streamed_tier=(self.impl if streamed else None),
-                hbm_budget_bytes=hbm_budget)
+                hbm_budget_bytes=hbm_budget,
+                # mesh hostrefine scans flat slices (the mesh divides
+                # the gain count; clustering is the single-chip lever)
+                cluster_coarse=(False if self.mesh_spec else None))
 
         if self.mesh_spec:
             # BASELINE config #5: the federation served over a device
@@ -389,10 +402,20 @@ class ServingSystem:
             # evenly over dp); round each up and dedupe
             self.buckets = sorted({max(b, dp) + (-max(b, dp)) % dp
                                    for b in self.buckets})
-            engine = ShardedSearch(
-                shard_set, params, bank, mesh, impl=self.impl,
-                threshold=threshold, nprobe=self.nprobe,
-                k_refine=self.k_refine)
+            if streamed:
+                # capacity tier x mesh: coarse slabs row-sharded over
+                # idx, host refine on this process (one host, many
+                # chips — parallel/streamed_mesh.py)
+                from ragroute_tpu.parallel import MeshStreamedEngine
+
+                engine = MeshStreamedEngine(
+                    shard_set, params, bank, mesh,
+                    threshold=threshold, k_refine=self.k_refine)
+            else:
+                engine = ShardedSearch(
+                    shard_set, params, bank, mesh, impl=self.impl,
+                    threshold=threshold, nprobe=self.nprobe,
+                    k_refine=self.k_refine)
             if self.num_processes > 1:
                 from ragroute_tpu.parallel import LockstepEngine
 

@@ -237,8 +237,12 @@ def test_hostrefine_mixed_residency():
                         rtol=2e-4, atol=2e-4)
 
 
-@pytest.mark.parametrize("impl", ["stream", "hostrefine"])
-def test_streamed_served_e2e(tmp_path_factory, impl):
+@pytest.mark.parametrize("impl,mesh", [
+    ("stream", None),
+    ("hostrefine", None),
+    ("hostrefine", "2x4"),   # capacity tier x mesh (streamed_mesh.py)
+])
+def test_streamed_served_e2e(tmp_path_factory, impl, mesh):
     """The whole serving stack (server + batcher + doc store) over the
     capacity tiers: one real HTTP query end-to-end, reference response
     schema intact."""
@@ -260,7 +264,7 @@ def test_streamed_served_e2e(tmp_path_factory, impl):
     args = argparse.Namespace(
         dataset="medrag", routing="all", disable_llm=True, simulate=False,
         model="llama3.1-8B-instruct", data_root=root, port=0,
-        dtype="int8", impl=impl, buckets=(8,),
+        dtype="int8", impl=impl, buckets=(8,), mesh=mesh,
         hbm_budget_gb=(4 * 512 * row_b) / 1e9)  # force host overflow
 
     async def run():
@@ -270,6 +274,10 @@ def test_streamed_served_e2e(tmp_path_factory, impl):
             port = system.server.bound_port
             sset = system.server.engine.shard_set
             assert any(s.host is not None for s in sset.sources)
+            if mesh:
+                from ragroute_tpu.parallel import MeshStreamedEngine
+                assert isinstance(system.server.engine,
+                                  MeshStreamedEngine)
             q = syn.questions[0]
             url = (f"http://127.0.0.1:{port}/query?"
                    f"q={urllib.parse.quote(q['question'])}"
@@ -373,6 +381,65 @@ def test_hostrefine_refine_depth_exceeds_slab():
         # k' >= every slab height => the coarse cut keeps everything and
         # the exact rescore must reproduce the flat engine bit-for-bit
         _outputs_equal(a, b)
+
+
+def test_hostrefine_mesh_composition():
+    """Capacity tier x mesh (parallel/streamed_mesh.py): the hostrefine
+    engine with its coarse slabs row-sharded over an idx axis must
+    reproduce the single-chip tier's winners (the mesh oversamples the
+    candidate cut, so recall vs the exact engine can only improve) and
+    carry exact scores on every returned winner."""
+    from ragroute_tpu.parallel import MeshStreamedEngine, make_mesh
+
+    syn, ref, eng1 = _world("medrag", jnp.int8, "hostrefine",
+                            budget_rows=0)
+    sset = eng1.shard_set
+    mesh = make_mesh(dp=2, idx=4, devices=jax.devices()[:8])
+    # a fresh build for the mesh engine: MeshStreamedEngine consumes
+    # (drops) the single-device arrays when sharding them
+    sset_m = StreamedShardSet.build(
+        syn.world, syn.embeddings, dtype=jnp.int8, tier="hostrefine",
+        hbm_budget_bytes=0, cluster_coarse=False)
+    eng_m = MeshStreamedEngine(sset_m, eng1.params, eng1.bank, mesh)
+
+    embs = {e: np.asarray(v) for e, v in syn.query_embs.items()}
+
+    def merged_sets(out):
+        return [{(int(s), int(l)) for s, l in
+                 zip(out.merged_shard[q], out.merged_local[q]) if s >= 0}
+                for q in range(out.merged_shard.shape[0])]
+
+    a = ref.search(embs, strategy="all", staged=False,
+                   fetch_candidates=True)
+    ref_sets = merged_sets(a)
+    for strategy in ("all", "ragroute"):
+        if strategy == "ragroute":
+            a = ref.search(embs, strategy=strategy, staged=False,
+                           fetch_candidates=True)
+            ref_sets = merged_sets(a)
+        for fetch in (False, True):
+            b = eng_m.search(embs, strategy=strategy,
+                             fetch_candidates=fetch)
+            np.testing.assert_array_equal(a.mask, b.mask)
+            hits = sum(len(r & g)
+                       for r, g in zip(ref_sets, merged_sets(b)))
+            tot = sum(len(r) for r in ref_sets)
+            assert hits / max(tot, 1) >= 0.95, (
+                f"{strategy}/fetch={fetch}: mesh hostrefine recall "
+                f"{hits / tot:.4f}")
+            # exact-score gate on every returned winner
+            for q in range(b.merged_shard.shape[0]):
+                for j in range(b.merged_shard.shape[1]):
+                    si = int(b.merged_shard[q, j])
+                    li = int(b.merged_local[q, j])
+                    if si < 0:
+                        continue
+                    pos = np.nonzero(a.shard_ids[q, si] == li)[0]
+                    if len(pos):
+                        np.testing.assert_allclose(
+                            b.merged_score[q, j],
+                            a.shard_scores[q, si, pos[0]],
+                            rtol=2e-4, atol=2e-4)
 
 
 def test_row_source_generator_blocks():
