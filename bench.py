@@ -680,9 +680,21 @@ def main():
     keys = jax.random.split(jax.random.key(1), reps)
     log("compiling + warmup...")
     t0 = time.time()
+    # AOT executable cache (utils/aot.py): a warm boot deserializes the
+    # compiled loop straight from disk — no tracing, no lowering, no
+    # persistent-cache key computation (the ~95 s warm floor of the
+    # round-4 boot table). Any source edit changes the key.
+    from ragroute_tpu.utils.aot import load_or_compile
+
+    loop_c = load_or_compile(
+        "bench_loop", loop, params, bank, arrays, ivf_arrays, lr_arrays,
+        embs_r, keys,
+        key_extra=f"{world_name}|{impl}|{strategy}|{dtype_name}|"
+                  f"{mesh_spec}|{nprobe}|{lowrank}|{k_refine}")
     # float() forces a device->host transfer: block_until_ready alone does
     # not synchronize through the axon remote-TPU tunnel
-    float(loop(params, bank, arrays, ivf_arrays, lr_arrays, embs_r, keys))
+    float(loop_c(params, bank, arrays, ivf_arrays, lr_arrays, embs_r,
+                 keys))
     log(f"compiled in {time.time() - t0:.1f}s; timing {reps} batches of "
         f"{batch}...")
 
@@ -699,8 +711,8 @@ def main():
 
     with ctx:
         t0 = time.time()
-        float(loop(params, bank, arrays, ivf_arrays, lr_arrays, embs_r,
-                   keys))
+        float(loop_c(params, bank, arrays, ivf_arrays, lr_arrays, embs_r,
+                     keys))
         elapsed = time.time() - t0
 
     if os.environ.get("RAGROUTE_BENCH_RECALL") == "1" and mesh_spec:
