@@ -19,20 +19,24 @@ beyond-reference capability like ``impl="ivf"``):
   batch axis (a sort-based dispatch like :mod:`ops.ivf_topk`'s costs
   O(E log E) at E = B*nprobe ~ 2M pairs; the cumsum is O(B*C));
 * a Pallas kernel runs each pair block as a dense ``[TE, r] x [r, S]``
-  grouped GEMM against its cluster's slab, S-chunked, with the SAME
-  tuned streaming top-k epilogue as the flat kernel
-  (:func:`ops.pallas_topk._merge_gains_tile`) folded in — so per-gain
-  cost matches the flat scan and total cost drops by the probe
-  fraction. Gains are never materialized to HBM (an ``ivf_topk``-style
-  materialize-then-gather pipeline would need ``B * nprobe * S * 4``
-  bytes ≈ 45 GB at the 25M-doc bench point — structurally refuted);
+  grouped GEMM against its cluster's slab, S-chunked, with a
+  RANK-CAPPED top extraction fused in (see ``_grouped_topk_kernel``'s
+  docstring for why the flat kernel's exact merge is the wrong
+  epilogue here — its cold-start inserts measured 8x slower than the
+  scan it replaces). Gains are never materialized to HBM (an
+  ``ivf_topk``-style materialize-then-gather pipeline would need
+  ``B * nprobe * S * 4`` bytes ≈ 45 GB at the 25M-doc bench point —
+  structurally refuted);
 * per-pair ``[E, kappa]`` winners are gathered per query and merged to
   the final ``[B, k']`` with :func:`ops.pallas_topk.pallas_stream_topk`.
 
-Exactness property: with ``nprobe == C`` every query scores every slot,
-so the candidate SET equals the flat coarse scan's (gated in
-tests/test_grouped_topk.py); smaller ``nprobe`` trades recall for
-speed, with the hostrefine exact rescore unchanged downstream.
+Recall property: the probe drops clusters (nprobe/C) and the rank cap
+drops within-tile concentration beyond ``ranks`` per tile; with
+``nprobe == C`` and ``kappa >= kp`` the candidate set matches the flat
+coarse scan's up to rank-cap concentration (gated in
+tests/test_grouped_topk.py); the hostrefine exact rescore is unchanged
+downstream, so the recall gates (CI + full-scale oracle) bound the
+total loss.
 """
 
 from __future__ import annotations
@@ -47,8 +51,7 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ragroute_tpu.ops.pallas_topk import (_merge_gains_tile, _round_up,
-                                          pallas_stream_topk)
+from ragroute_tpu.ops.pallas_topk import _round_up, pallas_stream_topk
 from ragroute_tpu.ops.topk import NEG_INF
 
 # rows per grouped-GEMM block. Pair runs per cluster average
@@ -72,8 +75,27 @@ class ClusteredCoarse:
 
 
 def _grouped_topk_kernel(tab_ref, qd_ref, docs_ref, bias_ref, scale_ref,
-                         out_g_ref, out_i_ref, run_g, run_i, gains_buf,
-                         done, *, k: int, tds: int, n_s_tiles: int):
+                         out_g_ref, out_i_ref, run_g, run_i,
+                         *, k: int, tds: int, n_s_tiles: int,
+                         ranks: int):
+    """Grouped GEMM + RANK-CAPPED top extraction.
+
+    Unlike the flat kernel's exact streaming merge
+    (``pallas_topk._merge_gains_tile``), each pair block here starts
+    its running top list COLD — an exact per-block top-k would pay ~k
+    full-width extract passes per block (the flat scan amortizes
+    inserts over thousands of tiles; a pair block has only
+    ``n_s_tiles``). Measured at the 25M-doc bench point that cold-start
+    cost made the probed scan 8x SLOWER than the flat scan it replaces
+    (round 5: 6.78 s vs 0.73 s device step with the exact merge). The
+    epilogue therefore keeps at most ``ranks`` winners per (row, tile)
+    via the statically-unrolled fast ladder ONLY — no stash, no
+    slow-path drain, ~3*ranks wide passes per tile. Per-pair
+    candidates = ranks * n_s_tiles (= the out width ``k``, sorted);
+    losses require more than ``ranks`` of a row's true winners inside
+    ONE ``tds``-slot tile — bounded by the recall gates
+    (tests/test_streamed.py + the full-scale oracle row).
+    """
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -91,9 +113,45 @@ def _grouped_topk_kernel(tab_ref, qd_ref, docs_ref, bias_ref, scale_ref,
         precision=scoring_precision(docs.dtype),
         preferred_element_type=jnp.float32)  # [TE, tds]
     gains = gains * scale_ref[0] + bias_ref[0]
-    _merge_gains_tile(
-        gains, j, out_g_ref, out_i_ref, run_g, run_i, gains_buf, done,
-        k=k, td=tds, n_doc_tiles=n_s_tiles)
+
+    te = gains.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (te, tds), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (te, k), 1)
+
+    def insert_one(m, gid, do_ins):
+        # predicated sorted insert (tie order: index-ascending — the
+        # doc axis streams in slot order, FAISS parity like the flat
+        # kernel)
+        cur_g = run_g[:]
+        cur_i = run_i[:]
+        pos = jnp.sum((cur_g >= m[:, None]).astype(jnp.int32), axis=1)
+        sh_g = jnp.concatenate([cur_g[:, :1], cur_g[:, :-1]], axis=1)
+        sh_i = jnp.concatenate([cur_i[:, :1], cur_i[:, :-1]], axis=1)
+        new_g = jnp.where(
+            lane < pos[:, None], cur_g,
+            jnp.where(lane == pos[:, None], m[:, None], sh_g))
+        new_i = jnp.where(
+            lane < pos[:, None], cur_i,
+            jnp.where(lane == pos[:, None], gid[:, None], sh_i))
+        run_g[:] = jnp.where(do_ins[:, None], new_g, cur_g)
+        run_i[:] = jnp.where(do_ins[:, None], new_i, cur_i)
+
+    m, excl = jnp.max(gains, axis=1), None
+    for r in range(ranks):
+        tie_cols = jnp.where(gains == m[:, None], col, tds)
+        if excl is not None:
+            tie_cols = jnp.where(excl, tds, tie_cols)
+        a = jnp.min(tie_cols, axis=1)
+        insert_one(m, a + j * tds, m > run_g[:, k - 1])
+        if r < ranks - 1:
+            hit = col == a[:, None]
+            excl = hit if excl is None else (excl | hit)
+            m = jnp.max(jnp.where(excl, NEG_INF, gains), axis=1)
+
+    @pl.when(j == n_s_tiles - 1)
+    def _emit():
+        out_g_ref[:] = run_g[:]
+        out_i_ref[:] = run_i[:]
 
 
 def _grouped_pair_topk(qd_pad: jnp.ndarray, cc: ClusteredCoarse,
@@ -109,8 +167,14 @@ def _grouped_pair_topk(qd_pad: jnp.ndarray, cc: ClusteredCoarse,
     ep, r = qd_pad.shape
     c, _, s = cc.docs.shape
     g = ep // _PAIR_ROWS
-    tds = min(_round_up(s, 128), 2048)
+    # tds 1024: at the 25M bench point S ~ 4700, so 1024 bounds the
+    # slab padding at <=21% (2048 padded 30%); per-gain ladder cost is
+    # tds-independent (passes scale with the tile area)
+    tds = min(_round_up(s, 128), 1024)
     s_pad = _round_up(s, tds)
+    n_s = s_pad // tds
+    ranks = max(1, -(-int(kappa) // n_s))
+    kw = ranks * n_s                    # out width (sorted run length)
     docs, bias, scale = cc.docs, cc.bias, cc.scale
     if s_pad != s:
         docs = jnp.pad(docs, ((0, 0), (0, 0), (0, s_pad - s)))
@@ -118,10 +182,9 @@ def _grouped_pair_topk(qd_pad: jnp.ndarray, cc: ClusteredCoarse,
                        constant_values=NEG_INF)
         scale = jnp.pad(scale, ((0, 0), (0, s_pad - s)),
                         constant_values=1e-12)
-    n_s = s_pad // tds
 
-    kernel = functools.partial(_grouped_topk_kernel, k=kappa, tds=tds,
-                               n_s_tiles=n_s)
+    kernel = functools.partial(_grouped_topk_kernel, k=kw, tds=tds,
+                               n_s_tiles=n_s, ranks=ranks)
     out_g, out_i = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -137,26 +200,24 @@ def _grouped_pair_topk(qd_pad: jnp.ndarray, cc: ClusteredCoarse,
                              lambda i, j, tab: (tab[i], 0, j)),
             ],
             out_specs=[
-                pl.BlockSpec((_PAIR_ROWS, kappa),
+                pl.BlockSpec((_PAIR_ROWS, kw),
                              lambda i, j, tab: (i, 0)),
-                pl.BlockSpec((_PAIR_ROWS, kappa),
+                pl.BlockSpec((_PAIR_ROWS, kw),
                              lambda i, j, tab: (i, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((_PAIR_ROWS, kappa), jnp.float32),
-                pltpu.VMEM((_PAIR_ROWS, kappa), jnp.int32),
-                pltpu.VMEM((_PAIR_ROWS, tds), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((_PAIR_ROWS, kw), jnp.float32),
+                pltpu.VMEM((_PAIR_ROWS, kw), jnp.int32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((ep, kappa), jnp.float32),
-            jax.ShapeDtypeStruct((ep, kappa), jnp.int32),
+            jax.ShapeDtypeStruct((ep, kw), jnp.float32),
+            jax.ShapeDtypeStruct((ep, kw), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * ep * s_pad * r,
             bytes_accessed=(ep * r * 2 + g * s_pad * (r + 8)
-                            + ep * kappa * 8),
+                            + ep * kw * 8),
             transcendentals=0),
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(blk_cluster, qd_pad, docs, bias[:, None, :], scale[:, None, :])
@@ -170,7 +231,7 @@ def coarse_probe_topk(
     kp: int,
     *,
     nprobe: int,
-    kappa: int = 64,
+    kappa: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Probed top-``kp`` over a clustered coarse slab.
 
@@ -179,9 +240,10 @@ def coarse_probe_topk(
         coarse scan feeds ``shard_topk``).
       kp: candidate depth per query (the hostrefine k').
       nprobe: clusters probed per query.
-      kappa: per-(query, cluster) winner cap. A probed cluster
-        contributes at most ``kappa`` candidates; losses require more
-        than ``kappa`` of a query's true top-kp to live in ONE cluster.
+      kappa: target per-(query, cluster) winner cap, realized as
+        ``ceil(kappa / n_tiles)`` ranks per slab tile (see the kernel
+        docstring); losses require winner concentration beyond the cap
+        inside one cluster tile.
 
     Returns ``(keys [B, kp] f32 gain form, ids [B, kp] int32 global row
     ids, -1 where invalid)`` — same contract as the flat coarse scan's
@@ -220,18 +282,19 @@ def coarse_probe_topk(
         jnp.searchsorted(blk_hi, jnp.arange(n_blocks, dtype=jnp.int32),
                          side="right"), 0, c - 1).astype(jnp.int32)
 
-    # 3. fused grouped GEMM + streaming per-row top-kappa
+    # 3. fused grouped GEMM + rank-capped per-row top extraction
     qd_pad = qt.astype(jnp.bfloat16)[pair_q]              # [Ep, r]
     og, oi = _grouped_pair_topk(qd_pad, cc, blk_cluster, kappa)
+    kw = og.shape[1]                 # realized per-pair width
 
-    # 4. collect: each query's P pair rows -> [B, P*kappa] -> top-kp
+    # 4. collect: each query's P pair rows -> [B, P*kw] -> top-kp
     row_of = pair_pos.reshape(-1)
-    pg = og[row_of].reshape(bsz, p * kappa)
-    pi = oi[row_of].reshape(bsz, p * kappa)
-    kp_eff = min(kp, p * kappa)
+    pg = og[row_of].reshape(bsz, p * kw)
+    pi = oi[row_of].reshape(bsz, p * kw)
+    kp_eff = min(kp, p * kw)
     keys, posk = pallas_stream_topk(pg, kp_eff)
     slot = jnp.take_along_axis(pi, posk, axis=1)          # [B, kp]
-    cl = jnp.take_along_axis(probe, posk // kappa, axis=1)
+    cl = jnp.take_along_axis(probe, posk // kw, axis=1)
     gid = cc.perm[cl, slot]
     valid = keys > NEG_INF
     gid = jnp.where(valid, gid, -1)

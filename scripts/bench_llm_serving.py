@@ -86,6 +86,93 @@ async def drive(svc, n, gap_s, warm_burst, msgs_fn=None):
     }
 
 
+def run_everything(args):
+    """The everything-on composition table (round-5 VERDICT item #6).
+
+    Continuous serving at the Qwen3-8B shape with int4 weights
+    (random codes — value-independent speed, scripts/bench_llm.py's
+    argument), staggered load, REAL MedRAG serving prompts whose gold
+    answers quote a retrieved document (the prompt-lookup regime).
+    Rows ablate shared-prefix KV, speculation W in {4, 8}, and int8 KV
+    — each previously measured alone; the point is their COMPOSITION.
+
+    Speculation semantics with random weights: greedy outputs are not
+    quote-continuations, so acceptance sits near the 1-token floor and
+    the spec rows price the VERIFY OVERHEAD inside the composition
+    (the real-acceptance speedup number lives in
+    bench_llm_spec_real.py's trained-checkpoint harness — run both).
+    """
+    from scripts.bench_llm import QWEN3_8B, random_quant_params
+    from ragroute_tpu.engine.prompts import generate_llm_message
+    from ragroute_tpu.index.synthetic import make_synthetic_world
+    from ragroute_tpu.llm.continuous import shared_prefix_ids
+
+    cfg = QWEN3_8B
+    if args.layers:
+        cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
+    params = random_quant_params(cfg, bits=4)
+    tok = ByteTokenizer()
+    gap = args.gap_ms / 1e3
+
+    # held-out quoting prompts: the SAME builder the serving path uses,
+    # answers quote one retrieved doc (bench_llm_spec_real's corpus
+    # recipe, eval split)
+    syn = make_synthetic_world("medrag", docs_per_source=64,
+                               num_queries=args.requests + 2, seed=11)
+    payloads = [p for src in syn.world.sources
+                for p in syn.doc_payloads[src.name]]
+    rng = np.random.default_rng(11)
+    prompts = []
+    for q in syn.questions:
+        docs = [payloads[rng.integers(0, len(payloads))]
+                for _ in range(2)]
+        msgs, _ = generate_llm_message(
+            "medrag", q["question"], docs, q["options"],
+            "qwen3-8B")
+        prompts.append(msgs)
+    sys_txt = prompts[0][0]["content"] if prompts[0][0][
+        "role"] == "system" else None
+    pre = shared_prefix_ids(tok, sys_txt) if sys_txt else []
+
+    def msgs_fn(i):
+        return prompts[i % len(prompts)]
+
+    rows = [
+        ("continuous", {}),
+        ("prefix", dict(prefix=True)),
+        ("spec4", dict(spec=4)),
+        ("int8kv", dict(kv=True)),
+        ("prefix_spec4_int8kv", dict(prefix=True, spec=4, kv=True)),
+        ("prefix_spec8_int8kv", dict(prefix=True, spec=8, kv=True)),
+    ]
+    out = {"model": f"qwen3-8B-shape(L={cfg.num_layers}, int4 weights)",
+           "requests": args.requests, "gap_ms": args.gap_ms,
+           "max_new": args.max_new, "chunk_steps": args.chunk_steps,
+           "slots": args.slots, "prefix_tokens": len(pre),
+           "rows": {}}
+    prompt_bucket = 1024
+    for name, feat in rows:
+        svc = ContinuousGenerationService(
+            params, cfg, tok, slots=args.slots,
+            prompt_buckets=(prompt_bucket,),
+            cache_len=prompt_bucket + (len(pre) if not feat.get("prefix")
+                                       else 0) + args.max_new + 32,
+            chunk_steps=args.chunk_steps,
+            cache_dtype=("int8" if feat.get("kv") else jnp.bfloat16),
+            spec_window=feat.get("spec", 0),
+            prefix_ids=(pre if feat.get("prefix") else None),
+            max_new_tokens=args.max_new,
+            eos_id=tok.eos_id, pad_id=tok.pad_id)
+        res = asyncio.run(drive(svc, args.requests, gap, args.slots,
+                                msgs_fn=msgs_fn))
+        if feat.get("spec") and svc.spec_steps:
+            res["accept_tok_per_step"] = round(
+                svc.spec_emitted / svc.spec_steps, 3)
+        out["rows"][name] = res
+        print(f"  {name}: {res}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=12)
@@ -94,6 +181,10 @@ def main():
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--chunk-steps", type=int, default=32)
+    ap.add_argument("--everything", action="store_true",
+                    help="the composition table: continuous + prefix + "
+                         "spec{4,8} + int8 KV at the Qwen3-8B int4 "
+                         "shape, one run, per-feature ablation rows")
     ap.add_argument("--prefix-tokens", type=int, default=0,
                     help="A/B the shared-prefix KV instead: every "
                          "request opens with the same N-token system "
@@ -108,6 +199,9 @@ def main():
                          "SERVING; for real acceptance/speedup use "
                          "bench_llm_spec_real.py's trained checkpoint)")
     args = ap.parse_args()
+
+    if args.everything:
+        return run_everything(args)
 
     params, cfg = build(args)
     tok = ByteTokenizer()

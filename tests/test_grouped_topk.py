@@ -55,8 +55,12 @@ def test_full_probe_matches_flat_scan(l2_bias):
     kp = 40
     cc = cluster_coarse_slab(codes, scales, bias, 0, n_clusters=8,
                              kmeans_iters=4)
+    # kappa >= kp: at 8 clusters a query's whole top-kp can live in
+    # ONE cluster, so the per-pair cap must not truncate it (production
+    # geometry has hundreds of clusters per topic; config pins a small
+    # HOSTREFINE_KAPPA there)
     keys, gid = coarse_probe_topk(jnp.asarray(qt), cc, kp,
-                                  nprobe=cc.n_clusters)
+                                  nprobe=cc.n_clusters, kappa=kp)
     rs, ri = _flat_reference(codes, scales, bias, qt, kp)
     keys, gid = np.asarray(keys), np.asarray(gid)
     for q in range(qt.shape[0]):
@@ -84,7 +88,8 @@ def test_partial_probe_recall_on_clustered_data():
     kp = 32
     cc = cluster_coarse_slab(codes, scales, bias, 0, n_clusters=16,
                              kmeans_iters=6)
-    keys, gid = coarse_probe_topk(jnp.asarray(qt), cc, kp, nprobe=4)
+    keys, gid = coarse_probe_topk(jnp.asarray(qt), cc, kp, nprobe=4,
+                                  kappa=kp)
     _, ri = _flat_reference(codes, scales, bias, qt, kp)
     hits = tot = 0
     for q in range(qt.shape[0]):
