@@ -427,11 +427,14 @@ class StreamedSearchEngine(QueryTableMixin):
         staged: bool = True,
         fetch_candidates: bool = True,
     ) -> SearchOutput:
+        if self.tier == "hostrefine":
+            # dispatch takes the step lock itself; the host completion
+            # phase runs outside it (pipelineable, see
+            # dispatch_hostrefine)
+            return self._search_hostrefine(
+                query_embs, strategy=strategy,
+                fetch_candidates=fetch_candidates)
         with self._step_lock:
-            if self.tier == "hostrefine":
-                return self._search_hostrefine(
-                    query_embs, strategy=strategy,
-                    fetch_candidates=fetch_candidates)
             return self._search_stream(
                 query_embs, strategy=strategy,
                 fetch_candidates=fetch_candidates)
@@ -522,22 +525,45 @@ class StreamedSearchEngine(QueryTableMixin):
 
     # -- hostrefine tier -------------------------------------------------
 
+    def dispatch_hostrefine(self, query_embs, *, strategy: str,
+                            fetch_candidates: bool):
+        """Enqueue one hostrefine device step WITHOUT fetching results.
+
+        Returns an opaque handle for :meth:`complete_hostrefine`. The
+        split exists so a serving/bench loop can PIPELINE batches: the
+        host-side exact rescore of batch t (0.4+ s at the 25M bench
+        point) runs while the device scans batch t+1 — the device and
+        the host each become the only bound on their own phase.
+        """
+        world = self.world
+        with self._step_lock:
+            embs = self._device_embs(query_embs)
+            q_host = self._host_embs(query_embs)
+            rng = self._next_key(strategy)
+            params, bank = self._router_inputs(strategy)
+            t0 = time.perf_counter()
+            out = self._hostrefine_step(
+                params, bank, self._res_arrays(), self._coarse_arrays(),
+                embs, rng, self._ptables, strategy=strategy,
+                per_source=fetch_candidates)
+        return (out, q_host, fetch_candidates, t0)
+
+    def complete_hostrefine(self, handle) -> SearchOutput:
+        out, q_host, fetch_candidates, t0 = handle
+        return self._complete_hostrefine(
+            out, q_host, fetch_candidates=fetch_candidates, t0=t0)
+
     def _search_hostrefine(self, query_embs, *, strategy: str,
                            fetch_candidates: bool) -> SearchOutput:
+        return self.complete_hostrefine(self.dispatch_hostrefine(
+            query_embs, strategy=strategy,
+            fetch_candidates=fetch_candidates))
+
+    def _complete_hostrefine(self, out, q_host, *, fetch_candidates,
+                             t0) -> SearchOutput:
         world = self.world
         k = world.k
-        embs = self._device_embs(query_embs)
-        q_host = self._host_embs(query_embs)
-        rng = self._next_key(strategy)
-        params, bank = self._router_inputs(strategy)
-        res_arrays = self._res_arrays()
-        coarse_arrays = self._coarse_arrays()
         per_source = fetch_candidates  # feb4rag / forced candidate mode
-
-        t0 = time.perf_counter()
-        out = self._hostrefine_step(
-            params, bank, res_arrays, coarse_arrays, embs, rng,
-            self._ptables, strategy=strategy, per_source=per_source)
         probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d, stats_d = out
         if per_source:
             need = tuple(range(len(world.sources)))

@@ -355,6 +355,32 @@ def test_hostrefine_clustered_coarse_recall():
     assert hits / tot >= 0.9
 
 
+def test_hostrefine_pipelined_dispatch_complete():
+    """dispatch/complete split (the pipelined serving loop): two
+    in-flight batches complete with outputs identical to sequential
+    search()."""
+    syn, ref, eng = _world("medrag", jnp.int8, "hostrefine",
+                           budget_rows=0, queries=16)
+    embs = {e: np.asarray(v) for e, v in syn.query_embs.items()}
+    half = {e: v[:8] for e, v in embs.items()}
+    other = {e: v[8:] for e, v in embs.items()}
+    seq_a = eng.search(half, strategy="all", fetch_candidates=False)
+    seq_b = eng.search(other, strategy="all", fetch_candidates=False)
+    h1 = eng.dispatch_hostrefine(half, strategy="all",
+                                 fetch_candidates=False)
+    h2 = eng.dispatch_hostrefine(other, strategy="all",
+                                 fetch_candidates=False)
+    out_a = eng.complete_hostrefine(h1)
+    out_b = eng.complete_hostrefine(h2)
+    for seq, out in ((seq_a, out_a), (seq_b, out_b)):
+        np.testing.assert_array_equal(seq.merged_shard, out.merged_shard)
+        np.testing.assert_array_equal(seq.merged_local, out.merged_local)
+        ok = seq.merged_shard >= 0
+        np.testing.assert_allclose(
+            np.where(ok, seq.merged_score, 0.0),
+            np.where(ok, out.merged_score, 0.0), rtol=1e-5, atol=1e-5)
+
+
 def test_hostrefine_refine_depth_exceeds_slab():
     """k' > a source's coarse slab height must clamp per source (pad
     with never-wins sentinels) instead of failing lax.top_k at trace
