@@ -127,7 +127,12 @@ LOWRANK_MOMENT_SAMPLE_ROWS = 131072
 # capacity cost (d/128 f32 scales per doc). The kernel dequantizes
 # groups during the in-register nibble unpack, before the MXU matmul.
 # Dims not divisible by the group size fall back to per-doc scales.
-INT4_GROUP_DIMS = 128
+# Env override (RAGROUTE_INT4_GROUP_DIMS): 0 disables grouping (per-doc
+# scales — the faster kernel epilogue; the measured dtype policy keeps
+# per-doc scales for low-dim dot/l2 worlds and grouped scales where the
+# 4096-d cos recall gate demands them, see STORE_DTYPE_POLICY below).
+INT4_GROUP_DIMS = int(os.environ.get("RAGROUTE_INT4_GROUP_DIMS", "128")
+                      ) or (1 << 30)
 
 # Host-RAM capacity tiers (index/streamed.py, engine/streamed.py): serve
 # corpora bigger than one chip's HBM. STREAM_HBM_BUDGET_GB bounds the
