@@ -159,7 +159,7 @@ HOSTREFINE_CLUSTER_MIN_DOCS = int(
     os.environ.get("RAGROUTE_HOSTREFINE_CLUSTER_MIN_DOCS", str(1 << 20)))
 HOSTREFINE_NPROBE_DIVISOR = int(
     os.environ.get("RAGROUTE_HOSTREFINE_NPROBE_DIVISOR", "4"))
-HOSTREFINE_KAPPA = 16
+HOSTREFINE_KAPPA = int(os.environ.get("RAGROUTE_HOSTREFINE_KAPPA", "16"))
 
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with

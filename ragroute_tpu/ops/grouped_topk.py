@@ -55,9 +55,12 @@ from ragroute_tpu.ops.pallas_topk import _round_up, pallas_stream_topk
 from ragroute_tpu.ops.topk import NEG_INF
 
 # rows per grouped-GEMM block. Pair runs per cluster average
-# E/C ~ B * probe_fraction (hundreds at serving batch sizes), so 128
-# keeps full MXU row utilization with modest (~C*TE/2 rows) padding.
-_PAIR_ROWS = 128
+# E/C ~ B * probe_fraction (hundreds at serving batch sizes). 256
+# halves the grid-step count vs 128 (the 25M bench point ran ~100k
+# grid steps at 128 — fixed per-step overhead was a measurable slice
+# of the 2.0 s device step) at ~2x the block-padding rows.
+_PAIR_ROWS = int(__import__("os").environ.get("RAGROUTE_PAIR_ROWS",
+                                              "256"))
 
 
 @struct.dataclass
