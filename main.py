@@ -107,13 +107,17 @@ def parse_args(argv=None):
                         help="Data root (default: $RAGROUTE_DATA)")
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--dtype", type=str, default="bfloat16",
-                        choices=["bfloat16", "float32", "int8", "int4"],
+                        choices=["bfloat16", "float32", "int8", "int4",
+                                 "policy"],
                         help="On-device index dtype (int8: per-doc "
                              "symmetric quantization, 2x capacity over "
                              "bf16 at ~1.5%% recall@32 cost; int4: packed "
                              "pairs with MSE-optimal per-doc scales, 4x "
                              "capacity — the kernel unpacks nibbles "
-                             "in-register)")
+                             "in-register; policy: the measured per-world "
+                             "rule from config.store_dtype_policy — int8 "
+                             "for low-dim dot/l2 worlds, int4+lowrank for "
+                             "high-dim cos)")
     parser.add_argument("--impl", type=str, default="auto",
                         choices=["auto", "pallas", "chunked", "exact",
                                  "ivf", "hybrid", "lowrank", "stream",

@@ -161,6 +161,30 @@ HOSTREFINE_NPROBE_DIVISOR = int(
     os.environ.get("RAGROUTE_HOSTREFINE_NPROBE_DIVISOR", "4"))
 HOSTREFINE_KAPPA = int(os.environ.get("RAGROUTE_HOSTREFINE_KAPPA", "16"))
 
+# Measured store-dtype policy (round 5, VERDICT item #5). Sources:
+# RECALL_r05.json full-scale rows + BENCHMARKS.md dtype table. Rules:
+#   * low-dim (<= 1024) dot/l2 shards: int8 — full-scale recall 0.9919
+#     at 89.8k q/s; int4 halves bytes again (recall 0.9540 >= its 0.90
+#     gate) but its per-group-scale kernel epilogue measured SLOWER
+#     than int8 at the 1M bench point, so int4 is the CAPACITY pick,
+#     not the throughput pick, at these dims.
+#   * high-dim (> 1024) cos shards: int4 + lowrank (coarse-authoritative
+#     ordering) — the only int4 config that clears >= 0.95 there
+#     (0.9958 CI / 0.9918 full-scale).
+#   * exactness-gated runs (FAISS parity, oracles): float32.
+#   * default serving elsewhere: bfloat16 (recall 0.99+ everywhere).
+# `store_dtype_policy` returns (dtype_name, use_lowrank) for one shard.
+def store_dtype_policy(embed_dim: int, score_mode: str,
+                       *, capacity: bool = False):
+    if capacity:
+        return ("int4", embed_dim > 1024 or score_mode == "cos")
+    if embed_dim > 1024 and score_mode == "cos":
+        return ("int4", True)
+    if embed_dim <= 1024 and score_mode in ("dot", "l2"):
+        return ("int8", False)
+    return ("bfloat16", False)
+
+
 # Doc-side encoders that built the reference indexes upstream (query-side
 # zoo encoders differ for these worlds; feb4rag indexes were built with
 # each source's own zoo encoder). Used by the corpus-ingest path

@@ -305,6 +305,22 @@ class ServingSystem:
     def build(self) -> FederationServer:
         import jax.numpy as jnp
 
+        if self.dtype_name == "policy":
+            # measured per-world rule (config.store_dtype_policy):
+            # int4+lowrank where any high-dim cos shard demands it,
+            # int8 for low-dim dot/l2 worlds
+            from ragroute_tpu.config import store_dtype_policy
+
+            picks = {store_dtype_policy(s.embed_dim, s.score_mode)
+                     for s in self.world.sources}
+            if any(lowrank for _, lowrank in picks):
+                self.dtype_name = "int4"
+                if self.impl == "auto":
+                    self.impl = "lowrank"
+            else:
+                self.dtype_name = "int8"
+            logger.info("dtype policy: %s (impl %s) for world %s",
+                        self.dtype_name, self.impl, self.world.name)
         dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
                  "int8": jnp.int8, "int4": "int4"}[self.dtype_name]
 

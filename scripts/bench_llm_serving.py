@@ -21,11 +21,16 @@ latency. Numbers below in BENCHMARKS.md were taken at chunk=32.
 import argparse
 import asyncio
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, __import__("os").path.dirname(
-    __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+# no egress in this environment: without these the first tokenizer load
+# burns ~minutes in huggingface_hub connect retries before falling back
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import jax.numpy as jnp
 import numpy as np

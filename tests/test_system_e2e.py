@@ -262,3 +262,31 @@ def test_llm_prefix_cache_served(world_root):
             await system.stop()
 
     asyncio.run(run())
+
+
+def test_dtype_policy_resolution():
+    """--dtype policy resolves to the measured per-world rule
+    (config.store_dtype_policy): int8 for low-dim dot/l2 worlds,
+    int4+lowrank where a high-dim cos shard demands it."""
+    import argparse
+
+    from ragroute_tpu.config import store_dtype_policy, get_world
+    from ragroute_tpu.system import ServingSystem
+
+    assert store_dtype_policy(768, "dot") == ("int8", False)
+    assert store_dtype_policy(768, "l2") == ("int8", False)
+    assert store_dtype_policy(4096, "cos") == ("int4", True)
+    assert store_dtype_policy(768, "cos") == ("bfloat16", False)
+    assert store_dtype_policy(4096, "cos", capacity=True) == ("int4", True)
+
+    for dataset, want_dtype, want_impl in (
+            ("medrag", "int8", "auto"),
+            ("feb4rag", "int4", "lowrank")):
+        args = argparse.Namespace(
+            dataset=dataset, routing="all", disable_llm=True,
+            simulate=True, model="llama3.1-8B-instruct", port=0,
+            dtype="policy", impl="auto")
+        system = ServingSystem(args)
+        system.build()
+        assert system.dtype_name == want_dtype, dataset
+        assert system.impl == want_impl, dataset
