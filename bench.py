@@ -265,15 +265,32 @@ def _load_streamed_cache(cache_dir, world, impl):
                           encoder=src.encoder, embed_dim=src.embed_dim,
                           n_docs=int(n),
                           center=z["center"] if "center" in z else None)
-        # a clustered cache carries BOTH layouts; upload only the one the
-        # engine will scan (RAGROUTE_HOSTREFINE_FLAT=1 forces the flat
-        # exhaustive coarse scan for A/B runs)
+        # a clustered cache carries the cluster-major layout; upload only
+        # what the engine will scan (RAGROUTE_HOSTREFINE_FLAT=1 forces
+        # the flat exhaustive coarse scan for A/B runs — reconstructed
+        # from the cl arrays by inverse permutation, same codes)
         use_cl = ("cl_docs" in z
                   and os.environ.get("RAGROUTE_HOSTREFINE_FLAT") != "1")
         for name in ("res_docs", "res_bias", "res_scale", "coarse_docs",
                      "coarse_scale", "coarse_bias", "basis", "mu_lr"):
             if name in z and not (use_cl and name.startswith("coarse_")):
                 setattr(st, name, jnp.asarray(z[name]))
+        if (not use_cl and "cl_docs" in z and "coarse_docs" not in z):
+            from ragroute_tpu.config import SHARD_PAD_MULTIPLE
+            perm = z["cl_perm"]                       # [C, S] global ids
+            r_dim = z["cl_docs"].shape[1]
+            n_pad = -(-int(n) // SHARD_PAD_MULTIPLE) * SHARD_PAD_MULTIPLE
+            f_codes = np.zeros((n_pad, r_dim), np.int8)
+            f_scale = np.full(n_pad, 1e-12, np.float32)
+            f_bias = np.full(n_pad, -np.inf, np.float32)
+            valid = perm >= 0
+            rows = perm[valid]
+            f_codes[rows] = z["cl_docs"].transpose(0, 2, 1)[valid]
+            f_scale[rows] = z["cl_scale"][valid]
+            f_bias[rows] = z["cl_bias"][valid]
+            st.coarse_docs = jnp.asarray(f_codes)
+            st.coarse_scale = jnp.asarray(f_scale)
+            st.coarse_bias = jnp.asarray(f_bias)
         if use_cl:
             from ragroute_tpu.ops.grouped_topk import ClusteredCoarse
             st.coarse_cl = ClusteredCoarse(

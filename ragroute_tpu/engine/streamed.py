@@ -536,6 +536,10 @@ class StreamedSearchEngine(QueryTableMixin):
         the host each become the only bound on their own phase.
         """
         world = self.world
+        # a fully-resident world (every source fit the HBM budget) has
+        # no coarse slabs: the global-cut branch would concatenate
+        # nothing, so run the per-source path (exact resident merge)
+        per_source = fetch_candidates or not any(self._has_coarse)
         with self._step_lock:
             embs = self._device_embs(query_embs)
             q_host = self._host_embs(query_embs)
@@ -545,13 +549,14 @@ class StreamedSearchEngine(QueryTableMixin):
             out = self._hostrefine_step(
                 params, bank, self._res_arrays(), self._coarse_arrays(),
                 embs, rng, self._ptables, strategy=strategy,
-                per_source=fetch_candidates)
-        return (out, q_host, fetch_candidates, t0)
+                per_source=per_source)
+        return (out, q_host, fetch_candidates, per_source, t0)
 
     def complete_hostrefine(self, handle) -> SearchOutput:
-        out, q_host, fetch_candidates, t0 = handle
+        out, q_host, fetch_candidates, per_source, t0 = handle
         return self._complete_hostrefine(
-            out, q_host, fetch_candidates=fetch_candidates, t0=t0)
+            out, q_host, fetch_candidates=fetch_candidates,
+            per_source=per_source, t0=t0)
 
     def _search_hostrefine(self, query_embs, *, strategy: str,
                            fetch_candidates: bool) -> SearchOutput:
@@ -560,10 +565,9 @@ class StreamedSearchEngine(QueryTableMixin):
             fetch_candidates=fetch_candidates))
 
     def _complete_hostrefine(self, out, q_host, *, fetch_candidates,
-                             t0) -> SearchOutput:
+                             per_source, t0) -> SearchOutput:
         world = self.world
         k = world.k
-        per_source = fetch_candidates  # feb4rag / forced candidate mode
         probs_d, mask_d, pk_d, pi_d, cands_d, msg_d, glob_d, stats_d = out
         if per_source:
             need = tuple(range(len(world.sources)))
