@@ -139,6 +139,9 @@ class StreamedSearchEngine(QueryTableMixin):
         self.params = router_params
         self.bank = bank
         self.tier = shard_set.tier
+        # the batcher's pipelined worker keys on this: only the
+        # hostrefine tier has the dispatch/complete split
+        self.supports_pipelined_dispatch = self.tier == "hostrefine"
         self.threshold = threshold
         self.prefetch = max(1, int(prefetch))
         self.k_refine = int(k_refine or

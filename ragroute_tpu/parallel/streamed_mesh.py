@@ -58,6 +58,10 @@ from ragroute_tpu.parallel.sharded import sharded_shard_topk
 class MeshStreamedEngine(StreamedSearchEngine):
     """Hostrefine capacity tier over a ``(dp, idx)`` mesh.
 
+    (No dispatch/complete split yet — the batcher serves it with the
+    sequential worker; ``supports_pipelined_dispatch`` is forced off
+    below.)
+
     Same host-facing contract as :class:`StreamedSearchEngine` (the
     batcher/server stack runs unchanged); the device work shards over
     the mesh.
@@ -95,6 +99,7 @@ class MeshStreamedEngine(StreamedSearchEngine):
         super().__init__(shard_set, router_params, bank,
                          threshold=threshold, seed=seed,
                          k_refine=k_refine)
+        self.supports_pipelined_dispatch = False
 
     # -- device-step construction (mesh variants) ------------------------
 
