@@ -146,20 +146,21 @@ STREAM_HBM_BUDGET_GB = float(os.environ.get("RAGROUTE_HBM_BUDGET_GB", "6.0"))
 STREAM_SLAB_MB = int(os.environ.get("RAGROUTE_STREAM_SLAB_MB", "256"))
 STREAM_PREFETCH = 2
 HOSTREFINE_REFINE_MULT = 4
-# Probed coarse scan (ops/grouped_topk.py): hostrefine sources with more
-# host rows than HOSTREFINE_CLUSTER_MIN_DOCS get their coarse slab
-# k-means-clustered at build time and probed at C // NPROBE_DIVISOR
-# clusters per query — the round-4 cost forensics showed the exhaustive
-# coarse scan pays a fixed epilogue cost PER GAIN, so throughput scales
-# with the probe fraction. KAPPA caps candidates per (query, cluster);
-# losses need > KAPPA of a query's true top-k' in ONE cluster.
-# Recall gates: tests/test_streamed.py + the full-scale oracle row in
-# BENCHMARKS.md (RAGROUTE_BENCH_RECALL=1).
+# Probed coarse scan (ops/grouped_topk.py): OPT-IN. Round-5 A/B at the
+# 25.17M-doc topical bench point (BENCHMARKS.md capacity table):
+# probed (nprobe=C/8, kappa=8, te=256) 1754 seq / 2431 pipelined q/s at
+# recall 0.9702 vs the flat exhaustive coarse scan's 1632 / 2340 at
+# 0.9991 — the probe's gain-count saving is mostly eaten by dispatch/
+# collect overheads and the rank-cap's extra ladder passes, so ~+4%
+# throughput buys ~3 recall points. The default therefore stays the
+# FLAT scan; clustering triggers only when HOSTREFINE_CLUSTER_MIN_DOCS
+# is set > 0 (env) or cluster_coarse=True is passed at build. KAPPA
+# caps per-(query, cluster-tile) winners (rank-capped kernel epilogue).
 HOSTREFINE_CLUSTER_MIN_DOCS = int(
-    os.environ.get("RAGROUTE_HOSTREFINE_CLUSTER_MIN_DOCS", str(1 << 20)))
+    os.environ.get("RAGROUTE_HOSTREFINE_CLUSTER_MIN_DOCS", "0"))
 HOSTREFINE_NPROBE_DIVISOR = int(
-    os.environ.get("RAGROUTE_HOSTREFINE_NPROBE_DIVISOR", "4"))
-HOSTREFINE_KAPPA = int(os.environ.get("RAGROUTE_HOSTREFINE_KAPPA", "16"))
+    os.environ.get("RAGROUTE_HOSTREFINE_NPROBE_DIVISOR", "8"))
+HOSTREFINE_KAPPA = int(os.environ.get("RAGROUTE_HOSTREFINE_KAPPA", "8"))
 
 # Measured store-dtype policy (round 5, VERDICT item #5). Sources:
 # RECALL_r05.json full-scale rows + BENCHMARKS.md dtype table. Rules:

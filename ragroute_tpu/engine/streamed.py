@@ -133,6 +133,7 @@ class StreamedSearchEngine(QueryTableMixin):
         k_refine: Optional[int] = None,
         prefetch: int = STREAM_PREFETCH,
         nprobe: Optional[int] = None,
+        kappa: Optional[int] = None,
     ):
         self.world: WorldConfig = shard_set.world
         self.shard_set = shard_set
@@ -147,8 +148,10 @@ class StreamedSearchEngine(QueryTableMixin):
         self.k_refine = int(k_refine or
                             HOSTREFINE_REFINE_MULT * self.world.k)
         # clusters probed per query on clustered coarse slabs (None =
-        # C // HOSTREFINE_NPROBE_DIVISOR per source)
+        # C // HOSTREFINE_NPROBE_DIVISOR per source); kappa = per-pair
+        # winner cap (None = HOSTREFINE_KAPPA)
         self.nprobe = nprobe
+        self.kappa = int(kappa or HOSTREFINE_KAPPA)
         self._key = jax.random.key(seed)
         self._step_lock = threading.Lock()
         self._ptables = None
@@ -322,7 +325,7 @@ class StreamedSearchEngine(QueryTableMixin):
 
                     cs, ci = coarse_probe_topk(
                         qt[i], cl, kp, nprobe=nprobe_of[i],
-                        kappa=HOSTREFINE_KAPPA)
+                        kappa=self.kappa)
                     # invalid candidates carry id -1 (excluded downstream)
                     stats_ids.append(jnp.maximum(ci[:, :k], 0))
                     cand_src.append(ci)

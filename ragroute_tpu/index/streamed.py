@@ -435,7 +435,9 @@ class StreamedShardSet:
             if tier == "hostrefine" and n_host:
                 from ragroute_tpu.config import HOSTREFINE_CLUSTER_MIN_DOCS
                 do_cluster = (cluster_coarse if cluster_coarse is not None
-                              else n_host >= HOSTREFINE_CLUSTER_MIN_DOCS)
+                              else (HOSTREFINE_CLUSTER_MIN_DOCS > 0
+                                    and n_host
+                                    >= HOSTREFINE_CLUSTER_MIN_DOCS))
                 cls._build_coarse(st, source, rank, normalize_cos,
                                   center, device, cluster=do_cluster)
 

@@ -337,15 +337,24 @@ def test_hostrefine_clustered_coarse_recall():
     # full probe == flat coarse candidates -> same refined winners
     c_max = max(s.coarse_cl.n_clusters for s in sset_cl.sources
                 if s.coarse_cl is not None)
+    # kappa >= k': the full-probe equivalence needs the per-pair cap to
+    # not truncate a cluster that holds a query's whole candidate list
+    # (toy geometry; see test_grouped_topk.py's same pin)
     eng_full = StreamedSearchEngine(sset_cl, params, bank,
-                                    nprobe=c_max)
+                                    nprobe=c_max, kappa=512)
     b = eng_full.search(embs, strategy="all", fetch_candidates=False)
     hits = sum(len(r & g) for r, g in zip(ref_sets, merged_sets(b)))
     tot = sum(len(r) for r in ref_sets)
     assert hits / tot >= 0.95, f"full-probe recall {hits / tot:.4f}"
 
-    # default partial probe: the serving configuration's gate
-    eng_p = StreamedSearchEngine(sset_cl, params, bank)
+    # partial probe at C/4 — this toy world has ~4 clusters per topic,
+    # so the production divisor (C/8, tuned at C=4096 with ~64 clusters
+    # per topic) under-probes here; the gate pins the geometry-matched
+    # depth instead
+    eng_p = StreamedSearchEngine(sset_cl, params, bank, kappa=64,
+                                 nprobe=max(s.coarse_cl.n_clusters
+                                            for s in sset_cl.sources
+                                            if s.coarse_cl) // 4)
     c = eng_p.search(embs, strategy="all", fetch_candidates=False)
     hits = sum(len(r & g) for r, g in zip(ref_sets, merged_sets(c)))
     assert hits / tot >= 0.9, f"partial-probe recall {hits / tot:.4f}"
