@@ -18,9 +18,18 @@ by design — the aval+source key cannot see WHICH function changed).
 Deserialization failures (backend upgrade, driver change) fall back to
 the normal jit path and overwrite the entry.
 
-Measured (v5e via the axon tunnel, bench point B=2048/1M-doc bf16,
-round 5): fully-warm boot 95 s (trace+lower+cache-hit) -> AOT warm
-boot — see the boot table row in BENCHMARKS.md.
+MEASURED REFUTATION on this backend (round 5, v5e via the axon
+tunnel, bench point B=2048/1M-doc bf16, same session back-to-back):
+the mechanism works — deserialize_and_load returns in 0.1 s with zero
+tracing — but the FIRST EXECUTION of the deserialized executable took
+296.6 s vs 129.7 s for the classic jit path (trace+lower+persistent-
+cache hit+execute) on identical inputs. The remote axon backend
+evidently reprocesses a client-shipped serialized executable far more
+expensively than its own persistent-cache hit, so skipping trace+lower
+(the only cost AOT removes) LOSES 167 s net here. Default is therefore
+OFF (``RAGROUTE_AOT=1`` opts in — the right default on a local-attach
+TPU host, where executable load is a local protobuf read). The boot
+table in BENCHMARKS.md records both numbers.
 """
 
 from __future__ import annotations
@@ -99,11 +108,12 @@ def load_or_compile(tag: str, jitted, *args, key_extra: str = "",
     args bound at call time (bind them via functools.partial +
     ``static_argnames`` before jitting, or fold into ``key_extra``).
 
-    Set ``RAGROUTE_AOT=0`` to disable (plain lower+compile).
+    ``RAGROUTE_AOT=1`` opts in (default OFF: measured 2.3x slower than
+    the classic path through the axon tunnel, module docstring).
     """
     import jax
 
-    if os.environ.get("RAGROUTE_AOT", "1") == "0":
+    if os.environ.get("RAGROUTE_AOT", "0") != "1":
         return jitted.lower(*args, **kwargs).compile()
 
     backend = jax.default_backend()
