@@ -160,3 +160,32 @@ def test_bench_mesh_tiny(monkeypatch, capsys):
     bench.main()
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["value"] > 0
+
+
+def test_bench_streamed_hostrefine_tiny(monkeypatch, capsys):
+    """main_streamed at tiny scale: the hostrefine capacity bench's full
+    path — sequential timing, the pipelined dispatch/complete loop, and
+    the full-scale recall ORACLE (exact slab-scan of the same host
+    bytes + k' sweep) — emits the driver JSON line. Round 5 shipped
+    these as the headline capacity measurements; they must run in CI."""
+    monkeypatch.setenv("RAGROUTE_BENCH_DOCS", "40000")
+    monkeypatch.setenv("RAGROUTE_BENCH_BATCH", "32")
+    monkeypatch.setenv("RAGROUTE_BENCH_REPS", "2")
+    monkeypatch.setenv("RAGROUTE_BENCH_HBM_GB", "0.003")
+    monkeypatch.setenv("RAGROUTE_BENCH_RECALL", "1")
+    monkeypatch.setenv("RAGROUTE_BENCH_REFINE_SWEEP", "2")
+    monkeypatch.setenv("RAGROUTE_BENCH_WORLD_CACHE", "0")
+    monkeypatch.setenv("RAGROUTE_BENCH_ORACLE_CHUNK", "8192")
+    import bench
+
+    bench.main_streamed("hostrefine")
+    out = capsys.readouterr()
+    rec = json.loads(
+        [ln for ln in out.out.strip().splitlines() if ln][-1])
+    assert rec["metric"] == "hostrefine_queries_per_sec"
+    assert rec["value"] > 0
+    # the oracle printed full-scale recall rows (stderr)
+    assert "RECALL hostrefine@" in out.err
+    assert "k'=64 (mult 2)" in out.err
+    # pipelined loop ran and reported
+    assert "pipelined: host refine overlaps" in out.err
