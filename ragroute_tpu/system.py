@@ -442,7 +442,7 @@ class ServingSystem:
 
             engine = StreamedSearchEngine(
                 shard_set, params, bank, threshold=threshold,
-                k_refine=self.k_refine)
+                k_refine=self.k_refine, nprobe=self.nprobe)
         else:
             engine = FederatedSearchEngine(
                 shard_set, params, bank, impl=self.impl,
