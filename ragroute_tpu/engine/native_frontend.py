@@ -408,8 +408,18 @@ class NativeFederationServer:
         # behind the next batch, and the eager non-blocking pops shrink
         # mean batch size 309 -> 257 on top. Kept as an opt-in for
         # locally-attached backends with out-of-order streams.
-        self.pipeline = os.environ.get(
-            "RAGROUTE_NATIVE_PIPELINE", "0") == "1"
+        # pipeline default: OFF for flat engines (the in-order tunnel
+        # serializes the deferred fetch behind the next batch's compute,
+        # measured -15%), ON for dispatch/complete engines (hostrefine:
+        # wait() is host-CPU rescore work, which overlaps the next
+        # device scan — the same +40% as the asyncio batcher's
+        # pipelined worker). RAGROUTE_NATIVE_PIPELINE=0/1 forces.
+        env = os.environ.get("RAGROUTE_NATIVE_PIPELINE")
+        if env is not None:
+            self.pipeline = env == "1"
+        else:
+            self.pipeline = getattr(
+                server.engine, "supports_pipelined_dispatch", False)
         self._pending = None  # (chunk, PendingSearch)
         # post-retrieval finisher: generation (incl. SSE streaming) and
         # simulate's LLM_DELAY are async stages that must not block the

@@ -119,6 +119,37 @@ def _host_gate_and_merge(world: WorldConfig, k: int, mask: np.ndarray,
             merged_shard, merged_local.astype(np.int32), merged_valid)
 
 
+class _PendingStreamed:
+    """Deferred hostrefine completion (search_submit contract)."""
+
+    __slots__ = ("_engine", "_handle", "_done")
+
+    def __init__(self, engine, handle):
+        self._engine = engine
+        self._handle = handle
+        self._done = False
+
+    def wait(self) -> SearchOutput:
+        if self._done:
+            raise RuntimeError("wait() called twice")
+        self._done = True
+        out = self._engine.complete_hostrefine(self._handle)
+        self._handle = None
+        return out
+
+
+class _DoneStreamed:
+    """Already-finished search behind the search_submit contract."""
+
+    __slots__ = ("_out",)
+
+    def __init__(self, out):
+        self._out = out
+
+    def wait(self) -> SearchOutput:
+        return self._out
+
+
 class StreamedSearchEngine(QueryTableMixin):
     """Serve a :class:`StreamedShardSet` (either tier)."""
 
@@ -568,6 +599,24 @@ class StreamedSearchEngine(QueryTableMixin):
                            fetch_candidates: bool) -> SearchOutput:
         return self.complete_hostrefine(self.dispatch_hostrefine(
             query_embs, strategy=strategy,
+            fetch_candidates=fetch_candidates))
+
+    def search_submit(self, query_embs, *, strategy: str = "ragroute",
+                      staged: bool = True, fetch_candidates: bool = True):
+        """Deferred-completion search (the native front-end's pipelined
+        loop contract, :class:`engine.engine.PendingSearch`): hostrefine
+        returns immediately after the device dispatch; ``wait()`` runs
+        the fetch + host exact rescore — so the C++ plane's pipeline
+        mode overlaps batch N's refine with batch N+1's device scan,
+        exactly like the asyncio batcher's pipelined worker. The stream
+        tier's slab loop is inherently synchronous; it completes inline
+        and wait() just hands the result over."""
+        if self.tier == "hostrefine":
+            return _PendingStreamed(self, self.dispatch_hostrefine(
+                query_embs, strategy=strategy,
+                fetch_candidates=fetch_candidates))
+        return _DoneStreamed(self.search(
+            query_embs, strategy=strategy, staged=staged,
             fetch_candidates=fetch_candidates))
 
     def _complete_hostrefine(self, out, q_host, *, fetch_candidates,

@@ -219,3 +219,46 @@ def test_native_simulate_mode():
         assert dt >= 1.0, "simulate must apply the LLM_DELAY stage"
     finally:
         ns.stop()
+
+
+def test_native_hostrefine_pipelined():
+    """The capacity tier through the C++ plane with PIPELINE mode on by
+    default (dispatch/complete engines): wait() runs the host exact
+    rescore while the next batch's device scan executes. Responses must
+    match the reference schema and the flat engine's winners."""
+    from ragroute_tpu.engine.streamed import StreamedSearchEngine
+    from ragroute_tpu.index.streamed import StreamedShardSet
+
+    syn = make_synthetic_world("medrag", docs_per_source=1200,
+                               num_queries=6, seed=2)
+    row_b = 768 + 8
+    sset = StreamedShardSet.build(
+        syn.world, syn.embeddings, doc_ids=syn.doc_ids, dtype=jnp.int8,
+        tier="hostrefine", hbm_budget_bytes=4 * 512 * row_b)
+    assert any(s.host is not None for s in sset.sources)
+    params = init_router_params(jax.random.key(0),
+                                syn.world.router_input_dim)
+    bank = RouterBank.create(syn.world, syn.centroids)
+    engine = StreamedSearchEngine(sset, params, bank)
+    server = FederationServer(
+        engine, strategy="all",
+        embedding_provider=PrecomputedEmbeddings.from_synthetic(syn),
+        doc_store=MemoryDocStore.from_synthetic(syn),
+        disable_llm=True, port=0, warmup=False,
+        batcher=QueryBatcher(engine, strategy="all", window_ms=5.0,
+                             buckets=(8,)))
+    ns = NativeFederationServer(server)
+    assert ns.pipeline, "hostrefine engines default pipeline ON"
+    ns.start(thread=True)
+    try:
+        for q in syn.questions[:3]:
+            status, _, body = http_get(
+                ns.bound_port, query_path(q["question"], q["options"],
+                                          q["qid"]))
+            assert status == 200
+            md = json.loads(body)["metadata"]
+            assert len(md["top_docs"]) == syn.world.k
+            assert sorted(md["data_sources"]) == sorted(
+                s.name for s in syn.world.sources)
+    finally:
+        ns.stop()
