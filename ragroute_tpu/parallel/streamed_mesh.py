@@ -58,13 +58,11 @@ from ragroute_tpu.parallel.sharded import sharded_shard_topk
 class MeshStreamedEngine(StreamedSearchEngine):
     """Hostrefine capacity tier over a ``(dp, idx)`` mesh.
 
-    (No dispatch/complete split yet — the batcher serves it with the
-    sequential worker; ``supports_pipelined_dispatch`` is forced off
-    below.)
-
     Same host-facing contract as :class:`StreamedSearchEngine` (the
-    batcher/server stack runs unchanged); the device work shards over
-    the mesh.
+    batcher/server stack runs unchanged — including the pipelined
+    dispatch/complete serving loop: the host-side candidate rescore of
+    batch t overlaps batch t+1's sharded device scans); the device
+    work shards over the mesh.
     """
 
     def __init__(
@@ -99,7 +97,6 @@ class MeshStreamedEngine(StreamedSearchEngine):
         super().__init__(shard_set, router_params, bank,
                          threshold=threshold, seed=seed,
                          k_refine=k_refine)
-        self.supports_pipelined_dispatch = False
 
     # -- device-step construction (mesh variants) ------------------------
 
@@ -213,9 +210,9 @@ class MeshStreamedEngine(StreamedSearchEngine):
     def search(self, query_embs, *, strategy: str = "ragroute",
                staged: bool = True,
                fetch_candidates: bool = True) -> SearchOutput:
-        with self._step_lock:
-            return self._search_mesh(query_embs, strategy=strategy,
-                                     fetch_candidates=fetch_candidates)
+        return self.complete_hostrefine(self.dispatch_hostrefine(
+            query_embs, strategy=strategy,
+            fetch_candidates=fetch_candidates))
 
     def _device_embs(self, query_embs):
         embs = super()._device_embs(query_embs)
@@ -228,46 +225,63 @@ class MeshStreamedEngine(StreamedSearchEngine):
             out[enc] = jax.device_put(arr, self._q_sharding)
         return out
 
-    def _search_mesh(self, query_embs, *, strategy: str,
-                     fetch_candidates: bool) -> SearchOutput:
+    def dispatch_hostrefine(self, query_embs, *, strategy: str,
+                            fetch_candidates: bool):
+        """Enqueue the mesh device work without any host sync (same
+        dispatch/complete contract as the single-chip tier, so the
+        batcher's pipelined worker and the native plane's pipeline
+        mode serve the mesh engine identically)."""
         world = self.world
         k = world.k
         kp = self.k_refine
         mesh = self.mesh
-        embs = self._device_embs(query_embs)
-        q_host = self._host_embs(query_embs)
-        rng = self._next_key(strategy)
-        params, bank = self._router_inputs(strategy)
+        with self._step_lock:
+            embs = self._device_embs(query_embs)
+            q_host = self._host_embs(query_embs)
+            rng = self._next_key(strategy)
+            params, bank = self._router_inputs(strategy)
+            t0 = time.perf_counter()
+            probs_d, mask_d = self._route_step(params, bank, embs, rng,
+                                               strategy=strategy)
+            coarse_params = tuple(
+                None if c is None else (c[3], c[4])
+                for c in self._coarse_sh)
+            qt, const = self._project_step(coarse_params, embs)
+            keys_dev, ids_dev = {}, {}
+            res_dev = {}
+            for i, src in enumerate(world.sources):
+                if self._coarse_sh[i] is not None:
+                    docs, bias, scale, _, _ = self._coarse_sh[i]
+                    kp_i = min(kp, docs.shape[0] // self.n_idx)
+                    keys_dev[i], ids_dev[i] = sharded_shard_topk(
+                        mesh, qt[i], docs, bias, kp_i, mode="dot",
+                        scale=scale)
+                elif self._res_sh[i] is not None:
+                    docs, bias, scale = self._res_sh[i]
+                    res_dev[i] = sharded_shard_topk(
+                        mesh, embs[src.encoder], docs, bias, k,
+                        mode=self._modes[i], scale=scale,
+                        center=self._centers[i],
+                        packed4=self.shard_set.packed4)
+        return ((probs_d, mask_d, keys_dev, ids_dev, res_dev, const),
+                q_host, fetch_candidates, t0)
 
-        t0 = time.perf_counter()
-        probs_d, mask_d = self._route_step(params, bank, embs, rng,
-                                           strategy=strategy)
-        mask = np.asarray(jax.device_get(mask_d))
-        sel_t = time.perf_counter() - t0
+    def complete_hostrefine(self, handle) -> SearchOutput:
+        dev, q_host, fetch_candidates, t0 = handle
+        return self._complete_mesh(dev, q_host,
+                                   fetch_candidates=fetch_candidates,
+                                   t0=t0)
 
-        t0 = time.perf_counter()
-        coarse_params = tuple(
-            None if c is None else (c[3], c[4]) for c in self._coarse_sh)
-        qt, const = self._project_step(coarse_params, embs)
-
-        keys_dev, ids_dev = {}, {}
-        res_dev = {}
-        for i, src in enumerate(world.sources):
-            if self._coarse_sh[i] is not None:
-                docs, bias, scale, _, _ = self._coarse_sh[i]
-                kp_i = min(kp, docs.shape[0] // self.n_idx)
-                keys_dev[i], ids_dev[i] = sharded_shard_topk(
-                    mesh, qt[i], docs, bias, kp_i, mode="dot",
-                    scale=scale)
-            elif self._res_sh[i] is not None:
-                docs, bias, scale = self._res_sh[i]
-                res_dev[i] = sharded_shard_topk(
-                    mesh, embs[src.encoder], docs, bias, k,
-                    mode=self._modes[i], scale=scale,
-                    center=self._centers[i],
-                    packed4=self.shard_set.packed4)
-        got = jax.device_get((probs_d, keys_dev, ids_dev, res_dev))
-        probs, keys_h, ids_h, res_h = got
+    def _complete_mesh(self, dev, q_host, *, fetch_candidates,
+                       t0) -> SearchOutput:
+        world = self.world
+        k = world.k
+        kp = self.k_refine
+        probs_d, mask_d, keys_dev, ids_dev, res_dev, const_d = dev
+        (probs, mask, keys_h, ids_h, res_h, const) = jax.device_get(
+            (probs_d, mask_d, keys_dev, ids_dev, res_dev, const_d))
+        mask = np.asarray(mask)
+        sel_t = 0.0  # routing fused into the dispatch (module docstring)
 
         # host: per-source natural lists for resident-exact sources
         per_scores = [None] * len(world.sources)
