@@ -41,7 +41,7 @@ Design notes:
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

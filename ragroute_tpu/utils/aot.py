@@ -34,7 +34,6 @@ table in BENCHMARKS.md records both numbers.
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import logging
 import os
