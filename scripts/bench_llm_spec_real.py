@@ -135,8 +135,15 @@ def train(cfg, pairs, steps, lr, seed, log):
     return params
 
 
-def measure(params, cfg, tok, pairs, window, max_new, log):
-    """tokens/s + acceptance through the production continuous service."""
+def measure(params, cfg, tok, pairs, window, max_new, log,
+            kv_int8=False):
+    """tokens/s + acceptance through the production continuous service.
+
+    ``kv_int8=True`` runs the same config over the int8-quantized KV
+    cache — the real-acceptance composition row (spec x int8-KV) that
+    the 8B-shape random-weights table cannot provide (its acceptance is
+    template-driven); quote-rate doubles as the quality probe for the
+    quantized cache."""
     import asyncio
 
     import jax.numpy as jnp
@@ -147,7 +154,7 @@ def measure(params, cfg, tok, pairs, window, max_new, log):
     svc = ContinuousGenerationService(
         params, cfg, tok, slots=4, max_new_tokens=max_new,
         prompt_buckets=(bucket,), cache_len=bucket + max_new + 16,
-        chunk_steps=8, cache_dtype=jnp.bfloat16,
+        chunk_steps=8, cache_dtype=("int8" if kv_int8 else jnp.bfloat16),
         eos_id=tok.eos_id, pad_id=tok.pad_id, spec_window=window)
 
     async def run():
@@ -176,10 +183,12 @@ def measure(params, cfg, tok, pairs, window, max_new, log):
 
     outs, toks, dt, acc = asyncio.run(run())
     quote_hit = sum('The context states: "' in o for o in outs)
-    log(f"W={window}: {toks} tokens in {dt:.2f}s = {toks / dt:.1f} tok/s"
+    log(f"W={window}{' +int8kv' if kv_int8 else ''}: {toks} tokens in "
+        f"{dt:.2f}s = {toks / dt:.1f} tok/s"
         + (f", acceptance {acc:.2f} tok/verify-step" if acc else "")
         + f"; {quote_hit}/{len(outs)} answers open with the quote form")
-    return {"window": window, "tok_per_s": round(toks / dt, 1),
+    return {"window": window, "kv_int8": kv_int8,
+            "tok_per_s": round(toks / dt, 1),
             "accept_tok_per_step": None if acc is None else round(acc, 3),
             "quote_form": f"{quote_hit}/{len(outs)}"}
 
@@ -196,6 +205,10 @@ def main():
     ap.add_argument("--windows", type=int, nargs="+", default=[0, 4, 8])
     ap.add_argument("--save", type=str, default=None)
     ap.add_argument("--load", type=str, default=None)
+    ap.add_argument("--with-int8-kv", action="store_true",
+                    help="also measure every window over the int8 KV "
+                         "cache (real-acceptance spec x int8-KV "
+                         "composition + quantized-cache quote quality)")
     ap.add_argument("--max-len", type=int, default=1408,
                     help="training seq cap; prompts are NEVER truncated "
                          "(train == serve), the build errors if exceeded")
@@ -246,6 +259,9 @@ def main():
 
     rows = [measure(params, cfg, tok, eval_pairs, w, args.max_new, log)
             for w in args.windows]
+    if args.with_int8_kv:
+        rows += [measure(params, cfg, tok, eval_pairs, w, args.max_new,
+                         log, kv_int8=True) for w in args.windows]
     print(json.dumps({"spec_real": rows}, indent=1))
 
 
