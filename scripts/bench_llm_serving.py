@@ -107,12 +107,14 @@ def run_everything(args):
     (the real-acceptance speedup number lives in
     bench_llm_spec_real.py's trained-checkpoint harness — run both).
     """
-    from scripts.bench_llm import QWEN3_8B, random_quant_params
+    from scripts.bench_llm import SHAPES, random_quant_params
     from ragroute_tpu.engine.prompts import generate_llm_message
     from ragroute_tpu.index.synthetic import make_synthetic_world
     from ragroute_tpu.llm.continuous import shared_prefix_ids
 
-    cfg = QWEN3_8B
+    registry_name = {"qwen3-8b": "qwen3-8B",
+                     "llama31-8b": "llama3.1-8B-instruct"}[args.shape]
+    cfg = SHAPES[args.shape]
     if args.layers:
         cfg = DecoderConfig(**{**cfg.__dict__, "num_layers": args.layers})
     params = random_quant_params(cfg, bits=4)
@@ -133,7 +135,7 @@ def run_everything(args):
                 for _ in range(2)]
         msgs, _ = generate_llm_message(
             "medrag", q["question"], docs, q["options"],
-            "qwen3-8B")
+            registry_name)
         prompts.append(msgs)
     sys_txt = prompts[0][0]["content"] if prompts[0][0][
         "role"] == "system" else None
@@ -150,7 +152,8 @@ def run_everything(args):
         ("prefix_spec4_int8kv", dict(prefix=True, spec=4, kv=True)),
         ("prefix_spec8_int8kv", dict(prefix=True, spec=8, kv=True)),
     ]
-    out = {"model": f"qwen3-8B-shape(L={cfg.num_layers}, int4 weights)",
+    out = {"model": f"{args.shape}-shape(L={cfg.num_layers}, "
+                    "int4 weights)",
            "requests": args.requests, "gap_ms": args.gap_ms,
            "max_new": args.max_new, "chunk_steps": args.chunk_steps,
            "slots": args.slots, "prefix_tokens": len(pre),
@@ -186,6 +189,9 @@ def main():
     ap.add_argument("--layers", type=int, default=None)
     ap.add_argument("--slots", type=int, default=4)
     ap.add_argument("--chunk-steps", type=int, default=32)
+    ap.add_argument("--shape", type=str, default="qwen3-8b",
+                    choices=["qwen3-8b", "llama31-8b"],
+                    help="registry shape for --everything")
     ap.add_argument("--everything", action="store_true",
                     help="the composition table: continuous + prefix + "
                          "spec{4,8} + int8 KV at the Qwen3-8B int4 "
